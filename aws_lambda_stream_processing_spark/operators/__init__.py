@@ -1,0 +1,11 @@
+"""Relational operator surface (SURVEY.md §2.A–2.G)."""
+
+from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    setops,
+    sorts,
+    sources,
+    windows,
+)

@@ -1,0 +1,359 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+The reference architecture's only aggregates are hand-rolled per-record
+counters flushed to DynamoDB (reconstructed Lambda+Kinesis semantics —
+/root/reference/README.md:3-4 names the architecture; the snapshot ships no
+code). Here every aggregate is a Catalyst hash-aggregate: partial (map-side)
+combine then final merge after a shuffle on the grouping key — the shape that
+scales linearly to 100 TB. Float sums use exact decimal accumulation for
+oracle bit-parity (see parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.parity import (
+    DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+    category="2.D",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count/sum/avg/min/max — the canonical Lambda 'DynamoDB counter'
+    expressed as a single partial+final hash aggregate (no grouping shuffle;
+    one-row reduce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="2.D",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): hash aggregate over a low-cardinality key.
+
+    Scale path: partial aggregation collapses 100 TB of lineitem to ~6 rows
+    per map task before the shuffle — the exchange carries kilobytes. The
+    per-row products stay as IEEE doubles (bit-identical on any engine); only
+    the commutative sums go through exact decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    category="2.D",
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT): Catalyst expands to a two-stage aggregate
+    (distinct on (key, custkey) then count) — no driver-side set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_cust"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS uniq_parts,
+           COUNT(DISTINCT l_suppkey) AS uniq_supps,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="2.D",
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DISTINCT aggregates in one query → Catalyst `Expand` rewrite
+    (one pass over the data, grouping-id-tagged rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("uniq_parts"),
+        F.countDistinct("l_suppkey").alias("uniq_supps"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="2.D",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. These use each engine's native accumulation
+    (order-dependent at ~1e-12 relative error), so outputs are rounded to 4
+    decimals on both sides — the one place SURVEY §2 convention 3 applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+    category="2.D",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter; Catalyst keeps it after the final
+    aggregate (cannot push through), exactly like the SQL form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT n_name,
+           c_mktsegment,
+           GROUPING(n_name) AS g_nation,
+           GROUPING(c_mktsegment) AS g_segment,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    category="2.D",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (nation → segment → grand total) with GROUPING()
+    markers; Catalyst implements via Expand (row replicated per grouping
+    set, partial-agg'd before shuffle — 100 TB safe)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        F.count("*").alias("cnt"),
+        dsum("c_acctbal", "sum_bal"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category="2.D",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    category="2.D",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (stream-latency-style reporting).
+
+    Scale path: exact percentile materializes per-group value lists; at
+    100 TB swap to `approx_percentile` (KLL/GK sketch, mergeable, bounded
+    memory) — declared separately as weak since sketches can't hash-match.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_joined,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    category="2.D",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation → canonical string (SURVEY §2 convention 4:
+    arrays are compared as sorted joined strings)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+            "types_joined"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None, category="2.D", tags=("weak",))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct — the 100 TB path for distinct
+    counting (mergeable sketch, O(1) memory per group). Sketch estimates are
+    engine-specific → weak rows-only check by design (SURVEY §2 conv. 5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn_max,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value ASC, event_id ASC) AS rn_min
+      FROM events
+    )
+    SELECT a.user_id, a.event_type AS top_event, b.event_type AS bottom_event
+    FROM (SELECT user_id, event_type FROM ranked WHERE rn_max = 1) a
+    JOIN (SELECT user_id, event_type FROM ranked WHERE rn_min = 1) b
+      USING (user_id)
+    """,
+    category="2.D",
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin per group via max_by/min_by over a (value, event_id)
+    struct — the struct tiebreak makes ties deterministic (doubles can
+    collide). Single hash-agg, no window shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", ordkey).alias("top_event"),
+        F.min_by("event_type", ordkey).alias("bottom_event"),
+    )

@@ -1,0 +1,355 @@
+"""Join operators (SURVEY.md §2.C).
+
+The reference architecture's "join" is a per-record DynamoDB/S3 lookup inside
+the Lambda handler (reconstructed semantics, /root/reference/README.md:3-4).
+Here joins are declared relationally and Catalyst picks the physical
+strategy; the scale intent per query is noted in its docstring:
+
+- fact × tiny dim  → broadcast-hash (no shuffle of the fact side),
+- fact × fact      → sort-merge on the join key (AQE handles skew),
+- θ / interval     → broadcast-nested-loop only when one side is small,
+  otherwise banded equi-prejoin (see q_join_interval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.parity import dsum
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    category="2.C",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join. At 100 TB both sides shuffle on the key into a
+    sort-merge join; at test scale AQE converts to broadcast-hash."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    category="2.C",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × tiny dims with explicit broadcast() hints: zero shuffle of the
+    customer side regardless of its size — the pattern for every dim join at
+    100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    category="2.C",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched customers surface with NULL order cols."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    category="2.C",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (planner canonicalizes to left-outer with sides
+    swapped)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name
+    FROM supplier s
+    FULL JOIN (SELECT * FROM customer WHERE c_custkey >= 5) c
+      ON s.s_suppkey = c.c_custkey
+    """,
+    category="2.C",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with misses on both sides (customer filtered so some
+    suppliers are unmatched). Full-outer requires shuffle (sort-merge) — no
+    broadcast variant exists."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") >= 5)
+    return s.join(c, s.s_suppkey == c.c_custkey, "full").select(
+        "s_suppkey", "s_name", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    category="2.C",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS): only left columns out, no row duplication — the
+    planner can broadcast the deduped key set of the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="2.C",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    category="2.C",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (5 × 25). Guarded use only —
+    a cross join of facts is never the plan at scale."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    """,
+    category="2.C",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi+θ join: Catalyst hashes on the equi part (s_nationkey =
+    c_nationkey) and applies the inequality as a post-join residual — so this
+    stays a hash/sort-merge join, NOT a nested loop, and scales."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    """,
+    category="2.C",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 1 h after each purchase, per user.
+
+    The equi key (user_id) bounds the hash join; the time range is a
+    residual. At 100 TB with high-cardinality time ranges and no equi key,
+    the scale path is banding: join on (user_id, hour_bucket) for the 2
+    candidate buckets, then apply the exact range — same results, bounded
+    fan-out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = p.join(
+        err,
+        (p.user_id == err.e_user)
+        & (err.e_ts >= p.p_ts)
+        & (err.e_ts < p.p_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select("purchase_id", "error_id", "user_id")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           (SELECT max(c.event_id) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS last_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    category="2.C",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark native operator — SURVEY §4): for each purchase,
+    the latest click by the same user at-or-before its timestamp.
+
+    Implementation: union both sides tagged, one window pass per user ordered
+    by (ts, side, event_id) carrying `last(click_id, ignorenulls)` — a single
+    shuffle on user_id, O(n log n) per partition, no self-join blow-up. This
+    is the standard scalable as-of pattern (equivalent to DuckDB ASOF JOIN;
+    tie at equal ts resolves to the click because clicks sort before
+    purchases at the same instant, matching `<=` semantics). `events.ts` is
+    non-decreasing in event_id (FIXTURES.md §2), so max(event_id) is the
+    as-of winner — the oracle exploits that for a deterministic tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        # clicks (0) sort before purchases (1) at identical ts → `<=` match
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return enriched.where(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    category="2.C",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table join, dims broadcast, facts sort-merge on
+    their FK chain, selective date filter pushed to the orders scan before
+    the big join — the canonical star-schema plan at any scale."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "q_join_self",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+    category="2.C",
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliasing: same-region nation pairs, deduped by key
+    ordering (the canonical pair-generation pattern reused by the LLM dedup
+    operators)."""
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )

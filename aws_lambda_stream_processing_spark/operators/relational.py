@@ -1,0 +1,221 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.B).
+
+In the reference architecture these are inline Python expressions in the
+Lambda handler body (per-record, interpreted). Here each is a Catalyst
+expression that participates in predicate pushdown and column pruning — at
+100 TB the filters reach the parquet row-group stats and never deserialize
+non-matching data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_proj_rename",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_name AS customer_name,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+    category="2.B",
+)
+def q_proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select + rename + reorder. Column pruning: the scan reads 3 of 5
+    columns (visible as ReadSchema in .explain)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "q_proj_computed",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+    category="2.B",
+)
+def q_proj_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived column. Per-row IEEE arithmetic is bit-identical across
+    engines — no rounding needed (parity.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "q_filter_cmp",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 45
+      AND l_discount <= 0.05
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_tax >= 0.01
+      AND l_returnflag <> 'A'
+    """,
+    category="2.B",
+)
+def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six comparison operators over numbers, strings, timestamps.
+    Every predicate here pushes to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_tax") >= 0.01)
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+
+
+@query(
+    "q_filter_in",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus IN ('F', 'O')
+    """,
+    category="2.B",
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership (pushed down as parquet `in` filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderstatus").isin("F", "O")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "q_filter_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+    category="2.B",
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate — maps to min/max row-group pruning on a
+    date-partitioned layout at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query(
+    "q_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_brand LIKE 'Brand#1%'
+      AND p_name NOT LIKE '%widget%'
+    """,
+    category="2.B",
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE (prefix LIKE pushes down as string-range filter)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_brand").like("Brand#1%") & ~F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "q_filter_null",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+    category="2.B",
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL over manufactured nulls (the corpus has none — FIXTURES.md §2):
+    customers with no orders via left-join miss."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.where(F.col("o_orderkey").isNull()).select("c_custkey", "c_name")
+
+
+@query(
+    "q_filter_bool",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (event_type = 'purchase' OR event_type = 'signup')
+      AND NOT (value < 50)
+      AND user_id <> 7
+    """,
+    category="2.B",
+)
+def q_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND / OR / NOT composition."""
+    e = load_table(spark, sf_dir, "events")
+    return e.where(
+        ((F.col("event_type") == "purchase") | (F.col("event_type") == "signup"))
+        & ~(F.col("value") < 50)
+        & (F.col("user_id") != 7)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+                WHEN o_orderpriority = '2-HIGH' THEN 'warm'
+                WHEN o_totalprice > 300000 THEN 'big'
+                ELSE 'normal' END AS priority_class
+    FROM orders
+    """,
+    category="2.B",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch CASE WHEN with fall-through else."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
+        .when(F.col("o_orderpriority") == "2-HIGH", "warm")
+        .when(F.col("o_totalprice") > 300000, "big")
+        .otherwise("normal")
+        .alias("priority_class"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    category="2.B",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DISTINCT = hash aggregate on all columns (partial distinct
+    before the shuffle keeps exchange volume at cardinality, not row count)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()

@@ -1,0 +1,262 @@
+"""Window functions (SURVEY.md §2.E).
+
+Per-user ordered analytics over the event stream — the batch twin of the
+per-shard ordered processing Kinesis guarantees (sequenceNumber ordering
+within a shard). One shuffle on the partition key, then a single sorted pass
+per partition; at 100 TB the partition key (user_id) must be high-cardinality
+enough to spread — for the 15-user fixture Spark still parallelizes across
+partitions of other queries, and real deployments partition by user/session
+id with millions of distinct values.
+
+Determinism rule: every ORDER BY includes `event_id` (unique) as the final
+tiebreak — ts alone can collide, and row_number over ties is otherwise
+nondeterministic (SURVEY §5.6 determinism gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.parity import DEC
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+def _w_user():
+    # Built lazily: Window specs require an active SparkContext.
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "q_win_row_number",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition sequence numbers — the Kinesis sequenceNumber analogue."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(_w_user()).alias("rn")
+    )
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           rank()       OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank — ordered by a low-cardinality key so ties are real;
+    rank outputs are tie-stable (same value for peers) hence deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT event_id, user_id,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) bucketing."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", F.ntile(4).over(_w_user()).alias("quartile")
+    )
+
+
+@query(
+    "q_win_pct",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS prk,
+           ROUND(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS cd
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (rounded: both are ratios of small ints —
+    identical doubles — but rounding guards the formula edge cases)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(_w_user()), 4).alias("prk"),
+        F.round(F.cume_dist().over(_w_user()), 4).alias("cd"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gap in exact integer microseconds (epoch_us on
+    both engines avoids float/second-truncation drift) — the sessionization
+    primitive."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(_w_user()).alias("prev_value"),
+        F.lead("value").over(_w_user()).alias("next_value"),
+        (us - F.lag(us).over(_w_user())).alias("gap_us"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+           last_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over the full-partition frame (explicit frame — the
+    default frame would make last_value = current row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    )
+
+
+@query(
+    "q_win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total — the DynamoDB-counter pattern as one window pass.
+    Decimal accumulation keeps every prefix sum exact (order-independent
+    between engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q_win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS mavg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    category="2.E",
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (exact decimal sum / frame count — sliding-window
+    float accumulators differ between engines, decimal does not)."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w_user().rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mavg"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY event_type ORDER BY value
+             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: sum of values within 10 units below the
+    current row's value. Peer rows (equal order key) share the frame on both
+    engines, so no unique tiebreak is needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value").rangeBetween(-10, 0)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("range_sum"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    oracle="""
+    SELECT user_id, event_id, value, rn
+    FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,
+    category="2.E",
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number + filter. Catalyst rewrites this to a
+    WindowGroupLimit (per-partition top-k heap before the shuffle), so the
+    exchange carries k rows per group, not the whole table — 100 TB safe."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )

@@ -1,0 +1,76 @@
+"""Query registry — the single source of truth for the engine's declared
+surface (SURVEY.md §2). `__spark_entry__.py` exposes this registry to the
+driver harness; tests iterate it; bench.py picks headline entries from it.
+
+Each registered query is a (PySpark builder, DuckDB oracle SQL) pair. The
+oracle is optional: approximate / streaming-sink / side-effecting ops declare
+no oracle and get the driver's weaker rows-only check (SURVEY.md §2 conv. 5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    category: str
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    category: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under SURVEY.md §2 ID `name` with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver may pass a session we didn't build; pin the confs
+            # that result parity depends on (UTC, AQE) before planning.
+            from aws_lambda_stream_processing_spark.session import apply_runtime_confs
+
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            category=category,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tuple(tags),
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so its @query decorators run."""
+    import aws_lambda_stream_processing_spark.operators  # noqa: F401
+    import aws_lambda_stream_processing_spark.functions  # noqa: F401
+    import aws_lambda_stream_processing_spark.streaming  # noqa: F401
+    import aws_lambda_stream_processing_spark.llm  # noqa: F401
+    import aws_lambda_stream_processing_spark.udf  # noqa: F401
+
+    return REGISTRY

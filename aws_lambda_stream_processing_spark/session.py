@@ -1,0 +1,53 @@
+"""SparkSession factory — the engine's runtime posture.
+
+Scale posture (SURVEY.md §4): AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), UTC session timezone (oracle parity), modest shuffle
+partition count for local benches. On a real 1000-executor cluster the same
+code runs with `spark.sql.shuffle.partitions` sized to ~2-3× total cores and
+RocksDB state store for streaming state; nothing here is local-mode-specific
+except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every query assumes. Applied defensively per query
+# build as well (the driver may hand us a session we didn't configure).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp type.
+    # Read as raw nanos and convert to µs in tables.load_table — identical
+    # truncation to DuckDB 1.0's ns→µs read (verified).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin the confs that affect result parity on an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; defaults are acceptable
+    return spark
+
+
+def get_spark(app_name: str = "alsp-spark-engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,128 @@
+"""Stream-replay harness: run the `events` table as a Structured Streaming
+source and materialize the result — the Lambda-handler execution model
+(micro-batch over an ordered shard) mapped onto Spark (SURVEY.md §2.I, §3.3).
+
+`availableNow` replays all existing files as bounded micro-batches with
+checkpointing, exactly like an event-source mapping draining a shard; the
+memory sink stands in for the DynamoDB/S3 sink and is swapped for
+parquet/Kafka sinks in production (`foreachBatch` for arbitrary ones).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Explicit schema: streaming file sources cannot infer (and at 100 TB you
+# pin schemas anyway). ts is parquet TIMESTAMP(NANOS) → read as raw nanos
+# (nanosAsLong conf) and truncated to µs, matching DuckDB 1.0 and the batch
+# loader (tables.load_table).
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded DataFrame (file streaming source)."""
+    # The file streaming source wants a directory; select just events.parquet
+    # out of the sf dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    transformed: DataFrame,
+    output_mode: str = "append",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Execute a streaming plan with trigger(availableNow) into a memory
+    sink; block until drained; return the materialized result as a batch DF.
+    """
+    spark = transformed.sparkSession
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="alsp_ckpt_")
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    transformed: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    output_mode: str = "append",
+    timeout_s: float = 120.0,
+) -> None:
+    """The Lambda-handler equivalent: `handler(batch_df, batch_id)` runs once
+    per micro-batch with exactly-once semantics (batch_id-keyed idempotence
+    replaces Kinesis checkpoint-after-success)."""
+    ckpt = tempfile.mkdtemp(prefix="alsp_ckpt_")
+    q = (
+        transformed.writeStream.foreachBatch(handler)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def split_events_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    predicates: list[str],
+) -> str:
+    """Write `events` into one parquet file per predicate, with file mtimes
+    in list order, so availableNow + maxFilesPerTrigger=1 replays them as
+    ordered micro-batches (late-data / watermark testing — SURVEY §7.2).
+
+    Returns the directory. Caller owns cleanup.
+    """
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="alsp_stream_in_")
+    events = load_table(spark, sf_dir, "events")
+    now = time.time()
+    for i, pred in enumerate(predicates):
+        part_dir = os.path.join(out, f"_stage_{i}")
+        events.where(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(
+            part_dir
+        )
+        src = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(out, f"batch_{i:03d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        # FileStreamSource orders by modification time (oldest first).
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return out

@@ -1,0 +1,47 @@
+"""Table catalog: the ten driver-generated parquet tables (TESTDATA.md).
+
+At 100 TB these would be date/key-partitioned parquet datasets (or Iceberg
+tables); `spark.read.parquet` picks up partition pruning + predicate pushdown
++ column pruning automatically, so the loading surface is identical — only
+the path layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tiny dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as raw nanos (nanosAsLong);
+        # truncate to µs exactly like DuckDB 1.0 does on read. `div` is
+        # integral floor-division for these positive epochs.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
