@@ -1,0 +1,86 @@
+"""Array & higher-order function families (SURVEY.md §2.H: q_array_funcs,
+q_higher_order).
+
+Arrays are first-class here because embeddings are arrays (FIXTURES.md §2)
+and every similarity operator builds on elementwise lambda math. Parity
+rules: array results are projected to sorted joined strings (SURVEY §2
+conv. 4); float lambdas cast elements to double *before* arithmetic so both
+engines fold identical IEEE doubles in identical (left-to-right) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::INT AS nt,
+           list_contains(string_split(text, ' '), 'data') AS hasdata,
+           len(list_distinct(string_split(text, ' ')))::INT AS ndist,
+           array_to_string(list_sort(string_split(text, ' '))[1:5], ',')
+             AS sorted5,
+           string_split(text, ' ')[2] AS second_tok
+    FROM documents
+    """,
+    category="2.H",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/array_contains/array_distinct/sort_array/slice/element_at/
+    array_join over tokenized text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        F.array_contains(toks, "data").alias("hasdata"),
+        F.size(F.array_distinct(toks)).alias("ndist"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 5), ",").alias("sorted5"),
+        F.element_at(toks, 2).alias("second_tok"),
+    )
+
+
+@query(
+    "q_higher_order",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT AS dim,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             (a, b) -> a + b), 4) AS vsum,
+           ROUND(list_reduce(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             (a, b) -> a + b), 4) AS dot_self,
+           len(list_filter(embedding, x -> x > 0))::INT AS npos
+    FROM embeddings
+    """,
+    category="2.H",
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate / zip_with lambda expressions on the
+    embedding vectors — the building blocks of the cosine similarity ops
+    (§2.J). dot_self ≈ 1.0 confirms the L2-normalization invariant.
+
+    Both engines left-fold the element list in order over doubles, so sums
+    are bit-identical before the (defensive) rounding.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    squares = F.zip_with(
+        F.col("embedding"),
+        F.col("embedding"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(fold(as_double), 4).alias("vsum"),
+        F.round(fold(squares), 4).alias("dot_self"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("npos"),
+    )

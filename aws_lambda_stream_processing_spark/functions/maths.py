@@ -1,0 +1,143 @@
+"""Math / conditional / cast function families (SURVEY.md §2.H: q_math_*,
+q_cond_funcs, q_cast_types).
+
+Parity traps handled:
+  - floor/ceil: Spark returns BIGINT, DuckDB DOUBLE → oracle casts;
+  - exp/ln/log10/pow are libm-dependent (not IEEE-correctly-rounded) →
+    rounded to 4 decimals on both sides; sqrt IS correctly rounded → exact;
+  - double→int casts: Spark truncates, DuckDB rounds → only applied to
+    integral doubles (l_quantity) where both agree;
+  - mod on negative operands differs in sign convention → operands here are
+    non-negative (SURVEY §2.H note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_math_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS ab,
+           floor(l_extendedprice)::BIGINT AS fl,
+           ceil(l_extendedprice)::BIGINT AS ce,
+           sqrt(l_quantity) AS sq,
+           ROUND(exp(l_discount), 4) AS ex,
+           ROUND(ln(l_quantity), 4) AS ln_q,
+           ROUND(log10(l_quantity), 4) AS lg,
+           ROUND(pow(l_quantity, 2), 4) AS pw,
+           l_quantity % 7 AS md,
+           sign(l_discount - 0.05)::DOUBLE AS sg
+    FROM lineitem
+    """,
+    category="2.H",
+)
+def q_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/round/floor/ceil/sqrt/exp/ln/log10/pow/mod/sign family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.round(F.exp("l_discount"), 4).alias("ex"),
+        F.round(F.log("l_quantity"), 4).alias("ln_q"),
+        F.round(F.log10("l_quantity"), 4).alias("lg"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("pw"),
+        (F.col("l_quantity") % 7).alias("md"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+    )
+
+
+@query(
+    "q_math_misc",
+    oracle="""
+    SELECT c_custkey,
+           greatest(c_acctbal, 1000.0) AS gr,
+           least(c_acctbal, 1000.0) AS le,
+           (c_custkey // 10) AS idiv,
+           (c_custkey % 7) AS pm
+    FROM customer
+    """,
+    category="2.H",
+)
+def q_math_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least, integer division, pmod (≡ % for the non-negative keys
+    used here — sign conventions differ on negatives, so we don't feed any)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.greatest(F.col("c_acctbal"), F.lit(1000.0)).alias("gr"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("le"),
+        F.expr("c_custkey div 10").alias("idiv"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).alias("pm"),
+    )
+
+
+@query(
+    "q_cond_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.o_totalprice, 0.0) AS co,
+           nullif(c.c_mktsegment, 'BUILDING') AS ni,
+           coalesce(o.o_orderkey, -1) AS nv,
+           CASE WHEN o.o_orderkey IS NULL THEN 'none' ELSE 'has' END AS iff
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    category="2.H",
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/nvl/if over manufactured NULLs (selective left join —
+    the corpus itself is NULL-free per FIXTURES.md)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("co"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("ni"),
+        F.nvl(F.col("o_orderkey"), F.lit(-1)).alias("nv"),
+        F.when(F.col("o_orderkey").isNull(), "none").otherwise("has").alias("iff"),
+    )
+
+
+@query(
+    "q_cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           l_quantity::INTEGER AS qi,
+           l_orderkey::VARCHAR AS ks,
+           l_orderkey::DOUBLE AS kd,
+           l_shipdate::DATE::TIMESTAMP AS ship_day,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_int,
+           TRY_CAST(l_orderkey::VARCHAR AS INTEGER) AS roundtrip
+    FROM lineitem
+    """,
+    category="2.H",
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix int↔double↔string↔timestamp + try_cast (overflow/garbage
+    → NULL instead of ANSI error). l_quantity is integral, so Spark's
+    truncating and DuckDB's rounding double→int casts agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qi"),
+        F.col("l_orderkey").cast("string").alias("ks"),
+        F.col("l_orderkey").cast("double").alias("kd"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_day"),
+        F.col("l_returnflag").try_cast("int").alias("bad_int"),
+        F.col("l_orderkey").cast("string").try_cast("int").alias("roundtrip"),
+    )

@@ -1,0 +1,129 @@
+"""String function family (SURVEY.md §2.H: q_str_*).
+
+All JVM-side codegen'd expressions — the text-analysis hot path never drops
+into Python. Parity traps handled here: substring is 1-based on both engines;
+DuckDB length/strpos return BIGINT (oracle casts to INT to match Spark);
+DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+Regex patterns stay POSIX-simple (Java regex vs RE2 dialects agree there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_str_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           length(p_name)::INT AS nlen,
+           substring(p_name, 1, 4) AS sub4,
+           concat(p_brand, ':', p_name) AS catted,
+           lpad(p_type, 10, '_') AS lp,
+           rpad(p_type, 10, '_') AS rp,
+           reverse(p_name) AS rev,
+           trim(concat('  ', p_name, '  ')) AS tr,
+           ltrim(concat('  ', p_name, '  ')) AS ltr,
+           rtrim(concat('  ', p_name, '  ')) AS rtr
+    FROM part
+    """,
+    category="2.H",
+)
+def q_str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat/pad/reverse/trim family."""
+    p = load_table(spark, sf_dir, "part")
+    padded = F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("nlen"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("catted"),
+        F.lpad("p_type", 10, "_").alias("lp"),
+        F.rpad("p_type", 10, "_").alias("rp"),
+        F.reverse("p_name").alias("rev"),
+        F.trim(padded).alias("tr"),
+        F.ltrim(padded).alias("ltr"),
+        F.rtrim(padded).alias("rtr"),
+    )
+
+
+@query(
+    "q_str_position",
+    oracle="""
+    SELECT p_partkey,
+           strpos(p_name, 'a')::INT AS pos_a,
+           starts_with(p_brand, 'Brand#1') AS sw,
+           p_name LIKE '%t' AS ew,
+           contains(p_name, 'id') AS ct
+    FROM part
+    """,
+    category="2.H",
+)
+def q_str_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """instr/startswith/endswith/contains (endswith oracled as LIKE '%t' —
+    same semantics, avoids DuckDB-version alias drift)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", "a").alias("pos_a"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("sw"),
+        F.endswith(F.col("p_name"), F.lit("t")).alias("ew"),
+        F.contains(F.col("p_name"), F.lit("id")).alias("ct"),
+    )
+
+
+@query(
+    "q_str_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(text, 'data [a-z]+ query') AS has_pattern
+    FROM documents
+    """,
+    category="2.H",
+)
+def q_str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike. DuckDB (RE2) needs the 'g'
+    flag for replace-all; Spark (java.util.regex) replaces all by default."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.substring("text", 1, 30), r"[aeiou]", "_").alias(
+            "devoweled"
+        ),
+        F.col("text").rlike("data [a-z]+ query").alias("has_pattern"),
+    )
+
+
+@query(
+    "q_str_split",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::INT AS n_tokens,
+           string_split(text, ' ')[1] AS first_tok,
+           string_split(text, ' ')[3] AS third_tok
+    FROM documents
+    """,
+    category="2.H",
+)
+def q_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization: split + size + element access (1-based on both sides —
+    Spark element_at, DuckDB list indexing)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, 3).alias("third_tok"),
+    )
