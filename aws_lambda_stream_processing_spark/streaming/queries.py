@@ -1,0 +1,414 @@
+"""Streaming operators (SURVEY.md §2.I) — the Lambda-replacement surface.
+
+Every query here executes through a REAL Structured Streaming pipeline
+(readStream → stateful transformation → availableNow trigger → sink) and is
+verified against a *batch* DuckDB oracle over the same rows — the
+batch-parity strategy of SURVEY §2.I. Kinesis/Lambda semantics map as:
+
+  shard ordering        → file order via mtime (split_events_dir)
+  at-least-once retry   → duplicated input files + dropDuplicates state
+  handler(batch)        → foreachBatch(fn) (q_stream_sink_foreachbatch, §2.A)
+  DynamoDB counters     → update/complete-mode aggregations (running_state)
+  late events           → watermark + window eviction (q_stream_watermark)
+
+Scale posture: all operators are stateful streaming aggs whose state is
+keyed and incremental; on a cluster you run them with the RocksDB state
+store provider and watermark-bounded state. Nothing here holds
+unbounded driver-side state.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.parity import DEC
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.streaming.replay import (
+    events_stream,
+    run_to_memory,
+    split_events_dir,
+)
+from aws_lambda_stream_processing_spark.tables import load_table
+
+# Written by split_events_dir: ts is already µs TIMESTAMP in these files.
+SPLIT_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _stream_split(
+    spark: SparkSession, sf_dir: str, predicates: list[str]
+) -> tuple[DataFrame, str]:
+    """Stream the events table as len(predicates) ordered micro-batches."""
+    d = split_events_dir(spark, sf_dir, predicates)
+    stream = (
+        spark.readStream.schema(SPLIT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    return stream, d
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="2.I",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window × event_type counts — the canonical
+    Kinesis+Lambda windowed aggregation, as an incremental streaming agg
+    (epoch-aligned windows ≡ date_trunc in the batch oracle)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .count()
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        F.col("count").alias("cnt"),
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    ex AS (
+      SELECT make_timestamp((epoch_us(ts) // 21600000000 - o.i) * 21600000000)
+               AS window_start,
+             value
+      FROM events CROSS JOIN offsets o
+    )
+    SELECT window_start,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS cnt
+    FROM ex
+    GROUP BY window_start
+    """,
+    category="2.I",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 day length / 6 h step): each event lands in exactly
+    4 overlapping epoch-aligned windows. The oracle expands the same 4
+    offsets arithmetically (21600000000 µs = 6 h)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day", "6 hours"))
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "sum_value", "cnt"
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL
+                    OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    category="2.I",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native session_window
+    operator; the oracle is the gaps-and-islands rewrite with matching gap
+    semantics: a new session starts iff ts >= previous ts + gap (Spark's
+    window end = last event + gap, exclusive). SURVEY §7.1 hard case."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
+# batch-0 predicate for the watermark scenario: first 14 days EXCEPT day 2;
+# day-2 rows are held back into batch 1 where they are > 1 h late.
+_B0_PRED = (
+    "ts < TIMESTAMP '2024-01-15 00:00:00' AND "
+    "(ts < TIMESTAMP '2024-01-02 00:00:00' OR "
+    " ts >= TIMESTAMP '2024-01-03 00:00:00')"
+)
+
+
+@query(
+    "q_stream_watermark",
+    oracle=f"""
+    WITH b0 AS (SELECT * FROM events WHERE {_B0_PRED}),
+    wm0 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b0),
+    wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    surv AS (
+      SELECT * FROM b0
+      UNION ALL
+      SELECT e.* FROM events e CROSS JOIN wm0
+      WHERE NOT ({_B0_PRED})
+        AND date_trunc('day', e.ts) + INTERVAL 1 DAY > wm0.w
+    )
+    SELECT window_start, cnt
+    FROM (SELECT date_trunc('day', ts) AS window_start, COUNT(*) AS cnt
+          FROM surv GROUP BY 1) wins
+    CROSS JOIN wmf
+    WHERE window_start + INTERVAL 1 DAY <= wmf.w
+    """,
+    category="2.I",
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics end-to-end (SURVEY §7.2), across a restart.
+
+    Two streaming *runs* share one checkpoint (within a single availableNow
+    run Spark applies the watermark only at the end, so late rows inside one
+    run aren't dropped — verified empirically). Run 1 drains days 1-14
+    (day 2 held back) and commits watermark = max(ts)-1h ≈ Jan 14 to the
+    checkpoint. Run 2 restarts from that checkpoint and delivers the rest
+    *plus* the held-back day-2 rows — now >1 h late, dropped by the restored
+    watermark. Append mode emits each finalized window exactly once across
+    both runs; the union of both runs' sinks = windows with end <= final
+    watermark, minus the dropped day-2 rows. The oracle reproduces drop +
+    emit arithmetically (all boundaries have >1 h margin, so <= vs <
+    strictness cannot flip any window).
+    """
+    import tempfile
+
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        run_foreach_batch,
+    )
+
+    d = split_events_dir(spark, sf_dir, [_B0_PRED])
+    ckpt = tempfile.mkdtemp(prefix="alsp_wm_ckpt_")
+    emitted: list = []  # accumulated across both runs (driver-side handler)
+
+    def plan() -> DataFrame:
+        stream = (
+            spark.readStream.schema(SPLIT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .count()
+        )
+        return agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("count").alias("cnt"),
+        )
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
+    try:
+        # run 1: days 1-14 minus day 2 → commits watermark ≈ Jan 14 - 1 h
+        run_foreach_batch(plan(), handler, checkpoint=ckpt)
+        # deliver the remaining days + the now-late day-2 stragglers
+        extra = split_events_dir(spark, sf_dir, [f"NOT ({_B0_PRED})"])
+        shutil.move(f"{extra}/batch_000.parquet", f"{d}/batch_001.parquet")
+        shutil.rmtree(extra, ignore_errors=True)
+        # run 2: restart from checkpoint — restored watermark drops day 2
+        run_foreach_batch(plan(), handler, checkpoint=ckpt)
+        return spark.createDataFrame(emitted, "window_start TIMESTAMP, cnt BIGINT")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    category="2.I",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once: the whole events table is delivered
+    TWICE (two identical micro-batches — a Kinesis batch retry), and
+    dropDuplicates on event_id keyed state suppresses the redelivery across
+    batches. Output = exactly the original table.
+
+    Scale path: dropDuplicatesWithinWatermark bounds the dedup state to the
+    retry horizon instead of all-time."""
+    stream, d = _stream_split(spark, sf_dir, ["true", "true"])
+    try:
+        deduped = stream.dropDuplicates(["event_id"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        return run_to_memory(deduped, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_running_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    category="2.I",
+)
+def q_stream_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate state — the DynamoDB-counter pattern.
+    Delivered as two micro-batches so the state genuinely carries across
+    batch boundaries; complete mode emits the final counter values."""
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    try:
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        return run_to_memory(agg, output_mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    category="2.I",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension — the Lambda per-record enrichment lookup,
+    as a stateless broadcast-hash join per micro-batch (the static side is
+    re-broadcast per batch; at scale pin it with .cache())."""
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = events_stream(spark, sf_dir).join(
+        F.broadcast(customer),
+        F.col("user_id") == F.col("c_custkey"),
+        "inner",
+    )
+    out = enriched.select("event_id", "user_id", "c_name", "c_mktsegment")
+    return run_to_memory(out, output_mode="append")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+    category="2.I",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click followed by purchase within 30 min,
+    same user — the alarm-verification correlation pattern). Watermarks on
+    both sides + the time-bound condition let Spark evict join state; the
+    batch oracle is the identical interval self-join."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = joined.select("click_id", "purchase_id", "user_id")
+    return run_to_memory(out, output_mode="append")
+
+
+@query("q_stream_output_modes", oracle=None, category="2.I", tags=("weak",))
+def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode semantics on one aggregation over two micro-batches:
+    complete re-emits the full result each trigger; update emits only
+    changed keys per trigger. The returned frame tags each mode's final
+    state; weak check (mode-dependent row multiplicity is the point)."""
+    preds = [
+        "ts < TIMESTAMP '2024-01-15 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+    ]
+    results = []
+    for mode in ("complete", "update"):
+        stream, d = _stream_split(spark, sf_dir, preds)
+        try:
+            agg = stream.groupBy("event_type").count()
+            mem = run_to_memory(agg, output_mode=mode)
+            # update mode appends each trigger's changed rows to the memory
+            # sink; keep the final value per key for a stable summary.
+            final = (
+                mem.groupBy("event_type")
+                .agg(F.max("count").alias("cnt"))
+                .withColumn("mode", F.lit(mode))
+            )
+            results.append(final)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return results[0].unionByName(results[1])

@@ -46,13 +46,20 @@ def run_to_memory(
     transformed: DataFrame,
     output_mode: str = "append",
     timeout_s: float = 120.0,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with trigger(availableNow) into a memory
     sink; block until drained; return the materialized result as a batch DF.
+
+    Pass an explicit `checkpoint` to resume a previous run's offsets,
+    watermark and operator state (restart semantics); the caller then owns
+    its cleanup. Each run gets a fresh memory sink, so a resumed run's table
+    contains only rows emitted by that run.
     """
     spark = transformed.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="alsp_ckpt_")
+    own_ckpt = checkpoint is None
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="alsp_ckpt_")
     q = (
         transformed.writeStream.format("memory")
         .queryName(name)
@@ -66,7 +73,8 @@ def run_to_memory(
     finally:
         if q.isActive:
             q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -75,11 +83,15 @@ def run_foreach_batch(
     handler: Callable[[DataFrame, int], None],
     output_mode: str = "append",
     timeout_s: float = 120.0,
+    checkpoint: str | None = None,
 ) -> None:
     """The Lambda-handler equivalent: `handler(batch_df, batch_id)` runs once
     per micro-batch with exactly-once semantics (batch_id-keyed idempotence
-    replaces Kinesis checkpoint-after-success)."""
-    ckpt = tempfile.mkdtemp(prefix="alsp_ckpt_")
+    replaces Kinesis checkpoint-after-success). Unlike the memory sink,
+    foreachBatch supports checkpoint recovery — pass `checkpoint` to resume
+    offsets/watermark/state across runs (caller owns its cleanup)."""
+    own_ckpt = checkpoint is None
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="alsp_ckpt_")
     q = (
         transformed.writeStream.foreachBatch(handler)
         .outputMode(output_mode)
@@ -92,7 +104,8 @@ def run_foreach_batch(
     finally:
         if q.isActive:
             q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def split_events_dir(
