@@ -1,0 +1,142 @@
+"""Multimodal-column operators (SURVEY.md §2.J q_llm_multimodal_pack + the
+training-pipeline multimodal mandate).
+
+Design: media payloads are opaque `binary` columns travelling next to typed
+metadata (the standard multimodal-training-corpus layout: WebDataset /
+Parquet-with-blob). The Spark-side plumbing — schemas, Arrow batch shape,
+mapInPandas signatures, partition sizing — is real and tested against a
+deterministic byte-level feature extractor; the actual image/audio codec
+step is stubbed (`decode_image` raises NotImplementedError) because codec
+libraries are not in this container. Swapping the stub for PIL/librosa
+changes one function body, not the plan.
+
+At 100 TB: blobs dominate bytes, so the scale rules are (1) never shuffle
+the blob column — extract features first, project blobs away before any
+join/agg; (2) size `spark.sql.files.maxPartitionBytes` so a partition of
+blobs fits executor memory; (3) mapInPandas streams Arrow record batches,
+so per-batch memory is bounded by the Arrow batch size, not the partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_llm_multimodal_pack",
+    oracle="""
+    SELECT doc_id,
+           json_object('lang', lang, 'source', source,
+                       'n_chars', n_chars, 'emb_ref', doc_id % 500
+           ) AS packed
+    FROM documents
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack per-document metadata + an embedding reference into one typed
+    struct and serialize to JSON (key order pinned on both sides). This is
+    the sample-record envelope a multimodal corpus stores next to the blob
+    column; struct building and to_json are codegen'd, shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("n_chars").alias("n_chars"),
+        (F.col("doc_id") % 500).alias("emb_ref"),
+    )
+    return d.select("doc_id", F.to_json(packed).alias("packed"))
+
+
+def decode_image(blob: bytes) -> "object":
+    """STUB — real image decode (PIL / torchvision) is not available in
+    this container. The Spark-side contract is: bytes in, ndarray out.
+    Replace this body to productionize; everything around it is real."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use extract_byte_features for the tested deterministic path"
+    )
+
+
+def extract_byte_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level feature extractor over the blob column —
+    the tested stand-in for decode_image/decode_audio. Receives Arrow
+    record batches (bounded memory regardless of partition size) and
+    returns one feature row per input row, blob projected away."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs.map(len).astype("int64"),
+                "head_hex": blobs.map(lambda b: b[:8].hex().upper()),
+                "tail_byte": blobs.map(lambda b: b[-1] if b else 0).astype(
+                    "int64"
+                ),
+            }
+        )
+
+
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, head_hex string, tail_byte long"
+)
+
+
+@query(
+    "q_llm_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           hex(substr(text, 1, 8)) AS head_hex,
+           ascii(substr(text, length(text), 1)) AS tail_byte
+    FROM documents
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode/feature-extract plumbing, end-to-end and
+    exactly verified: text bytes stand in for media blobs (binary column),
+    mapInPandas streams Arrow batches through a vectorized byte-feature
+    extractor, output drops the blob before anything downstream. The
+    corpus is ASCII so byte features are SQL-checkable; a real codec
+    replaces extract_byte_features only."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return blobs.mapInPandas(extract_byte_features, _FEATURE_SCHEMA)
+
+
+@query("q_llm_multimodal_sample", oracle=None, category="2.J", tags=("weak",))
+def q_llm_multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video analogue): treat each 64-byte slice
+    of the blob as a 'frame', sample every 4th, explode to one row per
+    sampled frame with (offset, frame_hash). Demonstrates the blob →
+    many-rows UDTF shape with bounded Arrow batches. Deterministic but
+    sample-stride semantics are engine-specific → weak check."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+
+    def sample_frames(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "offset": [], "frame_hex": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for off in range(0, len(blob), 64 * 4):  # every 4th frame
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(off)
+                    out["frame_hex"].append(blob[off : off + 8].hex())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        sample_frames, "doc_id long, offset long, frame_hex string"
+    )

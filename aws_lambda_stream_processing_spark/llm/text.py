@@ -1,0 +1,378 @@
+"""Text-analysis operators (SURVEY.md §2.J + the training-data-pipeline
+mandate): wordcount, TF-IDF, n-grams, per-language corpus stats, lexicon
+sentiment, language-ID, quality scoring, token counting, fingerprinting.
+
+All hot paths are JVM built-ins (split/explode/higher-order lambdas) —
+no Python UDFs. At 100 TB every one of these is a scan + at most one
+shuffle on a low-cardinality key (term / lang / doc_id), all of which
+partial-aggregate map-side before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+def _toks(d: DataFrame) -> DataFrame:
+    """documents with the whitespace token array attached."""
+    return d.withColumn("t", F.split("text", " "))
+
+
+@query(
+    "q_llm_wordcount",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    category="2.J",
+)
+def q_llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global word count — explode + hash-agg. Map-side partial combine
+    means the shuffle carries one row per (partition, word): at 100 TB the
+    exchange is vocabulary-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    category="2.J",
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf × ln(N/df). Two aggregations + one join;
+    the df table is vocabulary-sized so it broadcasts — the only real
+    shuffle is the (doc_id, term) tf aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar; at scale use a broadcast scalar subquery
+    return tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+
+
+@query(
+    "q_llm_ngrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(2, len(t) + 1),
+                                   i -> t[i-1] || ' ' || t[i])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    category="2.J",
+)
+def q_llm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams. Bigrams are built with a JVM lambda over the token
+    array (transform over an index sequence — no Python), then exploded
+    and counted; TakeOrderedAndProject keeps only 20 rows per task."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        _toks(d)
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("t")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i - F.lit(1)),
+                        F.element_at("t", i),
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_llm_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    category="2.J",
+)
+def q_llm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — one hash-agg on a 5-value key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Static sentiment lexicon over the fixed documents vocabulary
+# (FIXTURES.md `fx_lexicon`): both the Spark side and the oracle load the
+# same literal table, so scores are exactly reproducible.
+LEXICON: list[tuple[str, float]] = [
+    ("fast", 1.0),
+    ("big", 0.5),
+    ("slow", -1.0),
+    ("small", -0.5),
+]
+_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
+
+
+@query(
+    "q_llm_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_LEX_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT t.doc_id,
+           ROUND(AVG(COALESCE(lex.score, 0.0)), 4) AS sentiment,
+           COUNT(*) AS n_tokens
+    FROM toks t LEFT JOIN lex USING (word)
+    GROUP BY t.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored sentiment per doc: mean token score, unknown → 0.
+    The lexicon is broadcast (4 rows; real lexicons are ~10k rows — still
+    broadcast territory), so the only shuffle is the per-doc average."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, "word string, score double")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.coalesce("score", F.lit(0.0))), 4).alias(
+                "sentiment"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+# Marker-token language profiles over the corpus vocabulary. A production
+# language-ID uses learned character-n-gram profiles (e.g. CLD3-style);
+# the *engine shape* is identical — a broadcast profile table joined
+# against extracted features, argmax per doc — so that is what we build,
+# with deterministic profiles both sides can share.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "fast"), ("en", "query"),
+    ("fr", "table"), ("fr", "merge"), ("fr", "vector"),
+    ("es", "data"), ("es", "row"), ("es", "column"),
+    ("de", "stream"), ("de", "batch"), ("de", "hash"),
+    ("zh", "spark"), ("zh", "window"), ("zh", "join"),
+]
+_MARKER_VALUES = ", ".join(f"('{l}', '{w}')" for l, w in LANG_MARKERS)
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+    WITH markers(lang, word) AS (VALUES {_MARKER_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS hits
+      FROM toks t JOIN markers m USING (word)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS pred_lang,
+           COALESCE(b.hits, 0) AS marker_hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    category="2.J",
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: count marker-token hits per (doc, lang),
+    argmax with deterministic tiebreak, 'und' when nothing matches. The
+    marker table broadcasts; per-doc argmax is a WindowGroupLimit."""
+    d = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(LANG_MARKERS, "lang string, word string")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+    )
+
+
+STOPWORDS = ("the", "a")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q_llm_quality_score",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) AS du,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_STOP_IN}))) AS ds
+      FROM documents
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           ROUND(du * 1.0 / n, 4) AS unique_ratio,
+           ROUND(ds * 1.0 / n, 4) AS stopword_ratio,
+           ROUND((n_chars - n + 1) * 1.0 / n, 4) AS avg_tok_len,
+           ROUND((16 * du + 8 * (n - ds)
+                  + LEAST(n_chars - n + 1, 8 * n)) / (32.0 * n), 4) AS quality
+    FROM q
+    """,
+    category="2.J",
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score — the pre-training filter shape:
+    0.5·lexical-diversity + 0.25·(1 − stopword-ratio) + 0.25·capped mean
+    token length. The blend is computed as one exact-integer numerator over
+    one division (16·du + 8·(n−ds) + min(chars', 8n)) / 32n so both engines
+    produce the bit-identical double before rounding — a multi-term float
+    sum can land exactly on a round-half boundary and diverge. Pure per-row
+    columnar math: zero shuffles, embarrassingly parallel at any scale."""
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    n = F.size("t")
+    du = F.size(F.array_distinct("t"))
+    ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    # single-space-joined corpus: chars = sum(len) + (n-1) separators
+    chars_net = F.col("n_chars") - n + 1
+    quality = (
+        16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n.cast("long"))
+    ) / (32.0 * n)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(du / n, 4).alias("unique_ratio"),
+        F.round(ds / n, 4).alias("stopword_ratio"),
+        F.round(chars_net / n, 4).alias("avg_tok_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "q_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS subword_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS byte_bpe_est
+    FROM documents
+    """,
+    category="2.J",
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, BPE-ish greedy subword
+    chunks (a POSIX-simple regex both engines tokenize identically), and
+    the bytes/4 estimate. Per-row, shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{1,4}")).alias("subword_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("byte_bpe_est"),
+    )
+
+
+_FP_MOD = 1_000_000_007
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> CAST(ascii(x) * 31 + length(x) AS BIGINT)
+             ) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * 131 + h) % {_FP_MOD}
+           ) AS fingerprint
+    FROM q
+    """,
+    category="2.J",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Karp-Rabin
+    shape): fold (acc*131 + tokenhash) mod p over the token sequence.
+    Exact integer math → bit-identical across engines; per-row columnar
+    fold, zero shuffles. The content-defined-chunking variant for long
+    docs reuses this kernel per chunk."""
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    hs = F.transform(
+        "t",
+        lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long"),
+    )
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % _FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
