@@ -1,0 +1,190 @@
+"""User-defined function surface (SURVEY.md §2.K): scalar Python UDF,
+vectorized pandas UDF, grouped-agg pandas UDAF, grouped-map applyInPandas,
+and a Python UDTF.
+
+Performance posture: everything here is deliberately OFF the relational hot
+path — the §2.A-2.H inventory uses JVM built-ins only. These queries exist
+to prove the extension surface works and is Arrow-vectorized. The ladder:
+row-at-a-time @udf (1×, serialization-bound) < @pandas_udf (Arrow batches,
+~10-100×) < JVM built-ins. When a custom kernel is needed at 100 TB it goes
+through the pandas/Arrow forms below, never the row form.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+# NOTE: udf/pandas_udf decorators parse their DDL return type eagerly and
+# need an active SparkSession — so every UDF below is defined inside its
+# query builder, not at module import time.
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+    SELECT doc_id,
+           replace(lower(trim(text)), 'slow', 'slow_') AS norm
+    FROM documents
+    """,
+    category="2.K",
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF: whitespace-collapse + lowercase + token marker.
+    The corpus is already single-spaced so the oracle's replace/lower/trim
+    composition is equivalent; the point is the UDF plumbing, verified
+    exactly."""
+
+    @udf("string")
+    def normalize_text(s: str) -> str:
+        # row-at-a-time Python UDF — the slow rung, off hot paths by policy
+        if s is None:
+            return None
+        return " ".join(s.strip().lower().split()).replace("slow", "slow_")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text("text").alias("norm"))
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, ROUND(ln(1 + LEAST(value, 100.0)), 4) AS log_value
+    FROM events
+    """,
+    category="2.K",
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched): clipped log1p of event value —
+    one Arrow batch per call, numpy math, no per-row Python."""
+
+    @pandas_udf("double")
+    def clipped_log1p(v: pd.Series) -> pd.Series:
+        return (v.clip(upper=100.0) + 1.0).map(math.log)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.round(clipped_log1p("value"), 4).alias("log_value")
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CAST(round(value * 100) AS BIGINT)
+                     * (event_id % 10 + 1)) * 1.0
+                 / (100.0 * SUM(event_id % 10 + 1)), 4) AS wmean
+    FROM events GROUP BY user_id
+    """,
+    category="2.K",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: weighted mean of value per user with
+    deterministic weights (event_id % 10 + 1). `value` is 2-decimal, so
+    both sides accumulate exact integer cents (order-independent — a raw
+    double Σvw differs between engines by summation order and can flip a
+    round-half boundary) and divide once at the end."""
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        # grouped-agg pandas UDAF: Arrow ships each group's columns once;
+        # at scale pre-aggregate per partition first if groups are huge
+        cents = (v * 100).round().astype("int64")
+        return float((cents * w).sum()) / (100.0 * float(w.sum()))
+
+    e = load_table(spark, sf_dir, "events")
+    weighted = e.select(
+        "user_id", "value", (F.col("event_id") % 10 + 1).alias("w")
+    )
+    return weighted.groupBy("user_id").agg(
+        F.round(weighted_mean("value", "w"), 4).alias("wmean")
+    )
+
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: min-max normalize value within the group; flat
+    groups map to 0.0. Pure pandas — one Arrow exchange per group."""
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    scaled = (pdf["value"] - lo) / (hi - lo) if hi > lo else 0.0
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value_norm": round(scaled, 4),
+        }
+    )
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                      ELSE (value - MIN(value) OVER w)
+                           / (MAX(value) OVER w - MIN(value) OVER w)
+                 END, 4) AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    category="2.K",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the gapply pattern): per-user min-max
+    normalization. The oracle is the equivalent window-function form —
+    which is also what the hot path would use; applyInPandas is for
+    kernels SQL can't express (model scoring, scipy, ...)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _minmax_normalize,
+            "user_id long, event_id long, value_norm double",
+        )
+    )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id, i AS pos, t[i] AS token
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    """,
+    category="2.K",
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode each document into (doc_id, pos,
+    token) rows — the tokenizer-as-table-function shape. Registered and
+    invoked through SQL; limited to 100 docs because UDTFs run row-at-a-
+    time Python (the exploded built-in split is the scale path, see
+    q_llm_wordcount)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok
+
+    d = load_table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 100).createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_doc", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM udtf_docs, LATERAL tokenize_doc(doc_id, text) t"
+    )
