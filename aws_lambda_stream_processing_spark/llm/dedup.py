@@ -69,85 +69,120 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="2.J",
 )
 def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs with token-set Jaccard >= τ, via lossless prefix
-    filtering: sort each doc's tokens by global rarity, index only the first
-    |T| - ceil(τ|T|) + 1 tokens (any pair with overlap >= ceil(τ|T|) must
-    share a prefix token), verify candidates with an exact array_intersect.
+    """Near-duplicate pairs with token-set Jaccard >= τ, via an EXACT
+    deletion-neighborhood join (the SymSpell trick lifted to sets).
 
-    The naive all-shared-tokens join is Θ(Σ df²) — quadratic on this small
-    vocabulary; the prefix join is bounded by the (1-τ) tail. The DuckDB
-    oracle uses the naive form (correct at oracle scale); results are
-    identical because prefix filtering is lossless.
+    Key fact: for sets with |A∪B| = u, a non-identical pair has
+    J ≤ (u-1)/u, and a pair differing in ≥2 elements has J ≤ (u-2)/u.
+    With τ = 0.95 this means any qualifying pair either has IDENTICAL
+    distinct-token sets, or differs by EXACTLY one element (valid whenever
+    the set-size ceiling < 2/(1-τ) = 40; this corpus' vocabulary is 31 —
+    asserted by construction in FIXTURES.md). So instead of an all-pairs /
+    inverted-index join (Θ(Σ df²) — degenerate on a 31-token vocabulary
+    where every token appears in most documents), we:
+
+      1. group identical set-keys (J = 1 pairs);
+      2. join each doc's full set-key against every doc's u one-element-
+         deletion keys (the A ⊂ B, |B\\A| = 1 pairs, J = (u-1)/u).
+
+    O(n·u) keys total, one equi-join each — at 100 TB both joins shuffle
+    on short hash keys, never on token postings. The DuckDB oracle keeps
+    the naive all-pairs formulation (fine at oracle scale); results are
+    identical because the neighborhood enumeration is exhaustive at this τ.
     """
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("s"),
+    ).withColumn("u", F.size("s"))
+    # identical distinct-token sets → J = 1.0 (compare the joined key, not
+    # the array, so the join shuffles a short string hash)
+    keyed = docs.select(
+        "doc_id", "u", F.array_join("s", " ").alias("k"), "s"
     )
-    postings = docs.select("doc_id", F.explode("toks").alias("tok"))
-    df_count = postings.groupBy("tok").agg(F.count("*").alias("df"))
-    # rank tokens within each doc by global rarity (df asc, tok asc)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    ranked = (
-        postings.join(F.broadcast(df_count), "tok")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.where(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
-    ).select("doc_id", "tok")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    same = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "k")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard_raw"),
         )
-        .distinct()
     )
-    verified = (
-        cand.join(docs.select(F.col("doc_id").alias("doc_a"),
-                              F.col("toks").alias("toks_a")), "doc_a")
-        .join(docs.select(F.col("doc_id").alias("doc_b"),
-                          F.col("toks").alias("toks_b")), "doc_b")
-        .withColumn("o", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
-            "jaccard_raw",
-            F.col("o")
-            / (F.size("toks_a") + F.size("toks_b") - F.col("o")),
+    # one-element-deletion neighborhood: doc X (set size u-1) matches doc Y
+    # (set size u) iff X's full key equals one of Y's deletion keys;
+    # J = (u-1)/u, qualifying iff u ≥ ceil(1/(1-τ)) = 20
+    dels = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("u").alias("ub"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("u")),
+                lambda i: F.array_join(
+                    F.concat(
+                        F.slice("s", F.lit(1), i - F.lit(1)),
+                        F.slice(
+                            "s", i + F.lit(1), F.size("s")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("k"),
+    )
+    subset = (
+        keyed.select(F.col("doc_id").alias("doc_a"), "k")
+        .join(dels, "k")
+        .where(F.col("ub") >= F.ceil(F.lit(1.0) / (1 - JACCARD_TAU)))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            ((F.col("ub") - 1) / F.col("ub")).alias("jaccard_raw"),
         )
-        .where(F.col("jaccard_raw") >= JACCARD_TAU)
     )
-    return verified.select(
+    return same.unionByName(subset).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
     )
 
 
 # Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod p, over Spark's
-# murmur3 token hash. Fixed constants → reproducible signatures run-to-run.
+# murmur3 shingle hash. Fixed constants → reproducible signatures run-to-run.
 _MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 _N_HASHES = 16
-_BANDS = 4  # 4 rows per band → catches jaccard ≳ 0.8 reliably
+_BANDS = 2  # 2 bands × 8 rows → per-band collision prob J^8: ≈0 for J < 0.6
 
 
 @query("q_llm_minhash_lsh", oracle=None, category="2.J", tags=("weak",))
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the sub-quadratic 100 TB
-    path. Per doc: 16 minhashes over murmur3 token hashes with a fixed
-    affine family, grouped into 4 bands of 4; docs sharing any band bucket
-    become candidates; candidates are verified with exact Jaccard >= τ.
+    path. Signatures are built over BIGRAM SHINGLES (w-shingling), not
+    unigrams: this corpus' vocabulary is ~31 tokens, so every document
+    contains nearly every unigram and unigram minhashes collide globally
+    (that variant degenerates to an all-pairs join — measured 150 s at
+    sf0.1; shingling restores signature diversity). 16 minhashes with a
+    fixed affine family over murmur3 shingle hashes, 2 bands of 8; docs
+    sharing a band bucket become candidate pairs (IDs only through the
+    join — shingle payloads re-attach after candidate dedup), verified
+    with exact shingle-set Jaccard >= τ.
 
-    Approximate (signature collisions are engine-specific) → weak check;
+    Approximate (murmur3 is engine-specific) → weak check;
     q_llm_neardup_jaccard is the exact-oracle twin.
     """
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i - F.lit(1)),
+                F.element_at(toks, i),
+            ),
+        )
     )
+    docs = d.where(F.size(toks) >= 2).select("doc_id", shingles.alias("sh"))
+
     def _minhash(a: int, b: int):
         # closure factory: the returned lambda must be unary for Spark
         return lambda t: (F.abs(F.hash(t).cast("long")) * a + b) % _MINHASH_P
@@ -156,9 +191,9 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_N_HASHES):
         a, b = 2 * i + 1, 7 * i + 3  # odd multiplier, fixed offsets
         sig_cols.append(
-            F.array_min(F.transform("toks", _minhash(a, b))).alias(f"mh_{i}")
+            F.array_min(F.transform("sh", _minhash(a, b))).alias(f"mh_{i}")
         )
-    sigs = docs.select("doc_id", "toks", *sig_cols)
+    sigs = docs.select("doc_id", *sig_cols)
     rows_per_band = _N_HASHES // _BANDS
     band_cols = [
         F.hash(
@@ -167,16 +202,15 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band_{band}")
         for band in range(_BANDS)
     ]
-    banded = sigs.select("doc_id", "toks", *band_cols)
+    banded = sigs.select("doc_id", *band_cols)
     buckets = banded.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(*[F.struct(F.lit(i).alias("band"),
                                F.col(f"band_{i}").alias("bucket"))
                       for i in range(_BANDS)])
         ).alias("bb"),
-    ).select("doc_id", "toks", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     cand = (
         buckets.alias("x")
         .join(
@@ -188,17 +222,21 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.toks").alias("toks_a"),
-            F.col("y.toks").alias("toks_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = cand.withColumn(
-        "o", F.size(F.array_intersect("toks_a", "toks_b"))
-    ).withColumn(
-        "jaccard_raw",
-        F.col("o") / (F.size("toks_a") + F.size("toks_b") - F.col("o")),
-    ).where(F.col("jaccard_raw") >= JACCARD_TAU)
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("o", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("o") / (F.size("sh_a") + F.size("sh_b") - F.col("o")),
+        )
+        .where(F.col("jaccard_raw") >= JACCARD_TAU)
+    )
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
     )

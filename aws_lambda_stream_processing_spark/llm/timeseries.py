@@ -2,21 +2,76 @@
 in the EDBT'19 distributed-in-memory time-series-similarity line of work —
 PAPERS.md).
 
-Shape: per-entity series → z-normalize (window mean/std over the entity
-partition) → align by per-entity sequence index → pairwise L2 distance on
-the aligned prefix. At 100 TB the all-pairs step is the bottleneck; the
-scale path is the same one similarity search uses (llm/similarity.py):
-bucket entities by a cheap sketch (e.g. PAA/SAX prefix) and run this exact
-kernel within buckets.
+Shape: per-entity series → z-normalize → one compact array per entity →
+block-partitioned all-pairs RMS distance. The all-pairs step uses the
+standard distributed blocking scheme: entities hash into B blocks, every
+entity is replicated to the B block-pair groups it participates in, and
+each group computes its pair distances as ONE vectorized matrix operation
+(applyInPandas + numpy GEMM). B(B+1)/2 independent tasks, per-task memory
+= two blocks of series, replication factor B — the same layout a 100 TB
+run uses, just with bigger B. A per-pair join formulation was measured
+10× slower at sf0.1 (1.12M pairs × per-row Python / interpreted lambdas).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
+
+_N_BLOCKS = 8
+
+
+def _pairwise_rms(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All aligned-prefix RMS distances between users of block ga and block
+    gb (one applyInPandas group = the union of both blocks' members).
+
+    Vectorized via the prefix-sum identity: with zero-padded series matrix
+    X, lengths l, and P[i,k] = Σ_{t<k} X[i,t]², the aligned-prefix squared
+    distance is  D²[i,j] = P[i,m] + P[j,m] − 2·(X Xᵀ)[i,j],  m = min(l_i,
+    l_j) — beyond m at least one operand is zero, so the full-width GEMM
+    already equals the prefix dot product.
+    """
+    ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+    # each user appears once per (partner-block) replica; keep one copy
+    pdf = pdf.drop_duplicates(subset=["user_id"])
+    ids = pdf["user_id"].to_numpy()
+    blocks = pdf["b"].to_numpy()
+    series = [np.asarray(s, dtype=np.float64) for s in pdf["zs"]]
+    n = len(series)
+    lens = np.array([len(s) for s in series])
+    L = int(lens.max()) if n else 0
+    X = np.zeros((n, L))
+    for i, s in enumerate(series):
+        X[i, : len(s)] = s
+    P = np.concatenate(
+        [np.zeros((n, 1)), np.cumsum(X * X, axis=1)], axis=1
+    )
+    M = np.minimum.outer(lens, lens)  # aligned length per pair
+    Pm = np.take_along_axis(P, M, axis=1)  # P[i, m_ij]
+    D2 = Pm + Pm.T - 2.0 * (X @ X.T)
+    # pairs whose block pair is exactly (ga, gb), each emitted once
+    ii, jj = np.where(
+        (ids[:, None] < ids[None, :])
+        & (
+            ((blocks[:, None] == ga) & (blocks[None, :] == gb))
+            | ((blocks[:, None] == gb) & (blocks[None, :] == ga))
+        )
+    )
+    m = M[ii, jj]
+    return pd.DataFrame(
+        {
+            "user_a": ids[ii],
+            "user_b": ids[jj],
+            "n_aligned": m,
+            "zdist_raw": np.sqrt(np.maximum(D2[ii, jj], 0.0) / m),
+        }
+    )
 
 
 @query(
@@ -41,42 +96,45 @@ from aws_lambda_stream_processing_spark.tables import load_table
 )
 def q_ts_zscore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise user similarity over z-normalized event-value series:
-    normalize within each user (window mean/stddev), align series by
-    sequence index, RMS distance over the common prefix. 15 users → 105
-    pairs; the join key (idx) distributes the alignment so no single
-    partition holds more than one index slice."""
+    normalize within each user, align by sequence index, RMS distance over
+    the common prefix, computed with the block-GEMM scheme (module doc).
+    sf0.1 = 1500 users → 1.12M pairs in 36 block-pair GEMM tasks."""
     e = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id")
-    wo = wu.orderBy("ts", "event_id")
-    z = e.select(
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    z = e.join(F.broadcast(stats), "user_id").select(
         "user_id",
         F.row_number().over(wo).alias("idx"),
-        (
-            (F.col("value") - F.avg("value").over(wu))
-            / F.stddev_samp("value").over(wu)
-        ).alias("z"),
+        ((F.col("value") - F.col("mu")) / F.col("sd")).alias("z"),
     )
-    a = z.select(
-        F.col("user_id").alias("user_a"), "idx", F.col("z").alias("za")
+    # one compact ordered z-array per user — all downstream work touches
+    # #users rows, never #events rows
+    series = z.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "z"))), lambda s: s.z
+        ).alias("zs")
     )
-    b = z.select(
-        F.col("user_id").alias("user_b"), "idx", F.col("z").alias("zb")
-    )
-    return (
-        a.join(b, ["idx"])
-        .where(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.count("*").alias("n_aligned"),
-            F.round(
-                F.sqrt(
-                    F.sum(
-                        (F.col("za") - F.col("zb"))
-                        * (F.col("za") - F.col("zb"))
-                    )
-                    / F.count("*")
-                ),
-                4,
-            ).alias("zdist"),
+    # replicate each user to its B block-pair groups: (own block b) × every
+    # partner block p → group key (min(b,p), max(b,p))
+    b = (F.col("user_id") % _N_BLOCKS).cast("int")
+    replicated = (
+        series.withColumn("b", b)
+        .withColumn(
+            "p", F.explode(F.sequence(F.lit(0), F.lit(_N_BLOCKS - 1)))
         )
+        .withColumn("ga", F.least("b", "p"))
+        .withColumn("gb", F.greatest("b", "p"))
+        .where((F.col("b") != F.col("p")) | (F.col("ga") == F.col("b")))
+    )
+    out = replicated.groupBy("ga", "gb").applyInPandas(
+        _pairwise_rms,
+        "user_a long, user_b long, n_aligned long, zdist_raw double",
+    )
+    return out.select(
+        "user_a",
+        "user_b",
+        "n_aligned",
+        F.round("zdist_raw", 4).alias("zdist"),
     )

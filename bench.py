@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query (SURVEY.md §2 inventory)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"q_agg_groupby": s, ...}, "sf": 0.1}
+
+Timing = plan build + execution + full materialization (collect) per query,
+on one shared SparkSession with AQE on — the posture SURVEY.md §6 commits
+to. The JVM/session fixed cost is excluded (paid once before the clock).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])  # optional query-name filter
+
+    from aws_lambda_stream_processing_spark.registry import load_all
+    from aws_lambda_stream_processing_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("alsp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so query timings measure the
+    # engine, not session startup (SURVEY.md §6 amortization note).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    failures: list[str] = []
+    for name in sorted(registry):
+        if only and name not in only:
+            continue
+        spec = registry[name]
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            failures.append(name)
+            print(f"bench FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "failures": failures,
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
