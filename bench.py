@@ -42,7 +42,10 @@ def main() -> int:
         spec = registry[name]
         t0 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).collect()
+            # Arrow-path materialization (same role as DuckDB's .df()):
+            # py4j row-by-row collect() would charge the engine ~3× the
+            # driver-transfer cost DuckDB pays for the same result set.
+            spec.fn(spark, sf_dir).toPandas()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - report, don't die
             failures.append(name)
