@@ -146,8 +146,9 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod p, over Spark's
-# murmur3 shingle hash. Fixed constants → reproducible signatures run-to-run.
+# Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod p, over crc32
+# shingle hashes. Fixed constants → signatures reproducible run-to-run and
+# across workers.
 _MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 _N_HASHES = 16
 _BANDS = 2  # 2 bands × 8 rows → per-band collision prob J^8: ≈0 for J < 0.6
@@ -161,56 +162,60 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains nearly every unigram and unigram minhashes collide globally
     (that variant degenerates to an all-pairs join — measured 150 s at
     sf0.1; shingling restores signature diversity). 16 minhashes with a
-    fixed affine family over murmur3 shingle hashes, 2 bands of 8; docs
-    sharing a band bucket become candidate pairs (IDs only through the
-    join — shingle payloads re-attach after candidate dedup), verified
-    with exact shingle-set Jaccard >= τ.
+    fixed affine family over crc32 shingle hashes, 2 bands of 8; the
+    signature+banding step runs as ONE vectorized mapInPandas pass (the
+    equivalent 16 interpreted array-lambda columns cost ~3.5 s/side at
+    sf0.1 — higher-order exprs are not codegen'd); docs sharing a band
+    bucket become candidate pairs (IDs only through the join), verified
+    with exact shingle-set Jaccard >= τ via JVM array_intersect.
 
-    Approximate (murmur3 is engine-specific) → weak check;
+    Approximate (banding misses pairs below the S-curve) → weak check;
     q_llm_neardup_jaccard is the exact-oracle twin.
     """
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(2), F.size(toks)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i - F.lit(1)),
-                F.element_at(toks, i),
-            ),
-        )
-    )
-    docs = d.where(F.size(toks) >= 2).select("doc_id", shingles.alias("sh"))
 
-    def _minhash(a: int, b: int):
-        # closure factory: the returned lambda must be unary for Spark
-        return lambda t: (F.abs(F.hash(t).cast("long")) * a + b) % _MINHASH_P
-
-    sig_cols = []
-    for i in range(_N_HASHES):
-        a, b = 2 * i + 1, 7 * i + 3  # odd multiplier, fixed offsets
-        sig_cols.append(
-            F.array_min(F.transform("sh", _minhash(a, b))).alias(f"mh_{i}")
-        )
-    sigs = docs.select("doc_id", *sig_cols)
+    # vectorized signature kernel: (doc_id, text) batches → one row per
+    # (doc, band) with the band's bucket hash
+    A = np.array([2 * i + 1 for i in range(_N_HASHES)], dtype=np.int64)
+    B = np.array([7 * i + 3 for i in range(_N_HASHES)], dtype=np.int64)
     rows_per_band = _N_HASHES // _BANDS
-    band_cols = [
-        F.hash(
-            F.lit(band),
-            *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band_{band}")
-        for band in range(_BANDS)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("band"),
-                               F.col(f"band_{i}").alias("bucket"))
-                      for i in range(_BANDS)])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+
+    def band_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "band": [], "bucket": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < 2:
+                    continue
+                hs = np.fromiter(
+                    {
+                        zlib.crc32(f"{a} {b}".encode())
+                        for a, b in zip(toks, toks[1:])
+                    },
+                    dtype=np.int64,
+                )
+                # (n_shingles × n_hashes) affine family, column-min = signature
+                sig = ((hs[:, None] * A[None, :] + B[None, :]) % _MINHASH_P).min(
+                    axis=0
+                )
+                for band in range(_BANDS):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    out["doc_id"].append(doc_id)
+                    out["band"].append(band)
+                    out["bucket"].append(
+                        zlib.crc32(bytes([band]) + chunk.tobytes())
+                    )
+            yield pd.DataFrame(out)
+
+    buckets = d.select("doc_id", "text").mapInPandas(
+        band_buckets, "doc_id long, band int, bucket long"
+    )
     cand = (
         buckets.alias("x")
         .join(
@@ -225,6 +230,19 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact verification on JVM-built shingle arrays
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i - F.lit(1)),
+                F.element_at(toks, i),
+            ),
+        )
+    )
+    docs = d.where(F.size(toks) >= 2).select("doc_id", shingles.alias("sh"))
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
