@@ -94,9 +94,21 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id",
         F.sort_array(F.array_distinct(F.split("text", " "))).alias("s"),
-    ).withColumn("u", F.size("s"))
-    # identical distinct-token sets → J = 1.0 (compare the joined key, not
-    # the array, so the join shuffles a short string hash)
+    )
+    return _deletion_neighborhood_pairs(docs, JACCARD_TAU).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )
+
+
+def _deletion_neighborhood_pairs(docs: DataFrame, tau: float) -> DataFrame:
+    """EXACT set-Jaccard >= tau pairs via the deletion-neighborhood join,
+    for thresholds high enough that qualifying pairs differ by at most one
+    element (requires max |A∪B| < 2/(1-tau) — the caller asserts this for
+    its corpus). `docs` = (doc_id, s) with s a SORTED distinct-element
+    array; returns (doc_a < doc_b, jaccard_raw)."""
+    docs = docs.withColumn("u", F.size("s"))
+    # identical sets → J = 1.0 (compare the joined key, not the array, so
+    # the join shuffles a short string hash)
     keyed = docs.select(
         "doc_id", "u", F.array_join("s", " ").alias("k"), "s"
     )
@@ -112,7 +124,7 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one-element-deletion neighborhood: doc X (set size u-1) matches doc Y
     # (set size u) iff X's full key equals one of Y's deletion keys;
-    # J = (u-1)/u, qualifying iff u ≥ ceil(1/(1-τ)) = 20
+    # J = (u-1)/u, qualifying iff u ≥ ceil(1/(1-τ))
     dels = keyed.select(
         F.col("doc_id").alias("doc_b"),
         F.col("u").alias("ub"),
@@ -122,9 +134,7 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(
                     F.concat(
                         F.slice("s", F.lit(1), i - F.lit(1)),
-                        F.slice(
-                            "s", i + F.lit(1), F.size("s")
-                        ),
+                        F.slice("s", i + F.lit(1), F.size("s")),
                     ),
                     " ",
                 ),
@@ -134,16 +144,14 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset = (
         keyed.select(F.col("doc_id").alias("doc_a"), "k")
         .join(dels, "k")
-        .where(F.col("ub") >= F.ceil(F.lit(1.0) / (1 - JACCARD_TAU)))
+        .where(F.col("ub") >= F.ceil(F.lit(1.0) / (1 - tau)))
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             ((F.col("ub") - 1) / F.col("ub")).alias("jaccard_raw"),
         )
     )
-    return same.unionByName(subset).select(
-        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
-    )
+    return same.unionByName(subset)
 
 
 # Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod p, over crc32
@@ -257,4 +265,152 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )
+
+
+_SHINGLE_TAU = 0.985  # exact for max shingle-set union < 2/(1-τ) ≈ 133
+
+
+@query(
+    "q_llm_neardup_shingle",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(2, len(string_split(text, ' ')) + 1),
+               i -> string_split(text, ' ')[i-1] || ' '
+                    || string_split(text, ' ')[i]))) AS g
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(o * 1.0 / (x.n + y.n - o), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE o * 1.0 / (x.n + y.n - o) >= {_SHINGLE_TAU}
+    """,
+    category="2.J",
+)
+def q_llm_neardup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by BIGRAM-SHINGLE Jaccard >= τ — n-gram Jaccard
+    is order-sensitive where token-set Jaccard is not (doc reorderings stop
+    matching). Same exact deletion-neighborhood plan as
+    q_llm_neardup_jaccard; exactness precondition max |shingle-set union| <
+    2/(1-0.985) ≈ 133 holds (corpus max is 98, measured at all SFs)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(2), F.size(toks)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i - F.lit(1)),
+                    F.element_at(toks, i),
+                ),
+            )
+        )
+    )
+    docs = d.where(F.size(toks) >= 2).select(
+        "doc_id", shingles.alias("s")
+    )
+    return _deletion_neighborhood_pairs(docs, _SHINGLE_TAU).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_MOD = 1 << _SIMHASH_BITS
+
+
+@query(
+    "q_llm_simhash",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    th AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(tok) + 1),
+                                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % {_SIMHASH_MOD}) AS h
+      FROM (SELECT DISTINCT tok FROM tf)
+    ),
+    votes AS (
+      SELECT doc_id, k, SUM(cnt * ((((h >> k) & 1) * 2) - 1)) AS v
+      FROM tf JOIN th USING (tok),
+           LATERAL (SELECT unnest(range(0, {_SIMHASH_BITS})) AS k)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1 << k) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (Charikar): per bit k, tokens vote
+    cnt·(±1) by bit k of their hash; fingerprint = the sign vector packed
+    into 16 bits. Near-dup docs land within small Hamming distance — the
+    constant-space alternative to MinHash signatures.
+
+    The token hash is a char-fold polynomial mod 2^16 (exact integer math
+    both engines can compute → exact oracle on the fingerprints, unlike
+    murmur3-based sketches). Token hashes are computed once per DISTINCT
+    token and broadcast — at 100 TB the vocabulary table is the only
+    non-linear state and it is tiny; the bit-vote aggregation is two
+    map-side-combining hash-aggs on (doc, bit) then (doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    th = tf.select("tok").distinct().withColumn(
+        "h",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok")),
+                lambda i: F.ascii(
+                    F.substring(F.col("tok"), i, F.lit(1))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + c) % _SIMHASH_MOD,
+        ),
+    )
+    votes = (
+        tf.join(F.broadcast(th), "tok")
+        .select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+            ).alias("k"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (F.expr("(shiftright(h, k) & 1) * 2 - 1"))
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
+        ).alias("simhash")
     )

@@ -176,3 +176,96 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 4).alias("cosine"),
         )
     )
+
+
+_EMBED_TAU = 0.4  # corpus max pairwise cosine is ~0.51 — τ picked to
+# exercise the operator; the plan is identical at any τ
+
+
+@query(
+    "q_llm_embed_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({SQL_DOT.format(a="a.embedding", b="b.embedding")}, 4)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {SQL_DOT.format(a="a.embedding", b="b.embedding")} >= {_EMBED_TAU}
+    """,
+    category="2.J",
+)
+def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine >= τ —
+    the semantic-dedup step of a training pipeline (SemDeDup-style), on the
+    same block-GEMM layout as q_llm_cosine_topk (threshold filter instead
+    of top-k cut). Float note as there: GEMM vs fold drift ≤2⁻⁵⁰, and the
+    similarity distribution is continuous at τ."""
+    pairs = _block_pair_sims(
+        load_table(spark, sf_dir, "embeddings"), local_topk=None
+    )
+    return pairs.where(F.col("sim") >= _EMBED_TAU).select(
+        "vec_a", "vec_b", F.round("sim", 4).alias("cosine")
+    )
+
+
+@query("q_llm_ann_lsh", oracle=None, category="2.J", tags=("weak",))
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-neighbor top-50 pairs via random-hyperplane LSH:
+    each vector is bucketed by the sign pattern of its dot products with 4
+    fixed pseudo-random hyperplanes (16 buckets); the exact GEMM kernel
+    runs WITHIN buckets only and a global top-50 follows. Trades recall
+    (cross-bucket pairs are lost — by design) for an n/16-sized candidate
+    set per bucket; at 100 TB this is the first rung of the ANN ladder
+    (more planes → smaller buckets; IVF/other coarse quantizers slot into
+    the same groupBy-bucket → within-bucket kernel shape).
+
+    Approximate by construction → weak check; q_llm_cosine_topk is the
+    exact twin."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = 4
+    dim = 64
+    # deterministic pseudo-random hyperplanes — fixed seed, same on every
+    # worker and every run
+    planes = np.random.RandomState(7).standard_normal((dim, n_planes))
+
+    def bucketize(batches):
+        for pdf in batches:
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            signs = (X @ planes) > 0
+            bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": bucket.astype("int64"),
+                    "emb": pdf["embedding"],
+                }
+            )
+
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        bucketize, "vec_id long, bucket long, emb array<float>"
+    )
+
+    def topk_within(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        S = X @ X.T
+        ii, jj = np.where(ids[:, None] < ids[None, :])
+        out = pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "sim": S[ii, jj]}
+        )
+        return out.sort_values(
+            ["sim", "vec_a", "vec_b"], ascending=[False, True, True]
+        ).head(50)
+
+    local = bucketed.groupBy("bucket").applyInPandas(
+        topk_within, "vec_a long, vec_b long, sim double"
+    )
+    return (
+        local.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine"))
+    )
