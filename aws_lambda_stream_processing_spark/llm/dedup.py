@@ -105,46 +105,74 @@ def _deletion_neighborhood_pairs(docs: DataFrame, tau: float) -> DataFrame:
     for thresholds high enough that qualifying pairs differ by at most one
     element (requires max |A∪B| < 2/(1-tau) — the caller asserts this for
     its corpus). `docs` = (doc_id, s) with s a SORTED distinct-element
-    array; returns (doc_a < doc_b, jaccard_raw)."""
-    docs = docs.withColumn("u", F.size("s"))
-    # identical sets → J = 1.0 (compare the joined key, not the array, so
-    # the join shuffles a short string hash)
-    keyed = docs.select(
-        "doc_id", "u", F.array_join("s", " ").alias("k"), "s"
+    array; returns (doc_a < doc_b, jaccard_raw).
+
+    The join key is an ADDITIVE multiset hash: each element hashed once
+    (32-bit slice of xxhash64), full-key hash = Σh, deletion-key hash =
+    Σh − h_i. Two rejected designs, both measured at sf0.1: string
+    deletion keys materialize the ~whole document u times (10 s); hashing
+    inside array lambdas runs interpreted at ~10 µs/element (16 s). This
+    formulation keeps the O(n·u) path entirely in whole-stage codegen —
+    explode → xxhash64 column → hash-agg → arithmetic (2 s). Additive
+    hashes collide more than concatenation hashes; fine, because every
+    hash candidate is EXACTLY verified against the real arrays — a
+    collision degrades performance, never correctness."""
+    min_u = F.ceil(F.lit(1.0) / (1 - tau))
+    # codegen'd hash pipeline: one row per (doc, element)
+    ph = docs.select(
+        "doc_id", F.explode("s").alias("e")
+    ).select(
+        "doc_id",
+        F.xxhash64("e").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
     )
-    same = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), "k")
+    agg = ph.groupBy("doc_id").agg(
+        F.sum("h").alias("hsum"), F.count("*").alias("u")
+    )
+    # identical sets → J = 1.0; hash-equal id pairs verified on arrays below
+    same_cand = (
+        agg.alias("a")
+        .join(agg.alias("b"), ["hsum", "u"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard_raw"),
         )
     )
     # one-element-deletion neighborhood: doc X (set size u-1) matches doc Y
-    # (set size u) iff X's full key equals one of Y's deletion keys;
+    # (set size u) iff X's full set equals one of Y's deletions;
     # J = (u-1)/u, qualifying iff u ≥ ceil(1/(1-τ))
-    dels = keyed.select(
+    dels = ph.join(agg.where(F.col("u") >= min_u), "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("u").alias("ub"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("u")),
-                lambda i: F.array_join(
-                    F.concat(
-                        F.slice("s", F.lit(1), i - F.lit(1)),
-                        F.slice("s", i + F.lit(1), F.size("s")),
-                    ),
-                    " ",
-                ),
-            )
-        ).alias("k"),
+        (F.col("hsum") - F.col("h")).alias("kh"),
+    )
+    sub_cand = (
+        agg.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("hsum").alias("kh"),
+            (F.col("u") + 1).alias("ub"),
+        )
+        .join(dels, ["kh", "ub"])
+        .select("doc_a", "doc_b", "ub")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification of the (few) candidates against the real arrays
+    # (AQE broadcasts the candidate side)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    same = (
+        same_cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("sa") == F.col("sb"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard_raw"))
     )
     subset = (
-        keyed.select(F.col("doc_id").alias("doc_a"), "k")
-        .join(dels, "k")
-        .where(F.col("ub") >= F.ceil(F.lit(1.0) / (1 - tau)))
+        sub_cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (F.size("sa") == F.col("ub") - 1)
+            & (F.size(F.array_except("sa", "sb")) == 0)
+        )
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
