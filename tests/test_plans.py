@@ -1,0 +1,64 @@
+"""Plan-shape gates (SURVEY.md §4): the scale posture, asserted.
+
+Correct results with a degenerate plan pass the oracle gate but fail at
+100 TB. These tests pin the physical-plan properties each flagship query
+relies on — pushdown, pruning, broadcast, group-limit, no cartesian blowup
+— so a plan regression fails even while answers stay right.
+"""
+
+from __future__ import annotations
+
+from aws_lambda_stream_processing_spark.plans import (
+    has_operator,
+    plan_string,
+    pushed_filters,
+    scan_columns,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_pruned_scan_pushes_filter_and_prunes_columns(spark, registry):
+    df = registry["q_scan_pruned"].fn(spark, SF_DIR)
+    assert pushed_filters(df), "shipdate filter did not reach the scan"
+    cols = scan_columns(df)
+    assert cols, "no parquet scan found"
+    # projection must prune: nothing close to the full 16-column lineitem
+    assert all(len(c) <= 5 for c in cols), f"scan reads too much: {cols}"
+
+
+def test_broadcast_join_broadcasts_the_dim(spark, registry):
+    df = registry["q_join_broadcast"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_multiway_join_no_cartesian(spark, registry):
+    df = registry["q_join_multiway"].fn(spark, SF_DIR)
+    assert not has_operator(df, "CartesianProduct")
+    # dims should broadcast rather than shuffle
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_topk_group_uses_window_group_limit(spark, registry):
+    df = registry["q_win_topk_group"].fn(spark, SF_DIR)
+    assert has_operator(df, "WindowGroupLimit"), (
+        "top-k per group must pre-filter before the exchange"
+    )
+
+
+def test_topk_global_uses_ordered_limit(spark, registry):
+    df = registry["q_topk_global"].fn(spark, SF_DIR)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_agg_has_partial_aggregation(spark, registry):
+    plan = plan_string(registry["q_agg_groupby"].fn(spark, SF_DIR))
+    assert "partial" in plan.lower(), "map-side combine missing"
+
+
+def test_filters_push_down_across_inventory(spark, registry):
+    # every query that filters lineitem by shipdate should push it down
+    for name in ("q_filter_between", "q_filter_cmp"):
+        df = registry[name].fn(spark, SF_DIR)
+        assert pushed_filters(df), f"{name}: no pushed filters"

@@ -1,0 +1,184 @@
+"""Property-based Spark↔DuckDB parity (SURVEY.md §5.4, hypothesis).
+
+The scalar-function families (§2.H) are where engine semantics silently
+drift: dayofweek numbering, substring basing, negative-mod sign, null
+ordering, regex dialects. The oracle suite only exercises the driver's
+corpus values; these tests throw randomized frames (with nulls, empties,
+boundary ints) at BOTH engines and assert the exact conventions the §2
+queries rely on, so a drift shows up here before it shows up as a
+driver-round hash mismatch.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    print_blob=True,
+)
+
+ints = st.one_of(st.none(), st.integers(min_value=0, max_value=10**9))
+words = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="abcdefghij XYZ_09", min_size=0, max_size=12
+    ),
+)
+stamps = st.one_of(
+    st.none(),
+    st.datetimes(
+        min_value=pd.Timestamp("1995-01-01").to_pydatetime(),
+        max_value=pd.Timestamp("2030-12-31").to_pydatetime(),
+    ),
+)
+
+
+def both(spark, pdf: pd.DataFrame, spark_expr: str, duck_expr: str):
+    """Evaluate an expression pair on the same frame in both engines and
+    return the value lists (row order preserved via an id column)."""
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("t")
+    srows = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {spark_expr} FROM t ORDER BY id"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.register("t", pdf)
+    drows = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duck_expr} FROM t ORDER BY id"
+        ).fetchall()
+    ]
+    con.close()
+    return srows, drows
+
+
+@st.composite
+def int_frames(draw):
+    vals = draw(st.lists(ints, min_size=1, max_size=8))
+    return pd.DataFrame(
+        {"id": range(len(vals)), "x": pd.array(vals, dtype="Int64")}
+    )
+
+
+@st.composite
+def str_frames(draw):
+    vals = draw(st.lists(words, min_size=1, max_size=8))
+    return pd.DataFrame({"id": range(len(vals)), "s": vals})
+
+
+@st.composite
+def ts_frames(draw):
+    vals = draw(st.lists(stamps, min_size=1, max_size=8))
+    return pd.DataFrame(
+        {"id": range(len(vals)), "ts": pd.Series(vals, dtype="datetime64[us]")}
+    )
+
+
+@settings(**SLOW)
+@given(pdf=ts_frames())
+def test_dayofweek_offset_convention(spark, pdf):
+    """Spark dayofweek: 1=Sunday; DuckDB: 0=Sunday → oracle side adds 1."""
+    s, d = both(spark, pdf, "dayofweek(ts)", "dayofweek(ts) + 1")
+    assert s == d
+
+
+@settings(**SLOW)
+@given(pdf=ts_frames())
+def test_date_parts_agree(spark, pdf):
+    for part in ("year", "month", "hour", "minute"):
+        s, d = both(spark, pdf, f"{part}(ts)", f"{part}(ts)")
+        assert s == d, part
+
+
+@settings(**SLOW)
+@given(pdf=str_frames())
+def test_substring_is_one_based_both_sides(spark, pdf):
+    s, d = both(spark, pdf, "substring(s, 2, 3)", "substring(s, 2, 3)")
+    assert s == d
+
+
+@settings(**SLOW)
+@given(pdf=str_frames())
+def test_string_basics_agree(spark, pdf):
+    for expr in ("upper(s)", "lower(s)", "trim(s)", "length(s)", "reverse(s)"):
+        s, d = both(spark, pdf, expr, expr)
+        assert s == d, expr
+
+
+@settings(**SLOW)
+@given(pdf=str_frames())
+def test_split_size_agree(spark, pdf):
+    # NULL input → NULL size on both engines (Spark 4 ANSI semantics)
+    s, d = both(
+        spark, pdf, "size(split(s, ' '))", "len(string_split(s, ' '))"
+    )
+    assert s == d
+
+
+@settings(**SLOW)
+@given(pdf=int_frames())
+def test_nonnegative_mod_agrees(spark, pdf):
+    """§2.H convention: mod parity is only claimed for non-negative
+    operands — exactly what the corpus provides."""
+    s, d = both(spark, pdf, "x % 7", "x % 7")
+    assert s == d
+    s, d = both(spark, pdf, "pmod(x, 7)", "x % 7")
+    assert s == d
+
+
+@settings(**SLOW)
+@given(pdf=int_frames())
+def test_integer_div_and_cast_agree(spark, pdf):
+    s, d = both(spark, pdf, "x div 3", "x // 3")
+    assert s == d
+    s, d = both(spark, pdf, "cast(x as string)", "CAST(x AS VARCHAR)")
+    assert s == d
+
+
+@settings(**SLOW)
+@given(pdf=str_frames())
+def test_posix_simple_regex_agrees(spark, pdf):
+    """§2.H keeps patterns POSIX-simple so Java regex ≡ RE2-ish dialects."""
+    s, d = both(
+        spark,
+        pdf,
+        "regexp_replace(s, '[0-9]+', '#')",
+        "regexp_replace(s, '[0-9]+', '#', 'g')",
+    )
+    assert s == d
+
+
+@pytest.mark.parametrize("nulls_side", ["last", "first"])
+def test_null_ordering_conventions(spark, nulls_side):
+    """Spark defaults NULLS FIRST on ASC; DuckDB defaults NULLS LAST —
+    §2.F queries must always spell the null position explicitly."""
+    pdf = pd.DataFrame(
+        {"id": [0, 1, 2], "x": pd.array([3, None, 1], dtype="Int64")}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("t_null")
+    kw = "NULLS LAST" if nulls_side == "last" else "NULLS FIRST"
+    srows = [
+        r[0]
+        for r in spark.sql(f"SELECT x FROM t_null ORDER BY x {kw}").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t_null", pdf)
+    drows = [
+        r[0]
+        for r in con.execute(f"SELECT x FROM t_null ORDER BY x {kw}").fetchall()
+    ]
+    con.close()
+    assert srows == drows

@@ -1,0 +1,61 @@
+"""Determinism + hostile-session gates (SURVEY.md §5.6, verify skill).
+
+1. Determinism: a query must produce the identical canonical frame twice
+   in a row and under spark.sql.shuffle.partitions ∈ {1, 32} — flushes
+   accidental order/float/partition dependence.
+2. Hostile session: the driver owns the SparkSession and may configure it
+   with a non-UTC timezone and big shuffle counts; the registry wrapper
+   must pin the parity-critical confs per query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, canon_frame
+
+# A cross-section: one per category with order/float/window/state hazards.
+SAMPLE = [
+    "q_agg_groupby",
+    "q_agg_stats",
+    "q_join_multiway",
+    "q_win_running_sum",
+    "q_sort_multi",
+    "q_date_extract",
+    "q_ts_convert",
+    "q_llm_tfidf",
+    "q_llm_cosine_topk",
+    "q_ts_zscore_similarity",
+    "q_stream_tumbling",
+    "q_udaf_pandas",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_deterministic_across_partitioning(spark, registry, name):
+    spec = registry[name]
+    base = canon_frame(spec.fn(spark, SF_DIR).toPandas())
+    again = canon_frame(spec.fn(spark, SF_DIR).toPandas())
+    assert base == again, f"{name}: not deterministic across runs"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        single = canon_frame(spec.fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert base == single, f"{name}: result depends on partition count"
+
+
+@pytest.mark.parametrize("name", ["q_date_extract", "q_ts_convert", "q_stream_tumbling"])
+def test_hostile_session_timezone(spark, registry, name):
+    """Timezone-sensitive queries must pin UTC themselves — the driver's
+    session may run in any zone."""
+    spec = registry[name]
+    base = canon_frame(spec.fn(spark, SF_DIR).toPandas())
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        hostile = canon_frame(spec.fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert base == hostile, f"{name}: leaks session timezone into results"
