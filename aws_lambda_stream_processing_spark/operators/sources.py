@@ -134,3 +134,94 @@ def q_stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_source_kinesis_envelope",
+    oracle="""
+    SELECT event_id,
+           decode(from_base64(to_base64(props::BLOB))) AS payload,
+           CAST(json_extract(
+             decode(from_base64(to_base64(props::BLOB))),
+             '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+    category="2.A",
+)
+def q_source_kinesis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's record envelope end-to-end (README identity: Lambda
+    consumes Kinesis records whose Data is a base64-encoded JSON blob):
+    encode each props payload to base64 — the wire shape — then decode and
+    JSON-parse it back, all with JVM built-ins. At 100 TB the
+    decode+parse is a per-row columnar map, no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    wire = e.select(
+        "event_id", F.base64(F.encode("props", "utf-8")).alias("data_b64")
+    )
+    return wire.select(
+        "event_id",
+        F.decode(F.unbase64("data_b64"), "utf-8").alias("payload"),
+        F.get_json_object(
+            F.decode(F.unbase64("data_b64"), "utf-8"), "$.k"
+        ).cast("int").alias("k"),
+    )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    category="2.A",
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: write a projection of events as CSV,
+    read it back with an explicit schema, aggregate — proving the format
+    plumbing preserves values exactly (integer cents dodge float-text
+    round-trip drift by construction). The parquet oracle sees the same
+    rows, so any CSV serialization loss breaks the hash."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="alsp_csv_")
+    proj = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    proj.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("event_type STRING, cents BIGINT")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+
+
+@query(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM events GROUP BY user_id
+    """,
+    category="2.A",
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip (the S3-landing shape of the
+    reference pipeline): write (user_id, event_id) as JSONL, read back
+    with an explicit schema, aggregate per user."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="alsp_json_")
+    e.select("user_id", "event_id").write.mode("overwrite").json(out)
+    back = spark.read.schema("user_id BIGINT, event_id BIGINT").json(out)
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
