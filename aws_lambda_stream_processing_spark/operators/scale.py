@@ -1,0 +1,173 @@
+"""Scale-technique operators (SURVEY.md §4 / the 100 TB mandate): the three
+layout moves a large deployment lives by, each exercised end-to-end with an
+exact oracle so the technique is proven not to change answers.
+
+  partitioned writes  — date/key-partitioned layout ⇒ partition pruning at
+                        read time (the scan never opens non-matching dirs);
+  bucketed joins      — pre-shuffled table layout ⇒ co-located sort-merge
+                        join with NO exchange on either side;
+  salted joins        — hot-key fan-out ⇒ no single reducer owns a hot key,
+                        same join result by construction.
+
+tests/test_plans.py asserts the plan-level facts (PartitionFilters on the
+pruned scan; no Exchange above the bucketed scan).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY user_id
+    """,
+    category="2.A",
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read: events
+    land partitioned by event_type (at 100 TB: by date, the same code), the
+    reader filters two partitions and Spark prunes the rest at PLANNING
+    time — the scan's PartitionFilters handle event_type, no data file of
+    any other partition is opened."""
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="alsp_part_")
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("click", "error")
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, t.total_cents
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+    category="2.C",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written bucketed+sorted by
+    user_id, so the sort-merge join needs NO exchange and NO sort on
+    either side — the shuffle was paid once at write time and every future
+    join on the key rides it. This is the bucketing play for recurring
+    100 TB fact-fact joins; tests assert the exchange-free plan."""
+    import uuid
+
+    e = load_table(spark, sf_dir, "events")
+    spark.sql("CREATE DATABASE IF NOT EXISTS alsp_bucketed")
+    # unique per invocation: the in-memory catalog forgets tables between
+    # sessions while their warehouse dirs persist, so a fixed name would
+    # collide on the next session's overwrite
+    run = uuid.uuid4().hex[:8]
+    ev_tbl = f"alsp_bucketed.events_b_{run}"
+    tot_tbl = f"alsp_bucketed.totals_b_{run}"
+    ev = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    (
+        ev.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable(ev_tbl)
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.sum("cents").alias("total_cents")
+    )
+    (
+        totals.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable(tot_tbl)
+    )
+    eb = spark.table(ev_tbl)
+    tb = spark.table(tot_tbl)
+    # MERGE hint: the planner would rather broadcast the small side at
+    # this SF, which bypasses bucketing entirely; at 100 TB both sides are
+    # fact-sized and SMJ is what the layout is for
+    return (
+        eb.where(F.col("event_type") == "purchase")
+        .join(tb.hint("merge"), "user_id")
+        .select("user_id", "event_id", "total_cents")
+    )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    WITH dim(grp, grp_name) AS (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')),
+    keyed AS (SELECT event_id, user_id % 3 AS grp, value FROM events)
+    SELECT k.event_id, k.grp, d.grp_name,
+           CAST(round(k.value * 100) AS BIGINT) AS cents
+    FROM keyed k JOIN dim d USING (grp)
+    """,
+    category="2.C",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, result-identical to the plain join: the fact
+    side's hot key space (3 groups over the whole table — maximal skew for
+    a shuffle join) is fanned out by a 16-way salt, the dim side is
+    replicated across all salts, and the join key becomes (grp, salt) so
+    no single reducer owns a hot group. Salting is the manual fallback
+    when AQE's skew splitting can't apply (e.g. aggregates after the
+    join); the result set provably equals the unsalted join."""
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], "grp long, grp_name string"
+    )
+    fact = e.select(
+        "event_id",
+        (F.col("user_id") % 3).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % _SALT_BUCKETS).alias("salt"),
+    )
+    dim_salted = dim.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(_SALT_BUCKETS - 1).cast("long")
+            )
+        ),
+    )
+    # force a shuffle join — broadcasting the 48-row dim would make the
+    # salt moot; the demonstration is 3 hot keys fanning out to 48
+    return fact.join(dim_salted.hint("shuffle_hash"), ["grp", "salt"]).select(
+        "event_id", "grp", "grp_name", "cents"
+    )

@@ -62,3 +62,29 @@ def test_filters_push_down_across_inventory(spark, registry):
     for name in ("q_filter_between", "q_filter_cmp"):
         df = registry[name].fn(spark, SF_DIR)
         assert pushed_filters(df), f"{name}: no pushed filters"
+
+
+def test_partitioned_read_prunes_partitions(spark, registry):
+    df = registry["q_sink_partitioned"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "PartitionFilters: [" in plan
+    # the event_type predicate must be a partition filter, not a data filter
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_type" in pf.group(1), plan[:2000]
+
+
+def test_bucketed_join_has_no_exchange(spark, registry):
+    df = registry["q_join_bucketed"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert "Bucketed: true" in plan
+
+
+def test_salted_join_distributes_and_matches_plain(spark, registry):
+    df = registry["q_join_salted"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, (
+        "salt demo must run as a shuffle join"
+    )
