@@ -357,3 +357,34 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", ordkey).alias("top_event"),
         F.min_by("event_type", ordkey).alias("bottom_event"),
     )
+
+
+@query("q_agg_approx_percentile", oracle=None, category="2.D", tags=("weak",))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL/GK-style sketch
+    (approx_percentile) — the 100 TB path for latency-percentile reporting
+    where exact percentile's full sort per group is off the table. Sketch
+    estimates are engine-specific → weak check; q_agg_percentile is the
+    exact twin."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("q_agg_freq_items", oracle=None, category="2.D", tags=("weak",))
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: counts for keys above a support threshold — the
+    count-min/space-saving shape. Implemented exactly here (count + filter,
+    two map-side-combining aggs); declared weak because the support cut
+    ties to corpus frequencies, not a stable result contract. At 100 TB
+    the same query runs unchanged; the sketch variant only matters when
+    the key cardinality itself is RAM-breaking."""
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    return (
+        e.groupBy("event_type", (F.col("user_id") % 10).alias("cohort"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > n / 100)
+    )

@@ -412,3 +412,93 @@ def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(d, ignore_errors=True)
     return results[0].unionByName(results[1])
+
+
+@query(
+    "q_stream_custom_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM events
+    ),
+    b1 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN pv IS NOT NULL AND value > pv
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_increases
+      FROM seq WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ),
+    total AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN pv IS NOT NULL AND value > pv
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_increases
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, 1 AS emit, n_events, n_increases FROM b1
+    UNION ALL
+    SELECT user_id, 2 AS emit, n_events, n_increases FROM total
+    """,
+    category="2.I",
+)
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via applyInPandasWithState — the custom
+    operator escape hatch when windowed/agg state can't express the logic.
+    Here the state is ORDER-DEPENDENT (count of value increases over the
+    per-user event sequence), which no distributive groupBy aggregate
+    computes: the handler carries (last_value, counters) across micro-batch
+    boundaries in the GroupState store and emits a running snapshot per
+    batch. Two ordered micro-batches prove the state genuinely persists;
+    the oracle reproduces each emission as a prefix aggregate. At 100 TB
+    this runs on the RocksDB state store, keyed state only, no growth
+    beyond one tuple per user."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_increases(key, pdfs, state):
+        if state.exists:
+            last, n, inc, emits = state.get
+        else:
+            last, n, inc, emits = None, 0, 0, 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            if last is not None and v > last:
+                inc += 1
+            last = float(v)
+            n += 1
+        emits += 1
+        state.update((last, n, inc, emits))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "emit": [emits],
+                "n_events": [n],
+                "n_increases": [inc],
+            }
+        )
+
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    try:
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            count_increases,
+            outputStructType=(
+                "user_id BIGINT, emit INT, n_events BIGINT, n_increases BIGINT"
+            ),
+            stateStructType=(
+                "last_value DOUBLE, n BIGINT, inc BIGINT, emits BIGINT"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_to_memory(out, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
