@@ -388,3 +388,28 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > n / 100)
     )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 300) AS any_huge,
+           CAST(SUM(DISTINCT user_id % 10) AS BIGINT) AS sum_distinct_cohorts
+    FROM events GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregate family: count_if, bool_and, bool_or,
+    sum(DISTINCT) — all distributive or distinct-expandable, so the shuffle
+    carries one partial row per (partition, group)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 300).alias("any_huge"),
+        F.sum_distinct(F.col("user_id") % 10).alias("sum_distinct_cohorts"),
+    )
