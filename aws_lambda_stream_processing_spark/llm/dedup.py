@@ -118,6 +118,11 @@ def _deletion_neighborhood_pairs(docs: DataFrame, tau: float) -> DataFrame:
     hash candidate is EXACTLY verified against the real arrays — a
     collision degrades performance, never correctness."""
     min_u = F.ceil(F.lit(1.0) / (1 - tau))
+    # cache: every branch of this DAG (hash pipeline, both sides of the
+    # identical-sets join, deletion explode, the two verification joins)
+    # re-derives `docs`, whose element arrays come from an interpreted
+    # transform — pay that once
+    docs = docs.cache()
     # codegen'd hash pipeline: one row per (doc, element)
     ph = docs.select(
         "doc_id", F.explode("s").alias("e")
