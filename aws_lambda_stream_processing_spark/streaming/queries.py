@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from aws_lambda_stream_processing_spark.parity import DEC
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.streaming.replay import (
+    _scratch,
     events_stream,
     run_to_memory,
     split_events_dir,
@@ -216,7 +217,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = split_events_dir(spark, sf_dir, [_B0_PRED])
-    ckpt = tempfile.mkdtemp(prefix="alsp_wm_ckpt_")
+    ckpt = _scratch("alsp_wm_ckpt_")
     emitted: list = []  # accumulated across both runs (driver-side handler)
 
     def plan() -> DataFrame:

@@ -36,6 +36,15 @@ EVENTS_DDL = (
 _STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+def _scratch(prefix: str) -> str:
+    """Streaming scratch dir (checkpoints, split inputs): tmpfs when the
+    host has it — state-store commits are many tiny files and fsync-bound
+    on disk (measured 30-40% of streaming query time at sf0.1). On a real
+    cluster this is the RocksDB local dir + an object-store checkpoint."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 class _stream_shuffle_conf:
     """Scoped shuffle-partition override for the duration of a stream run."""
 
@@ -81,7 +90,7 @@ def run_to_memory(
     spark = transformed.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
     own_ckpt = checkpoint is None
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="alsp_ckpt_")
+    ckpt = checkpoint or _scratch("alsp_ckpt_")
     with _stream_shuffle_conf(spark):
         q = (
             transformed.writeStream.format("memory")
@@ -114,7 +123,7 @@ def run_foreach_batch(
     foreachBatch supports checkpoint recovery — pass `checkpoint` to resume
     offsets/watermark/state across runs (caller owns its cleanup)."""
     own_ckpt = checkpoint is None
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="alsp_ckpt_")
+    ckpt = checkpoint or _scratch("alsp_ckpt_")
     with _stream_shuffle_conf(transformed.sparkSession):
         q = (
             transformed.writeStream.foreachBatch(handler)
@@ -145,7 +154,7 @@ def split_events_dir(
     """
     from aws_lambda_stream_processing_spark.tables import load_table
 
-    out = tempfile.mkdtemp(prefix="alsp_stream_in_")
+    out = _scratch("alsp_stream_in_")
     events = load_table(spark, sf_dir, "events")
     now = time.time()
     for i, pred in enumerate(predicates):
