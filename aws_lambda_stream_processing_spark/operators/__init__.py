@@ -8,5 +8,6 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     setops,
     sorts,
     sources,
+    sqlfront,
     windows,
 )

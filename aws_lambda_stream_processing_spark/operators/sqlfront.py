@@ -1,0 +1,172 @@
+"""SQL-text front door + reshaping operators: the engine is not only a
+DataFrame API — `spark.sql` over registered views is a first-class entry
+point (Catalyst path is identical, §3.2), and pivot/unpivot cover the
+wide↔long reshaping a reporting layer needs.
+
+Parity notes: the TPC-H-Q3-shaped query and the correlated subquery run
+as SQL TEXT on the Spark side too, proving parser+analyzer coverage, not
+just the DataFrame builder. Spark pivot emits grouping key + one column
+per pivot value; the oracle mirrors with conditional aggregation (DuckDB
+PIVOT's column naming differs — the values are what's checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    category="2.A",
+)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) submitted as SQL TEXT — the parser/
+    analyzer front door over registered views, same Catalyst pipeline as
+    the DataFrame API from the unresolved plan onward. Revenue sums exact
+    integer hundredths-of-cents so the top-10 cut is engine-stable."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               -- divide by a DOUBLE: bigint / decimal-literal yields
+               -- DECIMAL in Spark, which type-mismatches the oracle
+               ROUND(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c, orders o, lineitem l
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q_sql_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    category="2.C",
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance), as SQL text. Catalyst decorrelates this into an aggregate +
+    join (§4) — no per-row re-execution; the plan is a broadcast join
+    against the 25-row per-nation average."""
+    _register(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+_PIVOT_ORACLE_COLS = ",\n           ".join(
+    f"CAST(count_if(event_type = '{t}') AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+)
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {_PIVOT_ORACLE_COLS}
+    FROM events GROUP BY user_id
+    """,
+    category="2.D",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. Pivot values are declared explicitly — at 100 TB you never let
+    the engine scan for the distinct value set first."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+             CAST(count_if(event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n
+    FROM wide UNPIVOT (n FOR metric IN (click, view))
+    """,
+    category="2.D",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long): the inverse reshaping, via the native
+    unpivot operator (a projection + explode under the hood — no shuffle
+    beyond the feeding aggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("click"),
+            F.count_if(F.col("event_type") == "view").alias("view"),
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "view"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@query("q_sample_seeded", oracle=None, category="2.B", tags=("weak",))
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (10%) — reproducible within Spark (fixed
+    seed per split) but engine-specific RNG → weak check. The 100 TB use
+    is cheap corpus statistics without a full scan of downstream ops."""
+    e = load_table(spark, sf_dir, "events")
+    return e.sample(fraction=0.1, seed=42).select(
+        "event_id", "user_id", "event_type"
+    )
