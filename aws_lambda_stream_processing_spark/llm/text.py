@@ -265,6 +265,31 @@ STOPWORDS = ("the", "a")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+def quality_expr():
+    """The exact-integer quality blend as a reusable Column over columns
+    `t` (token array) and `n_chars` — see q_llm_quality_score for why the
+    single-division form is load-bearing for parity."""
+    n = F.size("t")
+    du = F.size(F.array_distinct("t"))
+    ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    chars_net = F.col("n_chars") - n + 1
+    return (
+        16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n.cast("long"))
+    ) / (32.0 * n)
+
+
+# DuckDB twin of quality_expr over a table exposing text + n_chars
+SQL_QUALITY = (
+    "(16 * len(list_distinct(string_split(text, ' ')))"
+    " + 8 * (len(string_split(text, ' '))"
+    "        - len(list_filter(string_split(text, ' '),"
+    f"                          x -> x IN ({_STOP_IN}))))"
+    " + LEAST(n_chars - len(string_split(text, ' ')) + 1,"
+    "          8 * len(string_split(text, ' '))))"
+    " / (32.0 * len(string_split(text, ' ')))"
+)
+
+
 @query(
     "q_llm_quality_score",
     oracle=f"""
@@ -301,9 +326,7 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
     # single-space-joined corpus: chars = sum(len) + (n-1) separators
     chars_net = F.col("n_chars") - n + 1
-    quality = (
-        16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n.cast("long"))
-    ) / (32.0 * n)
+    quality = quality_expr()
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -376,3 +399,132 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 131 + h) % _FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_llm_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id, text, lang, n_chars,
+             row_number() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             {SQL_QUALITY} AS quality
+      FROM survivors WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM scored
+    WHERE quality >= 0.7
+    GROUP BY lang
+    """,
+    category="2.J",
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END TO END as one declarative plan:
+    exact dedup (min-doc_id survivor per content hash) → quality filter
+    (≥ 0.7) → per-language corpus accounting. Catalyst fuses the whole
+    chain — one scan, one dedup shuffle, one final aggregate; nothing
+    materializes between 'stages'. This is the shape the 100 TB corpus
+    build runs nightly; every stage reuses the exact operators verified
+    individually (q_llm_exact_dedup, q_llm_quality_score,
+    q_llm_lang_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .withColumn("t", F.split("text", " "))
+    )
+    scored = survivors.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_tokens"),
+        quality_expr().alias("quality"),
+    )
+    return (
+        scored.where(F.col("quality") >= 0.7)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "q_llm_cooccurrence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tok_a, tok_b, df_ab,
+           ROUND(ln((df_ab * 1.0 * n.n) / (x.df * 1.0 * y.df)), 4) AS pmi
+    FROM pairs
+    JOIN df x ON tok_a = x.tok
+    JOIN df y ON tok_b = y.tok
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 30
+    """,
+    category="2.J",
+)
+def q_llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with document-level PMI — the association-mining
+    step of corpus analysis (collocations, embedding pre-checks). Postings
+    self-join within doc_id builds pairs (codegen'd equi-join, no lambdas);
+    the df table broadcasts; PMI is ln of a ratio of exact integers so both
+    engines produce bit-identical doubles before rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    pairs = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count("*").alias("df_ab"))
+    )
+    n = d.count()
+    x = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    y = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = (
+        pairs.join(F.broadcast(x), "tok_a")
+        .join(F.broadcast(y), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_ab",
+            F.round(
+                F.log(
+                    (F.col("df_ab") * float(n))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")).limit(30)

@@ -413,3 +413,49 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 300).alias("any_huge"),
         F.sum_distinct(F.col("user_id") % 10).alias("sum_distinct_cohorts"),
     )
+
+
+@query(
+    "q_ts_rollup_multires",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(GROUPING(date_trunc('day', ts)) AS INTEGER) AS g_day,
+           CAST(GROUPING(date_trunc('hour', ts)) AS INTEGER) AS g_hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), date_trunc('hour', ts)),
+      (date_trunc('day', ts)),
+      ()
+    )
+    """,
+    category="2.D",
+)
+def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-series rollup (the continuous-aggregate /
+    hypertable shape): hourly, daily and grand totals in ONE pass via
+    grouping sets — the engine computes the finest level and rolls up,
+    instead of three scans. GROUPING() flags disambiguate levels. At
+    100 TB this materializes to a date-partitioned summary table the
+    dashboards hit instead of the raw stream."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_rollup_v"
+    )
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+               CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events_rollup_v
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), date_trunc('hour', ts)),
+          (date_trunc('day', ts)),
+          ()
+        )
+        """
+    )
