@@ -138,3 +138,69 @@ def q_ts_zscore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_aligned",
         F.round("zdist_raw", 4).alias("zdist"),
     )
+
+
+@query(
+    "q_ts_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                  AS TIMESTAMP) AS hour
+      FROM bounds
+    )
+    SELECT s.event_type, s.hour,
+           h.cents IS NOT NULL AS observed,
+           last_value(h.cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+    FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    """,
+    category="2.J",
+)
+def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable `time_bucket_gapfill` +
+    `locf` shape): build the dense hourly spine per series with
+    `sequence()` (no driver loop — the spine generates distributed,
+    bounded per series), left-join the observed hourly aggregate, and
+    carry the last observation forward with an IGNORE NULLS running
+    last(). Exact integer cents make the fill values engine-identical.
+    At 100 TB the spine join is per-series-local: partition by series key,
+    and the window never crosses series."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.col("cents").isNotNull().alias("observed"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+    )
