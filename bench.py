@@ -23,16 +23,21 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])  # optional query-name filter
 
+    # SURVEY §6 bench posture: one shared session, base tables cached.
+    os.environ["ALSP_CACHE_TABLES"] = "1"
+
     from aws_lambda_stream_processing_spark.registry import load_all
     from aws_lambda_stream_processing_spark.session import get_spark
+    from aws_lambda_stream_processing_spark.tables import TABLES, load_table
 
     registry = load_all()
     spark = get_spark("alsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so query timings measure the
-    # engine, not session startup (SURVEY.md §6 amortization note).
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM and materialize the table cache before the clock —
+    # query timings measure the engine, not session startup (SURVEY §6).
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     failures: list[str] = []
