@@ -68,13 +68,19 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar; at scale use a broadcast scalar subquery
-    return tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).alias(
-            "tfidf"
-        ),
+    # corpus size as a broadcast scalar — a Python-side d.count() would be
+    # an extra blocking job per invocation
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
     )
 
 
@@ -508,19 +514,20 @@ def q_llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("df_ab"))
     )
-    n = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n"))
     x = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
     y = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     pmi = (
         pairs.join(F.broadcast(x), "tok_a")
         .join(F.broadcast(y), "tok_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
             "tok_b",
             "df_ab",
             F.round(
                 F.log(
-                    (F.col("df_ab") * float(n))
+                    (F.col("df_ab") * F.col("n"))
                     / (F.col("df_a").cast("double") * F.col("df_b"))
                 ),
                 4,

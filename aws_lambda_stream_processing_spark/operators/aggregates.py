@@ -382,11 +382,13 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same query runs unchanged; the sketch variant only matters when
     the key cardinality itself is RAM-breaking."""
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
+    n = e.agg(F.count("*").alias("n"))
     return (
         e.groupBy("event_type", (F.col("user_id") % 10).alias("cohort"))
         .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > n / 100)
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") > F.col("n") / 100)
+        .drop("n")
     )
 
 
