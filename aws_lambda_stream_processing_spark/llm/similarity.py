@@ -207,6 +207,176 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_transform(list_zip(a.qv, b.qv),
+               s -> s[1] * s[2]), (x, y) -> x + y) AS qdot
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, qdot,
+           ROUND(qdot / 16129.0, 4) AS cosine_q
+    FROM pairs
+    ORDER BY qdot DESC, vec_a, vec_b
+    LIMIT 50
+    """,
+    category="2.J",
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + top-50 similarity over the quantized
+    vectors — the memory-side of the 100 TB ANN ladder (4× smaller vectors,
+    integer SIMD dot products). Each component maps float→int8 by
+    floor(x*127 + 0.5) (|x| ≤ 1 on the L2-normalized corpus); pair scores
+    are exact int64 GEMMs within the same B(B+1)/2 block layout as
+    q_llm_cosine_topk, so the whole query is integer math end-to-end and
+    hash-matches the oracle bit-for-bit: quantization (float32→double→
+    floor) is the identical IEEE sequence on both engines, and integer
+    dots admit a deterministic total order (qdot DESC, vec_a, vec_b).
+    Recovered cosine = qdot / 127² is a single exact-int division, safe
+    to round."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        pdf = pdf.drop_duplicates(subset=["vec_id"])
+        ids = pdf["vec_id"].to_numpy()
+        blocks = pdf["b"].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        Q = np.floor(X * 127.0 + 0.5).astype(np.int64)
+        S = Q @ Q.T
+        ii, jj = np.where(
+            (ids[:, None] < ids[None, :])
+            & (
+                ((blocks[:, None] == ga) & (blocks[None, :] == gb))
+                | ((blocks[:, None] == gb) & (blocks[None, :] == ga))
+            )
+        )
+        out = pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "qdot": S[ii, jj]}
+        )
+        return out.sort_values(
+            ["qdot", "vec_a", "vec_b"], ascending=[False, True, True]
+        ).head(50)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    replicated = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            (F.col("vec_id") % _N_BLOCKS).cast("int").alias("b"),
+        )
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(_N_BLOCKS - 1))))
+        .withColumn("ga", F.least("b", "p"))
+        .withColumn("gb", F.greatest("b", "p"))
+    )
+    local = replicated.groupBy("ga", "gb").applyInPandas(
+        kernel, "vec_a long, vec_b long, qdot long"
+    )
+    return (
+        local.orderBy(F.desc("qdot"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+        .select(
+            "vec_a",
+            "vec_b",
+            "qdot",
+            F.round(F.col("qdot") / F.lit(16129.0), 4).alias("cosine_q"),
+        )
+    )
+
+
+@query("q_llm_ann_ivf", oracle=None, category="2.J", tags=("weak",))
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-neighbor top-50 pairs via IVF (inverted-file)
+    coarse quantization: K centroids are trained by 5 deterministic Lloyd
+    iterations over a bounded, id-strided sample (collected driver-side —
+    sample size is independent of corpus size, the standard IVF recipe);
+    every vector is then assigned to its nprobe=2 nearest centroid lists
+    (multi-probe replication so near-boundary pairs still share a list),
+    the exact GEMM kernel runs WITHIN lists, duplicated pairs collapse via
+    max, and a global top-50 follows. Versus q_llm_ann_lsh's hyperplane
+    buckets, IVF adapts the partition to the data's cluster structure —
+    at 100 TB the centroid count scales with corpus size while training
+    cost stays fixed at the sample. Approximate by construction → weak
+    check; q_llm_cosine_topk is the exact twin."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic bounded training sample: id-strided, capped at 1024
+    sample = (
+        emb.where(F.col("vec_id") % 4 == 0)
+        .orderBy("vec_id")
+        .limit(1024)
+        .select("embedding")
+        .collect()
+    )
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    n_lists = 8
+    C = X[:n_lists].copy()  # deterministic init: first K sample vectors
+    for _ in range(5):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine assignment (normalized)
+        for k in range(n_lists):
+            members = X[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                norm = np.linalg.norm(c)
+                if norm > 0:
+                    C[k] = c / norm
+
+    def assign_lists(batches):
+        for pdf in batches:
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            top2 = np.argsort(-(Xb @ C.T), axis=1)[:, :2]
+            idx = np.repeat(np.arange(len(pdf)), 2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "list_id": top2.reshape(-1).astype("int64"),
+                    "emb": pdf["embedding"].iloc[idx].to_numpy(),
+                }
+            )
+
+    listed = emb.select("vec_id", "embedding").mapInPandas(
+        assign_lists, "vec_id long, list_id long, emb array<float>"
+    )
+
+    def topk_within(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=["vec_id"])
+        ids = pdf["vec_id"].to_numpy()
+        Xl = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        S = Xl @ Xl.T
+        ii, jj = np.where(ids[:, None] < ids[None, :])
+        out = pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "sim": S[ii, jj]}
+        )
+        return out.sort_values(
+            ["sim", "vec_a", "vec_b"], ascending=[False, True, True]
+        ).head(50)
+
+    local = listed.groupBy("list_id").applyInPandas(
+        topk_within, "vec_a long, vec_b long, sim double"
+    )
+    return (
+        local.groupBy("vec_a", "vec_b")
+        .agg(F.max("sim").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine"))
+    )
+
+
 @query("q_llm_ann_lsh", oracle=None, category="2.J", tags=("weak",))
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest-neighbor top-50 pairs via random-hyperplane LSH:
