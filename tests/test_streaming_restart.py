@@ -1,0 +1,158 @@
+"""Streaming restart / failure-recovery gates (SURVEY §5.3, §8 round-2
+candidate): separate streaming RUNS sharing one checkpoint must behave like
+one continuous stream — exactly-once output across restarts, keyed state
+restored, no reprocessing of committed offsets. This is the Lambda
+at-least-once concern (a re-deployed event-source mapping resumes from the
+shard checkpoint, never re-invokes the handler for committed batches).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.streaming.queries import SPLIT_DDL
+from aws_lambda_stream_processing_spark.streaming.replay import (
+    _scratch,
+    run_foreach_batch,
+    split_events_dir,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def scratch_dirs():
+    dirs: list[str] = []
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(spark, input_dir):
+    stream = (
+        spark.readStream.schema(SPLIT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    return stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total"),
+    )
+
+
+def test_restart_without_new_input_emits_nothing(spark, scratch_dirs):
+    """Re-starting a drained query from its checkpoint with no new files
+    must not re-invoke the sink handler with data — committed micro-batches
+    are never reprocessed (exactly-once across restarts)."""
+    d = split_events_dir(spark, SF_DIR, ["true"])
+    ckpt = _scratch("alsp_restart_ckpt_")
+    scratch_dirs.extend([d, ckpt])
+
+    batches: list[tuple[int, int]] = []
+
+    def handler(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    run_foreach_batch(
+        _plan(spark, d), handler, output_mode="complete", checkpoint=ckpt
+    )
+    assert sum(n for _, n in batches) > 0, "run 1 must emit the aggregate"
+    seen_run1 = list(batches)
+
+    # run 2: same checkpoint, no new input → zero data batches
+    run_foreach_batch(
+        _plan(spark, d), handler, output_mode="complete", checkpoint=ckpt
+    )
+    new = batches[len(seen_run1):]
+    assert sum(n for _, n in new) == 0, (
+        f"restart reprocessed committed input: {new}"
+    )
+
+
+def test_dedup_state_survives_restart(spark, scratch_dirs):
+    """dropDuplicates keyed state must be restored on restart: run 1 drains
+    the full table; run 2 (fresh process-equivalent: new query object, same
+    checkpoint) receives the SAME rows again as a new file — a Kinesis batch
+    retry straddling a redeploy — and must suppress every one of them."""
+    d = split_events_dir(spark, SF_DIR, ["true"])
+    ckpt = _scratch("alsp_dedup_ckpt_")
+    scratch_dirs.extend([d, ckpt])
+
+    emitted: list[int] = []
+
+    def handler(batch_df, batch_id):
+        emitted.append(batch_df.count())
+
+    def plan():
+        stream = (
+            spark.readStream.schema(SPLIT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        return stream.dropDuplicates(["event_id"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+
+    run_foreach_batch(plan(), handler, checkpoint=ckpt)
+    n_total = sum(emitted)
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    assert n_total == load_table(spark, SF_DIR, "events").count()
+
+    # redeliver the identical rows as a NEW file after the "redeploy"
+    dup = split_events_dir(spark, SF_DIR, ["true"])
+    scratch_dirs.append(dup)
+    shutil.move(f"{dup}/batch_000.parquet", f"{d}/batch_redelivery.parquet")
+
+    emitted.clear()
+    run_foreach_batch(plan(), handler, checkpoint=ckpt)
+    assert sum(emitted) == 0, (
+        f"dedup state lost across restart: {sum(emitted)} rows re-emitted"
+    )
+
+
+def test_stateful_agg_continues_across_restart(spark, scratch_dirs):
+    """A grouped aggregation's state must carry across a restart: half the
+    data in run 1, the rest in run 2 (same checkpoint); the final complete-
+    mode emission must equal the whole-table aggregate, not run 2's slice."""
+    half = "ts < TIMESTAMP '2024-01-15 00:00:00'"
+    d = split_events_dir(spark, SF_DIR, [half])
+    ckpt = _scratch("alsp_cont_ckpt_")
+    scratch_dirs.extend([d, ckpt])
+
+    snapshots: list = []
+
+    def handler(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            snapshots.append(rows)
+
+    run_foreach_batch(
+        _plan(spark, d), handler, output_mode="complete", checkpoint=ckpt
+    )
+    rest = split_events_dir(spark, SF_DIR, [f"NOT ({half})"])
+    scratch_dirs.append(rest)
+    shutil.move(f"{rest}/batch_000.parquet", f"{d}/batch_001.parquet")
+    run_foreach_batch(
+        _plan(spark, d), handler, output_mode="complete", checkpoint=ckpt
+    )
+
+    final = {r.event_type: (r.cnt, r.total) for r in snapshots[-1]}
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    expected = {
+        r.event_type: (r.cnt, r.total)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert final == expected, (
+        "restarted aggregate diverged from the batch truth"
+    )
