@@ -15,7 +15,7 @@ Scale ladder (the whole point of having three):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
@@ -447,3 +447,165 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+@query(
+    "q_llm_dedup_cc",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz x ON doc_a = x.doc_id
+      JOIN sz y ON doc_b = y.doc_id
+      WHERE o * 1.0 / (x.n + y.n - o) >= {JACCARD_TAU}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """,
+    category="2.J",
+)
+def q_llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph (token-set Jaccard >= tau edges from the deletion-neighborhood
+    join), cluster id = min doc_id in the component. This is the step a real
+    training pipeline runs AFTER pair detection — near-duplication is not
+    transitive, so survivor selection needs the transitive closure (A~B, B~C
+    puts all three in one cluster even when A!~C directly).
+
+    Implementation, in three stages that each shrink the problem:
+
+      1. CONTRACT identical-set equivalence classes (this corpus is heavily
+         duplicated: 5000 docs → far fewer distinct token sets, and a J=1
+         clique of k docs would otherwise contribute k(k-1)/2 edges —
+         contraction cut the sf0.1 edge list from 382k to the few thousand
+         genuine one-element-difference pairs, and the whole query from
+         13 s to ~4 s). Representative = min doc_id of the class, so the
+         final min-label semantics are unchanged.
+      2. Deletion-neighborhood pair join on representatives only.
+      3. Min-label propagation with pointer jumping (path halving): each
+         round takes min(own, neighbors') labels then label := label's
+         label — O(log d) rounds for component diameter d. Convergence is
+         detected by the monotone sum-of-labels invariant (labels only
+         decrease, so an unchanged exact integer sum == fixpoint);
+         localCheckpoint truncates the growing loop lineage.
+
+    At 100 TB: stage 1 is one hash-shuffle on a 32-byte set key; the loop
+    runs with the edge list hash-partitioned on `src` and labels
+    co-partitioned on node id (one-sided shuffle per round). The oracle is
+    the same fixpoint as a DuckDB recursive CTE (min reachable label).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("s"),
+    )
+    # The contraction + loop execute EAGERLY here (localCheckpoint), inside
+    # the builder — scope the shuffle width to the actual parallelism for
+    # their many small stages (a driver session's 200 default costs ~3× in
+    # task-scheduling overhead per round — measured 20 s vs 7 s at sf0.01).
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        member, labels = _cc_labels(spark, docs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    # un-contract: every doc inherits its representative's component label
+    w = Window.partitionBy("cluster_id")
+    return (
+        member.join(labels, member.rep == labels.node)
+        .select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
+
+
+def _cc_labels(spark: SparkSession, docs: DataFrame):
+    """Contraction + pair join + pointer-jumping label loop for
+    q_llm_dedup_cc; returns (member: doc_id→rep, labels: rep→component
+    label), both materialized via localCheckpoint."""
+    # stage 1: contract identical token sets to their min-doc_id rep
+    keyed = docs.select(
+        "doc_id", "s", F.sha2(F.concat_ws("\x01", "s"), 256).alias("k")
+    )
+    member = keyed.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("k")).alias("rep")
+    ).localCheckpoint()
+    rep_docs = (
+        keyed.groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("s").alias("s"))
+        .select("doc_id", "s")
+    )
+    # stage 2: near-dup pairs between distinct sets only (J=1 pairs are
+    # gone by construction; the helper's identical-set branch finds nothing)
+    pairs = _deletion_neighborhood_pairs(rep_docs, JACCARD_TAU).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .localCheckpoint()  # pin the pair join; the loop re-reads it each round
+    )
+    labels = rep_docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer jump (path halving): label := label's label — labels form
+        # a forest pointing toward smaller ids, so one jump halves depths
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        labels = (
+            stepped.join(ptr, stepped.label == ptr.pnode, "left")
+            .select(
+                "node",
+                F.coalesce("plabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("connected components did not converge in 20 rounds")
+    return member, labels

@@ -28,6 +28,8 @@ SAMPLE = [
     "q_ts_zscore_similarity",
     "q_stream_tumbling",
     "q_udaf_pandas",
+    "q_llm_embed_quantize",  # int-GEMM + top-k tie-break determinism
+    "q_llm_dedup_cc",  # iterative fixpoint must not depend on partitioning
 ]
 
 
