@@ -238,6 +238,55 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_interval_binned",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    """,
+    category="2.C",
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval join as q_join_interval, implemented the way it
+    must run at 100 TB: BANDED. The range predicate becomes an equi key —
+    time is bucketed at the interval width (1 h), each probe row is
+    replicated to the 2 buckets its interval can touch, and the join runs
+    as a plain shuffle equi-join on (user_id, bucket) followed by the exact
+    range filter. Fan-out is bounded at 2× regardless of data volume, every
+    matching pair meets in exactly one bucket (the error's), and the
+    physical plan is a hash/sort-merge join — never the nested-loop a big
+    residual range forces. Identical results to q_join_interval (same
+    oracle); a plan gate asserts no nested-loop join appears."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600)
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.explode(F.array(hour, hour + 1)).alias("bin"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        hour.alias("e_bin"),
+    )
+    joined = p.join(
+        err,
+        (p.user_id == err.e_user)
+        & (p.bin == err.e_bin)
+        & (err.e_ts >= p.p_ts)
+        & (err.e_ts < p.p_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select("purchase_id", "error_id", "user_id")
+
+
+@query(
     "q_join_asof",
     oracle="""
     SELECT p.event_id AS purchase_id,

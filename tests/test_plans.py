@@ -88,3 +88,9 @@ def test_salted_join_distributes_and_matches_plain(spark, registry):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, (
         "salt demo must run as a shuffle join"
     )
+
+
+def test_binned_interval_join_is_equi_not_nested_loop(spark, registry):
+    df = registry["q_join_interval_binned"].fn(spark, SF_DIR)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
