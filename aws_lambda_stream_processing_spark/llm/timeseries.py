@@ -204,3 +204,114 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").isNotNull().alias("observed"),
         F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
     )
+
+
+@query(
+    "q_ts_gapfill_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                  AS TIMESTAMP) AS hour
+      FROM bounds
+    ),
+    ctx AS (
+      SELECT s.event_type, s.hour, h.cents,
+             last_value(h.cents IGNORE NULLS) OVER w_prev AS prev_c,
+             last_value(CASE WHEN h.cents IS NOT NULL THEN s.hour END
+                        IGNORE NULLS) OVER w_prev AS prev_h,
+             first_value(h.cents IGNORE NULLS) OVER w_next AS next_c,
+             first_value(CASE WHEN h.cents IS NOT NULL THEN s.hour END
+                         IGNORE NULLS) OVER w_next AS next_h
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+      WINDOW
+        w_prev AS (PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           cents IS NOT NULL AS observed,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE (prev_c * date_diff('hour', prev_h, next_h)
+                      + (next_c - prev_c) * date_diff('hour', prev_h, hour))
+                     / date_diff('hour', prev_h, next_h)
+           END AS cents_interp
+    FROM ctx
+    """,
+    category="2.J",
+)
+def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap filling (the hypertable `interpolate`
+    sibling of q_ts_gapfill_locf): gap hours get the value linearly
+    interpolated between the nearest observed hours on each side.
+
+    Float-parity design: the interpolant is computed as ONE division of an
+    exact int64 numerator — prev*DT + (next-prev)*dt over hour counts —
+    so both engines perform the identical single IEEE rounding (SURVEY §8
+    law 5: never round a multi-term double sum). Spine rows at the series
+    boundaries are always observed, so prev/next always exist and DT=0
+    only at observed rows, which short-circuit to the exact value. Same
+    scale posture as LOCF: spine and windows are per-series-local."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("cents").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    dt = F.expr("(unix_timestamp(hour) - unix_timestamp(prev_h)) div 3600")
+    big_dt = F.expr(
+        "(unix_timestamp(next_h) - unix_timestamp(prev_h)) div 3600"
+    )
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .otherwise(
+            (
+                F.col("prev_c") * big_dt
+                + (F.col("next_c") - F.col("prev_c")) * dt
+            )
+            / big_dt
+        )
+        .alias("cents_interp"),
+    )
