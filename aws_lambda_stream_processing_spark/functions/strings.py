@@ -127,3 +127,49 @@ def q_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, 3).alias("third_tok"),
     )
+
+
+@query(
+    "q_str_fuzzy_match",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+      SELECT v.tok, c.tok AS nearest,
+             levenshtein(v.tok, c.tok) AS dist,
+             row_number() OVER (
+               PARTITION BY v.tok
+               ORDER BY levenshtein(v.tok, c.tok), c.tok) AS rn
+      FROM vocab v JOIN vocab c ON v.tok <> c.tok
+    )
+    SELECT tok, nearest, dist FROM scored WHERE rn = 1
+    """,
+    category="2.H",
+)
+def q_str_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: each vocabulary token's nearest other token
+    by Levenshtein edit distance (deterministic tie-break: distance, then
+    lexicographic) — the spell-canonicalization / fuzzy-join shape. Both
+    engines implement unit-cost Levenshtein identically, so the oracle is
+    exact. Scale path: the dictionary side broadcasts (vocabularies are
+    small relative to corpora); candidate pruning (length bands, q-gram
+    prefilter) bounds the cross product when it isn't."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    cand = vocab.select(F.col("tok").alias("nearest"))
+    scored = (
+        vocab.join(F.broadcast(cand), F.col("tok") != F.col("nearest"))
+        .withColumn("dist", F.levenshtein("tok", "nearest"))
+    )
+    w = Window.partitionBy("tok").orderBy("dist", "nearest")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("tok", "nearest", "dist")
+    )
