@@ -50,3 +50,49 @@ def sql_davg(expr: str, alias: str) -> str:
 
 def sql_count(alias: str, expr: str = "*") -> str:
     return f"COUNT({expr}) AS {alias}"
+
+
+# Fixed-point int64 sums: ~4× faster than decimal aggregation (decimal
+# accumulators leave the compact-long representation and pay per-row object
+# arithmetic — measured 1.85 s vs 0.4 s on the 600k-row flagship agg).
+# round(x·10^6) is the identical IEEE double op on both engines, int64 sums
+# are exact, and the final /10^6 (+ optional /count) are deterministic
+# single roundings. Overflow bound: |x|·10^6·rows < 2^63 — holds through
+# sf≈100 for this corpus; beyond that, or for unbounded magnitudes, use
+# dsum (decimal) instead. 10^6 matches DEC's scale of 6.
+_ISCALE = 1_000_000
+
+
+def isum(col: Column | str, alias: str) -> Column:
+    """Exact order-independent sum via fixed-point int64, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.round(c * _ISCALE).cast("long")).cast("double")
+        / F.lit(float(_ISCALE))
+    ).alias(alias)
+
+
+def iavg(col: Column | str, alias: str) -> Column:
+    """avg from the fixed-point sum: /10^6 then /count (deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.round(c * _ISCALE).cast("long")).cast("double")
+        / F.lit(float(_ISCALE))
+        / F.count(c)
+    ).alias(alias)
+
+
+def sql_isum(expr: str, alias: str) -> str:
+    """DuckDB-side twin of isum()."""
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {_ISCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_ISCALE}.0 AS {alias}"
+    )
+
+
+def sql_iavg(expr: str, alias: str) -> str:
+    """DuckDB-side twin of iavg()."""
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {_ISCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_ISCALE}.0 / COUNT({expr}) AS {alias}"
+    )
