@@ -503,3 +503,75 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(c_ts) FROM c),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c JOIN p ON c.user_id = p.p_user
+       AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.click_id, NULL::BIGINT AS purchase_id, c.user_id
+    FROM c CROSS JOIN wm
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE c.user_id = p.p_user
+                      AND p.p_ts >= c.c_ts
+                      AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE)
+      AND c.c_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    category="2.I",
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the hard half of stream correlation:
+    a null-extended result can only be emitted once the watermark proves no
+    matching right row can still arrive (state eviction, not row arrival,
+    drives output). availableNow finalizes the watermark after the data
+    batch and runs the eviction flush before stopping, so unmatched clicks
+    whose full match-window [c_ts, c_ts+30min) has passed under the final
+    watermark are emitted with NULL purchase_id; younger clicks stay in
+    state and are (correctly) never emitted by the bounded replay. The
+    oracle reproduces exactly that: inner matches ∪ match-less clicks with
+    c_ts + 30min < final watermark, where the final watermark is
+    min(max c_ts, max p_ts) − 1 h (Spark's multi-watermark min policy).
+    Boundary note: eviction strictness at exact equality is untestable with
+    continuous timestamps (declared `<`; no corpus row sits on the
+    boundary). At 100 TB state is bounded by the watermark horizon on both
+    sides, exactly as the inner variant."""
+    stream, d = _stream_split(spark, sf_dir, ["true"])
+    try:
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        out = joined.select("click_id", "purchase_id", "user_id")
+        return run_to_memory(out, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
