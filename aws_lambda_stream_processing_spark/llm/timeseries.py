@@ -315,3 +315,71 @@ def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cents_interp"),
     )
+
+
+@query(
+    "q_ts_sessionize_batch",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id, sid,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS session_value,
+           MIN(event_id) AS first_event_id
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    category="2.J",
+)
+def q_ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands — the same 30-min-gap
+    session semantics as q_stream_session, but on the BATCH engine path
+    (two window passes + hash aggregate, no state store): a session starts
+    where the gap from the previous event is >= 30 min; the running sum of
+    start flags numbers sessions per user. Complements the streaming
+    variant: this is what you run over the historical 100 TB while the
+    stream handles the live tail, and the two must agree (both are tested
+    against the same gap arithmetic; window ordering is made total by the
+    (ts, event_id) tiebreak). Session value uses exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") >= prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    s = e.select(
+        "user_id", "ts", "event_id", "value", is_new.alias("is_new")
+    ).withColumn("sid", F.sum("is_new").over(run))
+    return s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("last_event"),
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("session_value"),
+        F.min("event_id").alias("first_event_id"),
+    )

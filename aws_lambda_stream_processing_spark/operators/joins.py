@@ -336,6 +336,51 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           (SELECT min(c.event_id) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts >= p.ts) AS next_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    category="2.C",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST click by the same
+    user at-or-after its timestamp (the follow-up-attribution direction;
+    q_join_asof is the backward twin). Same single-shuffle union+window
+    pattern, mirrored: first(click_id IGNORE NULLS) over the frame from
+    current row to the partition end, with purchases (0) sorting before
+    clicks (1) at identical ts so `>=` ties match. events.ts is
+    non-decreasing in event_id, so min(event_id) is the forward winner —
+    the oracle's deterministic tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        # purchases (0) sort before clicks (1) at identical ts → `>=` match
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = tagged.withColumn(
+        "next_click_id", F.first("click_id", ignorenulls=True).over(w)
+    )
+    return enriched.where(F.col("side") == 0).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "next_click_id"
+    )
+
+
+@query(
     "q_join_multiway",
     oracle="""
     SELECT n.n_name,
