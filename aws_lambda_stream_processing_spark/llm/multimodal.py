@@ -140,3 +140,67 @@ def q_llm_multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         sample_frames, "doc_id long, offset long, frame_hex string"
     )
+
+
+_RESIZE_BINS = 16
+
+
+@query(
+    "q_llm_multimodal_resize",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(((p - 1) * {_RESIZE_BINS}) // length(text) AS BIGINT) AS bin,
+           CAST(SUM(ascii(substr(text, p, 1))) AS BIGINT) AS byte_sum,
+           COUNT(*) AS n_bytes
+    FROM pos
+    GROUP BY 1, 2
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing (image analogue, 1-D): every blob maps to
+    a FIXED number of area bins regardless of its length — bin(i) =
+    i·B // L, the integer form of area interpolation — with exact integer
+    byte sums per bin. This is the shape a real image resize has (variable
+    input, fixed output tensor); the kernel is a vectorized numpy bincount
+    over Arrow batches, and a codec-backed resize replaces only the kernel
+    body. Exact oracle: the identical integer binning arithmetic in SQL
+    over the ASCII stand-in blobs."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+
+    def resize_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "bin": [], "byte_sum": [], "n_bytes": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                length = len(arr)
+                if length == 0:
+                    continue
+                idx = (np.arange(length) * _RESIZE_BINS) // length
+                sums = np.bincount(
+                    idx, weights=arr, minlength=_RESIZE_BINS
+                ).astype(np.int64)  # byte sums < 2^53 — float64 path exact
+                counts = np.bincount(idx, minlength=_RESIZE_BINS)
+                present = counts > 0
+                bins = np.nonzero(present)[0]
+                out["doc_id"].extend([doc_id] * len(bins))
+                out["bin"].extend(bins.tolist())
+                out["byte_sum"].extend(sums[present].tolist())
+                out["n_bytes"].extend(counts[present].tolist())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        resize_kernel, "doc_id long, bin long, byte_sum long, n_bytes long"
+    )
