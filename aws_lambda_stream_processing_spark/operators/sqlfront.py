@@ -170,3 +170,42 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.sample(fraction=0.1, seed=42).select(
         "event_id", "user_id", "event_type"
     )
+
+
+_Q5_BODY = """
+SELECT n.n_name,
+       ROUND(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) / {hundred}, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query(
+    "q_sql_tpch_q5",
+    oracle=_Q5_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) as SQL TEXT: a 6-way star join with
+    the local-supplier correlation (c_nationkey = s_nationkey), region/date
+    selection, and exact integer-cents revenue. Catalyst's join ordering +
+    broadcast selection handle the dims; the same text (modulo the BIGINT/
+    literal division type quirk) runs on both engines. The shape Q5 tests —
+    dims broadcast, facts shuffle once on the orderkey chain — is exactly
+    the 100 TB plan."""
+    _register(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return spark.sql(_Q5_BODY.format(hundred="CAST(100 AS DOUBLE)"))
