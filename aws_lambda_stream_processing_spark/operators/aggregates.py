@@ -471,3 +471,45 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, cnt AS mode_count
+    FROM counted WHERE rn = 1
+    """,
+    category="2.D",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent event_type per user): built as
+    count + per-group argmax with an explicit lexicographic tie-break —
+    NOT F.mode(), whose tie behavior is unspecified and engine-divergent.
+    Two hash aggregates + a WindowGroupLimit (only rank-1 rows survive the
+    exchange); at 100 TB both aggregations partial-combine map-side so the
+    shuffle carries one row per (user, type)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counted = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
