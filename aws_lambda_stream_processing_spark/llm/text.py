@@ -535,3 +535,74 @@ def q_llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")).limit(30)
+
+
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+@query(
+    "q_llm_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) * 1.0 AS n,
+                     SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl)
+    SELECT tf.doc_id, tf.term,
+           ROUND(
+             ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+             4) AS bm25
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN df USING (term)
+    CROSS JOIN stats
+    """,
+    category="2.J",
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 per (doc, term) — the standard retrieval scorer a
+    training pipeline uses for corpus search / quality-weighted sampling:
+    idf_smooth × tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)), k1=1.2, b=0.75.
+    Same plan shape as TF-IDF plus a per-doc length table: the (doc, term)
+    tf aggregation is the only real shuffle; df and the (n, avgdl) scalar
+    broadcast. Float parity: every operand is an exact integer or the
+    identical single-division double on both engines, and the scoring
+    expression is written in the same operation order — the final round(4)
+    only guards the last bits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    k1 = F.lit(1.2)
+    b = F.lit(0.75)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.round(score, 4).alias("bm25"))
+    )
