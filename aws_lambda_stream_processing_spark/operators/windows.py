@@ -267,3 +267,56 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    category="2.E",
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user over event time — not expressible
+    as a native window aggregate in either engine (COUNT(DISTINCT) OVER a
+    running frame is unsupported), so it's built from window primitives:
+    flag each (user, event_type)'s first occurrence with row_number, then
+    running-sum the flags in event-time order. Two window passes over
+    different partition keys = two shuffles; at 100 TB both partition on
+    user_id-prefixed keys so the second pass can reuse the first's
+    clustering (sort within partitions only)."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
