@@ -513,3 +513,35 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS bucket_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="2.D",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25-unit buckets) per event type — the
+    dashboard distribution primitive, as one hash aggregate on a computed
+    key (floor division is identical integer math on both engines; bucket
+    totals use exact integer cents). At 100 TB this partial-aggregates
+    map-side to (types × buckets) rows per task regardless of input size."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("bucket_value"),
+    )
