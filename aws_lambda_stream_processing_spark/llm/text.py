@@ -606,3 +606,52 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", F.round(score, 4).alias("bm25"))
     )
+
+
+@query(
+    "q_llm_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) * 1.0 AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n / df.df), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn AS rank
+    FROM scored WHERE rn <= 3
+    """,
+    category="2.J",
+)
+def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by TF-IDF with a
+    deterministic (score DESC, term) tie-break — the tagging/indexing step
+    downstream of q_llm_tfidf. The per-doc cut runs as a WindowGroupLimit,
+    so only 3 rows per doc survive the rank exchange; ties are broken
+    lexicographically BEFORE rounding (both engines rank on the raw
+    double, which is bit-identical by the single-expression discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg((F.count("*") * F.lit(1.0)).alias("n"))
+    score = F.col("tf") * F.log(F.col("n") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", F.round(score, 4).alias("tfidf"), "rank"
+        )
+    )
