@@ -383,3 +383,81 @@ def q_ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("session_value"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@query(
+    "q_ts_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    win AS (
+      SELECT event_type, ts, event_id, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           CASE WHEN n * s2 - s1 * s1 > 0
+                THEN ROUND((cents * n - s1) /
+                           sqrt(CAST((n * s2 - s1 * s1) * n AS DOUBLE)
+                                / (n - 1)), 4)
+           END AS zscore,
+           CASE WHEN n * s2 - s1 * s1 > 0
+                THEN abs((cents * n - s1) /
+                         sqrt(CAST((n * s2 - s1 * s1) * n AS DOUBLE)
+                              / (n - 1))) > 3.0
+           END AS is_anomaly
+    FROM win WHERE rn >= 24
+    """,
+    category="2.J",
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per series (24-event window):
+    flag events more than 3 sample standard deviations from the rolling
+    mean. EXACT despite being statistics: the rolling moments are integer
+    cents (s1 = Σc, s2 = Σc² — both exact int64 window sums, order-
+    independent), and z = (c·n − s1) / sqrt((n·s2 − s1²)·n / (n−1)) has an
+    all-integer numerator and one division + one sqrt of an exact integer
+    ratio — the identical IEEE sequence on both engines, so even the
+    |z| > 3 flag can't flip (law 5 generalized: push ALL accumulation into
+    integers, float only at the last two ops). Zero-variance windows emit
+    NULL on both sides. At 100 TB: one shuffle per series key, frame state
+    is O(window) per partition."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    win = c.select(
+        "event_type", "event_id", "cents",
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") >= 24)
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    dev = F.col("cents") * F.col("n") - F.col("s1")
+    denom = F.sqrt(
+        (var_num * F.col("n")).cast("double") / (F.col("n") - 1)
+    )
+    z = dev / denom
+    return win.select(
+        "event_type",
+        "event_id",
+        F.when(var_num > 0, F.round(z, 4)).alias("zscore"),
+        F.when(var_num > 0, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
