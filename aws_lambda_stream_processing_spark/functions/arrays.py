@@ -84,3 +84,31 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(squares), 4).alias("dot_self"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("npos"),
     )
+
+
+@query(
+    "q_array_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    )
+    SELECT doc_id, p - 1 AS pos, t[p] AS tok FROM idx
+    """,
+    category="2.H",
+)
+def q_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — array → rows WITH position (the lateral-view /
+    WITH ORDINALITY shape): tokenize every document into (doc_id, pos,
+    token) rows natively, no UDTF (q_udtf_python is the user-defined twin
+    of this built-in path). Positions are 0-based in Spark vs 1-based list
+    indexing in the oracle (DuckDB 1.0 lacks WITH ORDINALITY — the oracle
+    enumerates via generate_series and subtracts 1). Generator runs inside
+    whole-stage codegen; output is partition-local (no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )

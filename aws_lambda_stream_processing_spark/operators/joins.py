@@ -447,3 +447,43 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2.n_name").alias("nation_b"),
         F.col("n1.n_regionkey").alias("regionkey"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS status_key
+      FROM orders
+    ),
+    d AS (
+      SELECT * FROM (VALUES ('O', 'open'), ('F', 'finished'),
+                            (NULL, 'pending-unknown')) AS t(status_key, label)
+    )
+    SELECT o.o_orderkey, o.status_key, d.label
+    FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+    """,
+    category="2.C",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL dimension rows instead of silently dropping — the dirty-data
+    enrichment pattern (unknown category still gets a label). Spark plans
+    `<=>` as a hash join (null-safe keys hash like values), so this stays
+    broadcast/SMJ at scale rather than degenerating to a nested loop the
+    way `a = b OR (a IS NULL AND b IS NULL)` would."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    d = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "pending-unknown")],
+        "status_key string, label string",
+    )
+    return o.join(
+        F.broadcast(d), o.status_key.eqNullSafe(d.status_key)
+    ).select("o_orderkey", o.status_key.alias("status_key"), "label")
