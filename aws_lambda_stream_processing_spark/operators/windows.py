@@ -320,3 +320,52 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "q_win_pct_change",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                THEN ROUND(CAST((cents - prev_cents) * 10000 AS DOUBLE)
+                           / prev_cents / 100.0, 4)
+           END AS pct_change
+    FROM seq
+    """,
+    category="2.E",
+)
+def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent change vs the previous event per user — the ticker/metric
+    delta transform: (v − lag(v))/lag(v)·100. Exact: both values go
+    through integer cents, the scaled numerator (Δcents·10⁴) is exact
+    int64, and the two divisions are the identical IEEE sequence on both
+    engines; NULL for the first event and for zero baselines (identical
+    guard both sides). One window shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    seq = e.select(
+        "user_id", "event_id", "ts",
+        cents.alias("cents"),
+        F.lag(cents).over(w).alias("prev_cents"),
+    )
+    pct = (
+        ((F.col("cents") - F.col("prev_cents")) * 10000).cast("double")
+        / F.col("prev_cents")
+        / F.lit(100.0)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+            F.round(pct, 4),
+        ).alias("pct_change"),
+    )
