@@ -30,6 +30,9 @@ SAMPLE = [
     "q_udaf_pandas",
     "q_llm_embed_quantize",  # int-GEMM + top-k tie-break determinism
     "q_llm_dedup_cc",  # iterative fixpoint must not depend on partitioning
+    "q_llm_bm25",  # multi-factor float formula must stay order-independent
+    "q_ts_anomaly_zscore",  # 3-sigma flags must not flip across partitioning
+    "q_ts_gapfill_interp",  # single-division interpolants
 ]
 
 
