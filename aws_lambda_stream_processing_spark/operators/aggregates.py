@@ -545,3 +545,33 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("bucket_value"),
     )
+
+
+@query(
+    "q_agg_percentile_array",
+    oracle="""
+    SELECT event_type,
+           array_to_string(
+             list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.95]),
+                            q -> CAST(ROUND(q, 4) AS VARCHAR)),
+             ',') AS quartiles
+    FROM events
+    GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in ONE pass: percentile over a literal array sorts
+    each group's values once and interpolates all cut points from it —
+    4 quantiles for the cost of one (vs 4 separate sorted-agg passes).
+    Array results are serialized to a comma-joined string per SURVEY §2
+    convention 4 (array hash representations differ between engines)."""
+    e = load_table(spark, sf_dir, "events")
+    qs = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return e.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(qs, lambda q: F.round(q, 4).cast("string")), ","
+        ).alias("quartiles")
+    )
