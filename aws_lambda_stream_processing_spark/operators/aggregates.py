@@ -375,20 +375,38 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_percentile) — the 100 TB path for latency-percentile reporting
     where exact percentile's full sort per group is off the table. Sketch
     estimates are engine-specific → weak check; q_agg_percentile is the
-    exact twin."""
+    exact twin. Output serialized to a string (SURVEY §2 convention 4) —
+    a raw array<double> column crashes the driver's pandas canonicalizer
+    (round-1 CORRECTNESS: `TypeError: unhashable type: 'list'`)."""
     e = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    # format_string, not format_number: format_number inserts thousands
+    # separators (commas) that would collide with the join delimiter.
     return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.array_join(
+            F.transform(pcts, lambda x: F.format_string("%.4f", x)), ","
+        ).alias("pcts"),
         F.count("*").alias("cnt"),
     )
 
 
-@query("q_agg_freq_items", oracle=None, category="2.D", tags=("weak",))
+@query(
+    "q_agg_freq_items",
+    oracle="""
+    SELECT event_type,
+           user_id % 10 AS cohort,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type, user_id % 10
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 100
+    """,
+    category="2.D",
+)
 def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: counts for keys above a support threshold — the
-    count-min/space-saving shape. Implemented exactly here (count + filter,
-    two map-side-combining aggs); declared weak because the support cut
-    ties to corpus frequencies, not a stable result contract. At 100 TB
+    count-min/space-saving shape. Implemented exactly (count + filter, two
+    map-side-combining aggs) so it carries an exact oracle (promoted from
+    weak in round 2 — the count+threshold cut is deterministic). At 100 TB
     the same query runs unchanged; the sketch variant only matters when
     the key cardinality itself is RAM-breaking."""
     e = load_table(spark, sf_dir, "events")

@@ -15,6 +15,8 @@ pruned scan; no Exchange above the bucketed scan).
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +44,11 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — the scan's PartitionFilters handle event_type, no data file of
     any other partition is opened."""
     e = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="alsp_part_")
+    # Fixed path + overwrite: the returned DataFrame must stay lazy (the
+    # plan gate asserts PartitionFilters on it), so the sink dir can't be
+    # removed here — reusing one fixed dir bounds the leak to a single copy
+    # instead of one mkdtemp per run.
+    out = os.path.join(tempfile.gettempdir(), "alsp_part_sink")
     (
         e.select(
             "event_id",
@@ -83,16 +89,24 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side — the shuffle was paid once at write time and every future
     join on the key rides it. This is the bucketing play for recurring
     100 TB fact-fact joins; tests assert the exchange-free plan."""
-    import uuid
-
     e = load_table(spark, sf_dir, "events")
     spark.sql("CREATE DATABASE IF NOT EXISTS alsp_bucketed")
-    # unique per invocation: the in-memory catalog forgets tables between
-    # sessions while their warehouse dirs persist, so a fixed name would
-    # collide on the next session's overwrite
-    run = uuid.uuid4().hex[:8]
-    ev_tbl = f"alsp_bucketed.events_b_{run}"
-    tot_tbl = f"alsp_bucketed.totals_b_{run}"
+    # Fixed table names, NOT uuid-per-run: uuid names accumulated a full
+    # fact-table copy in the warehouse on every invocation. The in-memory
+    # catalog forgets tables between sessions while their warehouse dirs
+    # persist, so before writing we drop the catalog entry AND remove any
+    # stale on-disk dir a previous session left behind.
+    ev_tbl = "alsp_bucketed.events_b"
+    tot_tbl = "alsp_bucketed.totals_b"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in (ev_tbl, tot_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse, "alsp_bucketed.db", tbl.split(".")[1]),
+            ignore_errors=True,
+        )
     ev = e.select(
         "event_id",
         "user_id",

@@ -182,23 +182,29 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back with an explicit schema, aggregate — proving the format
     plumbing preserves values exactly (integer cents dodge float-text
     round-trip drift by construction). The parquet oracle sees the same
-    rows, so any CSV serialization loss breaks the hash."""
-    import tempfile
-
+    rows, so any CSV serialization loss breaks the hash. The tiny final
+    aggregate is materialized so the sink dir can be removed (no tempdir
+    leak per run — the q_sink_parquet pattern)."""
     e = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="alsp_csv_")
-    proj = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-    )
-    proj.write.mode("overwrite").option("header", True).csv(out)
-    back = (
-        spark.read.schema("event_type STRING, cents BIGINT")
-        .option("header", True)
-        .csv(out)
-    )
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("cents").alias("cents")
-    )
+    try:
+        proj = e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        proj.write.mode("overwrite").option("header", True).csv(out)
+        back = (
+            spark.read.schema("event_type STRING, cents BIGINT")
+            .option("header", True)
+            .csv(out)
+        )
+        result = back.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @query(
@@ -213,15 +219,19 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source round-trip (the S3-landing shape of the
     reference pipeline): write (user_id, event_id) as JSONL, read back
-    with an explicit schema, aggregate per user."""
-    import tempfile
-
+    with an explicit schema, aggregate per user. Materialize + rmtree so
+    the sink dir doesn't leak (q_sink_parquet pattern)."""
     e = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="alsp_json_")
-    e.select("user_id", "event_id").write.mode("overwrite").json(out)
-    back = spark.read.schema("user_id BIGINT, event_id BIGINT").json(out)
-    return back.groupBy("user_id").agg(
-        F.count("*").alias("n"),
-        F.min("event_id").alias("first_event"),
-        F.max("event_id").alias("last_event"),
-    )
+    try:
+        e.select("user_id", "event_id").write.mode("overwrite").json(out)
+        back = spark.read.schema("user_id BIGINT, event_id BIGINT").json(out)
+        result = back.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

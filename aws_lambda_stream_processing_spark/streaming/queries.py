@@ -218,7 +218,10 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = split_events_dir(spark, sf_dir, [_B0_PRED])
     ckpt = _scratch("alsp_wm_ckpt_")
-    emitted: list = []  # accumulated across both runs (driver-side handler)
+    # Finalized windows land in a parquet sink keyed by batch_id (idempotent
+    # under replay), NOT a driver-side list — round-1 note: collect()-into-a-
+    # list in a handler is the anti-pattern even when output is bounded.
+    sink = _scratch("alsp_wm_sink_")
 
     def plan() -> DataFrame:
         stream = (
@@ -237,7 +240,9 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
-        emitted.extend(batch_df.collect())
+        # overwrite keyed by batch_id → exactly-once under retries; the
+        # shared checkpoint keeps batch ids monotonic across both runs
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
     try:
         # run 1: days 1-14 minus day 2 → commits watermark ≈ Jan 14 - 1 h
@@ -248,10 +253,13 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(extra, ignore_errors=True)
         # run 2: restart from checkpoint — restored watermark drops day 2
         run_foreach_batch(plan(), handler, checkpoint=ckpt)
-        return spark.createDataFrame(emitted, "window_start TIMESTAMP, cnt BIGINT")
+        result = spark.read.parquet(sink).select("window_start", "cnt")
+        rows = result.collect()
+        return spark.createDataFrame(rows, "window_start TIMESTAMP, cnt BIGINT")
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 @query(

@@ -29,12 +29,15 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 # Session-scoped memo: re-creating a parquet DataFrame re-lists files and
 # re-reads footers (~30-50 ms) on every one of a suite's table loads; the
-# same DataFrame object is semantically identical. Keyed by session id so a
-# restarted session never sees stale handles. With ALSP_CACHE_TABLES=1 the
-# frame is additionally .cache()d — the SURVEY §6 bench posture (bench.py
-# sets it; correctness/tests run uncached so plan gates keep seeing real
-# parquet scans with pushdown).
-_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# same DataFrame object is semantically identical. Keyed by the Spark
+# applicationId — NOT id(spark): CPython recycles object ids, so a new
+# session could otherwise be handed frames bound to a dead one. Entries
+# from other applications are evicted on access (one live session at a
+# time), which also frees any .cache()d frames. With ALSP_CACHE_TABLES=1
+# the frame is additionally .cache()d — the SURVEY §6 bench posture
+# (bench.py sets it; correctness/tests run uncached so plan gates keep
+# seeing real parquet scans with pushdown).
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,7 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     import os
 
-    key = (id(spark), sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _MEMO if k[0] != app_id]
+    for k in stale:
+        del _MEMO[k]
+    key = (app_id, sf_dir, name)
     if key in _MEMO:
         return _MEMO[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

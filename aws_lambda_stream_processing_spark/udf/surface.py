@@ -114,14 +114,22 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: min-max normalize value within the group; flat
-    groups map to 0.0. Pure pandas — one Arrow exchange per group."""
+    groups map to 0.0. Pure pandas — one Arrow exchange per group.
+
+    Rounding is floor(x*1e4 + 0.5)/1e4, NOT Python round(): round() is
+    half-to-even while the oracle rounds half away from zero — an exact-tie
+    value would diverge. The floor form is half-up, exact for these
+    non-negative [0, 1] values, and the oracle uses the identical
+    expression (single-rounding discipline)."""
+    import numpy as np
+
     lo, hi = pdf["value"].min(), pdf["value"].max()
     scaled = (pdf["value"] - lo) / (hi - lo) if hi > lo else 0.0
     return pd.DataFrame(
         {
             "user_id": pdf["user_id"],
             "event_id": pdf["event_id"],
-            "value_norm": round(scaled, 4),
+            "value_norm": np.floor(scaled * 1e4 + 0.5) / 1e4,
         }
     )
 
@@ -130,10 +138,10 @@ def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+           FLOOR(CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
                       ELSE (value - MIN(value) OVER w)
                            / (MAX(value) OVER w - MIN(value) OVER w)
-                 END, 4) AS value_norm
+                 END * 10000 + 0.5) / 10000 AS value_norm
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,

@@ -72,7 +72,21 @@ def canon_frame(df: pd.DataFrame) -> list[tuple]:
 
 
 def assert_parity(spark, duck, spec, sf_dir: str = SF_DIR):
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    result = spec.fn(spark, sf_dir)
+    # Driver-canonicalizer safety gate: the driver pandas-sorts EVERY
+    # query's output (weak ones included) — an array/map/struct column
+    # crashes it with `unhashable type` (round-1 q_agg_approx_percentile).
+    # SURVEY §2 convention 4: complex values are string-serialized.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in result.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{spec.name}: output column {f.name!r} has complex type "
+            f"{f.dataType.simpleString()} — string-serialize it "
+            "(SURVEY §2 convention 4); raw complex types crash the "
+            "driver's pandas canonicalizer"
+        )
+    sdf = result.toPandas()
     if spec.oracle is None:
         assert len(sdf) >= 0  # weak: runs and yields a frame
         return
