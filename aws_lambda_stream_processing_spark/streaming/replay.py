@@ -32,8 +32,9 @@ EVENTS_DDL = (
 # Stateful streaming operators create one StateStore instance per shuffle
 # partition per operator; at this event volume 32 stores per micro-batch is
 # pure overhead (measured 7.3 s → 2.5 s on the stream-stream join by
-# dropping to 8). On a real cluster this is sized to cores × small factor.
-_STREAM_SHUFFLE_PARTITIONS = "8"
+# dropping to 8; 8 → 4 is worth another ~0.5 s/query, 4 → 2 flat — round-2
+# sweep). On a real cluster this is sized to cores × small factor.
+_STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 def _scratch(prefix: str) -> str:
