@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_lambda_stream_processing_spark.registry import load_all
 
-# The driver sweeps all 153 queries through one session; cache the ten base
+# The driver sweeps all registered queries through one session; cache the ten base
 # tables so each query reuses decoded columns instead of re-scanning parquet
 # (~0.1-0.3 s/query on a vanilla session). Cached values are identical —
 # plan-shape tests import the registry directly (not this file) and keep

@@ -115,13 +115,27 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(extract_byte_features, _FEATURE_SCHEMA)
 
 
-@query("q_llm_multimodal_sample", oracle=None, category="2.J", tags=("weak",))
+@query(
+    "q_llm_multimodal_sample",
+    oracle="""
+    WITH offs AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, length(text) - 1, 256)) AS off
+      FROM documents
+    )
+    SELECT doc_id, off AS "offset",
+           lower(hex(substr(text, off + 1, 8)::BLOB)) AS frame_hex
+    FROM offs
+    """,
+    category="2.J",
+)
 def q_llm_multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video analogue): treat each 64-byte slice
     of the blob as a 'frame', sample every 4th, explode to one row per
     sampled frame with (offset, frame_hash). Demonstrates the blob →
-    many-rows UDTF shape with bounded Arrow batches. Deterministic but
-    sample-stride semantics are engine-specific → weak check."""
+    many-rows UDTF shape with bounded Arrow batches. The stride arithmetic
+    is fully deterministic and the corpus is ASCII (byte == char), so the
+    SQL stride reproduces it exactly — promoted from weak in round 2."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_lambda_stream_processing_spark.parity import fround
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
 
@@ -653,5 +654,111 @@ def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select(
             "doc_id", "term", F.round(score, 4).alias("tfidf"), "rank"
+        )
+    )
+
+
+@query(
+    "q_llm_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct
+      FROM bi GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           floor((1.0 - n_distinct * 1.0 / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS rep_ratio
+    FROM agg
+    """,
+    category="2.J",
+)
+def q_llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio — the duplicate-bigram fraction
+    quality filter from the Gopher/RefinedWeb data-curation recipes
+    (high ratio = boilerplate/spam; the filter drops docs above a cut).
+
+    Bigrams via posexplode + lead(token) per doc: ONE exchange on doc_id
+    serves both the window and the following count/count-distinct agg
+    (same key → Catalyst reuses the partitioning; verified no second
+    Exchange in the plan). The interpreted-lambda alternative
+    (transform with index) costs ~10 µs/element (SURVEY §8 law 1) — the
+    explode route stays in whole-stage codegen. At 100 TB: shuffle is
+    one row per token (small strings), agg is map-side-combining, no
+    skew (doc_id is unique)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
+        F.lead("tok", 1).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    agg = bi.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        fround(ratio, 4, "rep_ratio"),
+    )
+
+
+@query(
+    "q_llm_mixture_weights",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT lang, source, n_docs, n_tokens,
+           floor((n_tokens * 1.0 / tot.total) * 1000000.0 + 0.5)
+             / 1000000.0 AS token_share
+    FROM per CROSS JOIN tot
+    """,
+    category="2.J",
+)
+def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition: per (lang, source) bucket, document
+    and token counts plus each bucket's share of the total token budget —
+    the table a data-mixture sampler (DoReMi-style reweighting, or plain
+    proportional sampling) consumes to draw the next training batch.
+
+    Exact integer token counts shuffle (one row per bucket after map-side
+    combine); the grand total attaches as a broadcast scalar; the share is
+    a single division then floor-rounded (single-rounding discipline).
+    At 100 TB this is one hash-agg over a low-cardinality key — the
+    canonical 'composition dashboard' query shape."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    share = F.col("n_tokens") / F.col("total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            fround(share, 6, "token_share"),
         )
     )

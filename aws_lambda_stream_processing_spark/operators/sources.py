@@ -74,11 +74,21 @@ def q_source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_parquet", oracle=None, category="2.A", tags=("weak",))
+@query(
+    "q_sink_parquet",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS uniq_orders
+    FROM lineitem
+    """,
+    category="2.A",
+)
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink round-trip (the S3-landing pattern): write a projection,
-    read it back, aggregate. Weak check (side-effecting). At scale the write
-    is `partitionBy(date)` for pruning on downstream reads."""
+    read it back, aggregate. The round-trip is lossless and the final
+    aggregate deterministic, so it carries an exact oracle (promoted from
+    weak in round 2 — side-effecting ≠ non-deterministic). At scale the
+    write is `partitionBy(date)` for pruning on downstream reads."""
     out = tempfile.mkdtemp(prefix="alsp_sink_") + "/out"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate"
@@ -110,12 +120,21 @@ def q_stream_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, output_mode="append")
 
 
-@query("q_stream_sink_foreachbatch", oracle=None, category="2.A", tags=("weak",))
+@query(
+    "q_stream_sink_foreachbatch",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    category="2.A",
+)
 def q_stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lambda-handler equivalent: foreachBatch(fn) receives
     (batch_df, batch_id) — fn's body is where handler code lands. Here the
     handler writes each micro-batch to a parquet sink keyed by batch_id
-    (idempotent re-runs overwrite the same path = exactly-once)."""
+    (idempotent re-runs overwrite the same path = exactly-once). The summed
+    per-type counts across batches equal the batch counts exactly →
+    exact oracle (promoted from weak in round 2)."""
     sink_dir = tempfile.mkdtemp(prefix="alsp_fb_sink_")
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:

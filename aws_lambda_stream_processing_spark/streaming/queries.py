@@ -394,12 +394,25 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, output_mode="append")
 
 
-@query("q_stream_output_modes", oracle=None, category="2.I", tags=("weak",))
+@query(
+    "q_stream_output_modes",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, 'complete' AS mode
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, COUNT(*) AS cnt, 'update' AS mode
+    FROM events GROUP BY event_type
+    """,
+    category="2.I",
+)
 def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-mode semantics on one aggregation over two micro-batches:
     complete re-emits the full result each trigger; update emits only
-    changed keys per trigger. The returned frame tags each mode's final
-    state; weak check (mode-dependent row multiplicity is the point)."""
+    changed keys per trigger. The returned frame keeps the final value per
+    (mode, key): streaming counts only grow, so max-over-emissions equals
+    the total count in BOTH modes — deterministic, hence the exact oracle
+    (promoted from weak in round 2; mode-dependent row multiplicity is
+    still exercised inside the memory sinks)."""
     preds = [
         "ts < TIMESTAMP '2024-01-15 00:00:00'",
         "ts >= TIMESTAMP '2024-01-15 00:00:00'",

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,8 +122,6 @@ def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     value would diverge. The floor form is half-up, exact for these
     non-negative [0, 1] values, and the oracle uses the identical
     expression (single-rounding discipline)."""
-    import numpy as np
-
     lo, hi = pdf["value"].min(), pdf["value"].max()
     scaled = (pdf["value"] - lo) / (hi - lo) if hi > lo else 0.0
     return pd.DataFrame(
