@@ -2,6 +2,7 @@
 text analysis, multimodal columns, time-series similarity."""
 
 from aws_lambda_stream_processing_spark.llm import (  # noqa: F401
+    curation,
     dedup,
     multimodal,
     similarity,

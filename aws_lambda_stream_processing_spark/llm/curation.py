@@ -1,0 +1,269 @@
+"""Training-data curation operators (SURVEY.md §2.J, round 2): the four
+dataset-construction steps every LLM pipeline runs between "raw corpus"
+and "training mixture" — eval-set decontamination, deterministic
+stratified sampling, context-window sequence packing, and per-language
+length-band filtering.
+
+Evidence: driver mandate BASELINE.json:6-7 ("add the LLM-data-pipeline
+operators ... design every operator for 100 TB scale"); the reference
+snapshot ships no code (SURVEY §0), so the public data-curation recipes
+(Gopher / RefinedWeb / Dolma-style) define the semantics.
+
+All four stay in whole-stage codegen (explode + window + hash-agg; no
+Python UDFs) and every one has an exact DuckDB oracle — the sampler uses
+integer hashing, not random(), precisely so sampling IS reproducible and
+cross-engine checkable (the only sane choice at 100 TB, where "re-run the
+job" must yield the same dataset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.parity import fround
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+# Held-out eval sources: the contamination check treats these as the
+# benchmark set and everything else as the training pool.
+EVAL_SOURCES = ("src18", "src19")
+
+
+@query(
+    "q_llm_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    ),
+    train AS (
+      SELECT DISTINCT g FROM sh WHERE source NOT IN ('src18', 'src19')
+    ),
+    ev AS (
+      SELECT DISTINCT doc_id, g FROM sh WHERE source IN ('src18', 'src19')
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id),
+    hit AS (
+      SELECT ev.doc_id, COUNT(*) AS n_hit
+      FROM ev JOIN train USING (g) GROUP BY ev.doc_id
+    )
+    SELECT tot.doc_id, n_grams,
+           COALESCE(n_hit, 0) AS n_hit,
+           floor(COALESCE(n_hit, 0) * 1.0 / n_grams * 10000.0 + 0.5)
+             / 10000.0 AS contam_frac
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+    category="2.J",
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM 13-gram check, scaled to
+    this corpus's ~50-token docs as 5-grams): for each held-out eval doc,
+    the fraction of its distinct 5-gram shingles that appear anywhere in
+    the training pool. Docs above a cut are contaminated benchmarks.
+
+    Shape: posexplode + 4 lead() columns per doc builds shingles in ONE
+    window pass (stays codegen; the interpreted transform-with-index
+    lambda costs ~10 µs/element, SURVEY §8 law 1). The train side
+    collapses to DISTINCT shingles before the join — at 100 TB that is
+    the decisive move: the join carries one row per unique shingle, not
+    per occurrence. Scale path: pre-hash shingles to int64 (xxhash64) so
+    the exchange shuffles 8-byte keys, then string-verify the matched
+    pairs to kill collisions; here the string join is exact and the
+    corpus is small enough that the hash leg would be pure overhead."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2, t3, t4 = (F.lead("tok", i).over(w) for i in (1, 2, 3, 4))
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", "tok", t1, t2, t3, t4).alias("g"),
+        t4.alias("last"),
+    ).where(F.col("last").isNotNull())
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    train = sh.where(~is_eval).select("g").distinct()
+    ev = sh.where(is_eval).select("doc_id", "g").distinct()
+    tot = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hit = (
+        ev.join(train, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hit.alias("n_hit"),
+        fround(n_hit / F.col("n_grams"), 4, "contam_frac"),
+    )
+
+
+@query(
+    "q_llm_stratified_sample",
+    oracle="""
+    WITH rates(lang, keep_per_mille) AS (
+      VALUES ('en', 100), ('fr', 250), ('es', 250), ('de', 500), ('zh', 1000)
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+      FROM documents
+    )
+    SELECT h.doc_id, h.lang, h.bucket
+    FROM h JOIN rates USING (lang)
+    WHERE bucket < keep_per_mille
+    """,
+    category="2.J",
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling — the mixture-rebalancing
+    step (downsample the dominant language, keep all of the low-resource
+    ones). Sampling is a Knuth multiplicative hash of the stable doc_id,
+    NOT random(): at 100 TB a re-run must reproduce the exact same
+    dataset, membership must be decidable per-row with no coordination,
+    and a second engine must be able to verify it — which is why this op
+    has an exact oracle while `q_sample_seeded` (engine-RNG sampling) is
+    rows-only. Pure scan + broadcast of a 5-row rate table: no shuffle at
+    all. Overflow: doc_id·2654435761 < 2^63 through doc_id ≈ 3.5e9 —
+    beyond that, hash the id string (xxhash64) instead."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 100), ("fr", 250), ("es", 250), ("de", 500), ("zh", 1000)],
+        "lang string, keep_per_mille int",
+    )
+    h = d.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+         % F.lit(1000)).alias("bucket"),
+    )
+    return (
+        h.join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("keep_per_mille"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@query(
+    "q_llm_seq_pack",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tok_cnt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok_cnt,
+             COALESCE(SUM(tok_cnt) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM docs
+    )
+    SELECT CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok_cnt) AS BIGINT) AS total_tokens
+    FROM c GROUP BY bin_id
+    """,
+    category="2.J",
+)
+def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (concat-and-chunk, the GPT-style
+    pretraining layout): stream docs in stable doc_id order, concatenate
+    token counts, and assign each doc to the 512-token bin where it
+    starts. Output is the bin manifest (docs per bin, tokens per bin).
+
+    The global running sum is implemented as a DISTRIBUTED two-phase
+    prefix sum, not a single-partition window: phase 1 computes each
+    range-partition's local cumsum + per-partition total; phase 2
+    broadcasts the (tiny, one row per partition) totals back as offsets.
+    A naive `Window.orderBy(doc_id)` with no partitionBy funnels 100 TB
+    through ONE task — this shape keeps every stage parallel; the only
+    single-partition step is the #partitions-row offset cumsum."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok_cnt")
+    )
+    # Phase 0: range-partition by the pack order so partition p holds a
+    # contiguous doc_id range < partition p+1's.
+    parts = docs.repartitionByRange(8, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_before", F.coalesce(F.sum("tok_cnt").over(w_local), F.lit(0))
+    )
+    # Phase 2: per-partition totals → exclusive running offset (tiny).
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("tok_cnt").alias("ptotal"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    c = local.join(F.broadcast(offsets), "pid").withColumn(
+        "cum_before", F.col("local_before") + F.col("offset")
+    )
+    return (
+        # floor(x / 512): power-of-two division is exact in doubles, so
+        # floor is deterministic; a bare CAST would round in DuckDB but
+        # truncate in Spark.
+        c.select(
+            F.floor(F.col("cum_before") / 512).alias("bin_id"),
+            "tok_cnt",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok_cnt").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_llm_length_band_filter",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM r WHERE pr >= 0.1 AND pr <= 0.9
+    """,
+    category="2.J",
+)
+def q_llm_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band filter: keep docs inside the [p10, p90]
+    length band of their language — the outlier cut (truncated boilerplate
+    at the short end, concatenation junk at the long end) applied
+    per-stratum so low-resource languages aren't filtered against the
+    dominant language's distribution. percent_rank is rank-based, so ties
+    (equal n_chars) land identically in both engines — exact, unlike a
+    value-interpolating percentile cut. Scale: one shuffle on lang; lang
+    is low-cardinality/skewed, so at 100 TB swap the window for per-lang
+    approx-quantile cuts computed in ONE pass and broadcast as a 5-row
+    filter table (same output modulo the approx cut placement)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    r = d.select(
+        "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return r.where((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9)).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_lambda_stream_processing_spark.parity import fround
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
 
@@ -461,3 +462,85 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(var_num > 0, F.round(z, 4)).alias("zscore"),
         F.when(var_num > 0, F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+# --- q_ts_ewma16: deterministic truncated EWMA (round 2) -------------------
+
+# 16-lag EWMA with alpha = 1/2. Weight j is 1/2^(j+1) — a power of two, so
+# every product cents/2^(j+1) only shifts the exponent (exact), and every
+# partial sum needs <= 15+16 significand bits (< 53): the whole weighted sum
+# is computed EXACTLY in doubles on both engines, no summation-order or
+# libm-pow hazards. The normalizer sum(1/2^(j+1), j=0..15) = 65535/65536 is
+# itself exact. This is the engine's float-parity discipline (SURVEY §8 law
+# 5) applied to a sequential smoother: quantize -> exact arithmetic ->
+# single division chain -> one final round.
+_EWMA_LAGS = 16
+_EWMA_TERMS_SQL = " + ".join(f"x{j} / {2 ** (j + 1)}.0" for j in range(_EWMA_LAGS))
+_EWMA_LAG_COLS_SQL = ",\n         ".join(
+    f"lag(xc, {j}) OVER w AS x{j}" for j in range(_EWMA_LAGS)
+)
+
+
+@query(
+    "q_ts_ewma16",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, rn,
+         {_EWMA_LAG_COLS_SQL}
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           floor(({_EWMA_TERMS_SQL})
+                 / (65535.0 / 65536.0) / 100.0 * 10000.0 + 0.5)
+             / 10000.0 AS ewma16
+    FROM l WHERE rn >= {_EWMA_LAGS}
+    """,
+    category="2.J",
+)
+def q_ts_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2) of event value per
+    user, truncated at 16 lags and renormalized — emitted only once the
+    window is full (rn >= 16), so every output is the same fixed-length
+    dot product on both engines.
+
+    Why truncated: the closed-form running-EWMA trick (cumsum of x/r^i
+    rescaled by r^k) overflows doubles past ~1000 rows per partition and
+    leans on libm pow() that IEEE does not require to be correctly
+    rounded; a fixed 16-lag frame with power-of-two weights is exact at
+    ANY partition size — the 100 TB-safe formulation (residual weight
+    2^-16 is below the 4-decimal output quantum). One sort-based window
+    pass per user computes all 16 lags; no shuffle beyond user_id."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Lags MUST be projected before the rn filter — a lag computed after
+    # the filter would look back over the filtered relation (the removed
+    # first 15 rows of each partition) and return nulls.
+    l = x.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        *[
+            (F.lag("xc", j).over(w) / float(2 ** (j + 1))).alias(f"x{j}")
+            for j in range(_EWMA_LAGS)
+        ],
+    ).where(F.col("rn") >= _EWMA_LAGS)
+    acc = F.col("x0")
+    for j in range(1, _EWMA_LAGS):
+        acc = acc + F.col(f"x{j}")
+    ewma = acc / (65535.0 / 65536.0) / 100.0
+    return l.select("event_id", "user_id", "ts", fround(ewma, 4, "ewma16"))

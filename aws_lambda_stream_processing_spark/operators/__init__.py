@@ -2,6 +2,7 @@
 
 from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     aggregates,
+    behavior,
     joins,
     relational,
     scale,

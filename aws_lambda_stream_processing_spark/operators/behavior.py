@@ -1,0 +1,179 @@
+"""Behavioral / product-analytics operators over the event stream
+(SURVEY.md §2, round 2): conversion funnel, cohort retention, activity
+streaks. These are the batch twins of the reference architecture's
+stream-consumer analytics (a Kinesis->Lambda pipeline's events land in a
+warehouse and get exactly these queries run over them; reference identity
+per SURVEY §0 [T1 README.md:3-4], semantics are the public product-
+analytics definitions).
+
+All three are window/agg compositions over the `events` table: one
+shuffle on user_id (15 users here, millions at 100 TB — user_id is the
+natural high-cardinality partition key, no skew), integer/date outputs
+only, so every op has an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    category="2.D",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    advances a stage only with an event STRICTLY LATER than their entry
+    into the previous stage (min-ts semantics, the standard funnel
+    definition). Three stage frontiers, each a groupBy(user_id).min(ts)
+    joined to the next stage's candidate events.
+
+    Scale shape: each stage is one hash-agg on user_id; the frontier
+    tables are one-row-per-converted-user (monotonically shrinking), so
+    Catalyst/AQE broadcast them into the next stage's join — the full
+    events table is scanned once per stage but never shuffled on anything
+    wider than user_id. The final three counts are scalar aggregates
+    cross-joined into one row (broadcast, no exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+    category="2.D",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day; for each
+    (cohort_day, day_offset) the count of cohort members active that many
+    days later. The product-analytics retention triangle.
+
+    Two hash-aggs on user_id (first-seen + distinct active days) sharing
+    one exchange, then a join that AQE broadcasts (firsts is one row per
+    user). Output is bounded by days², independent of event volume — the
+    right property at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            # date -> timestamp for cross-engine result parity (the
+            # dates.py:145 convention: pandas renders a DuckDB DATE as a
+            # Timestamp, Spark's DATE as datetime.date).
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@query(
+    "q_win_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS streak_len
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    category="2.E",
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands: distinct active days, anchor = day - row_number
+    (constant within a consecutive run), then count per (user, anchor).
+
+    One exchange on user_id serves the dedup, the window, and both aggs
+    (same key throughout — Catalyst reuses the partitioning). Days per
+    user is calendar-bounded, so the window frame stays tiny no matter
+    how many raw events back it."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -209,3 +209,78 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer", "orders", "lineitem", "supplier", "nation", "region",
     )
     return spark.sql(_Q5_BODY.format(hundred="CAST(100 AS DOUBLE)"))
+
+
+# --- TPC-H Q10 / Q18 shapes (round 2) --------------------------------------
+
+# Both run the SAME text on Spark and DuckDB except the BIGINT/literal
+# division quirk (Spark types bigint/100.0 as DECIMAL; DuckDB as DOUBLE),
+# parameterized exactly like _Q5_BODY via {hundred}.
+
+_Q10_BODY = """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / {hundred}, 2) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+      AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query(
+    "q_sql_tpch_q10",
+    oracle=_Q10_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) as SQL TEXT: fact-fact join
+    orders x lineitem on orderkey with a quarter date cut and returnflag
+    filter, customer + nation dims broadcast, exact integer-cents revenue,
+    engine-stable top-20 (revenue desc, custkey tiebreak). The 100 TB
+    plan: both date + returnflag predicates push to the parquet scans,
+    the only wide exchange is the orderkey join."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_BODY.format(hundred="CAST(100 AS DOUBLE)"))
+
+
+_Q18_BODY = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 180
+    )
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query(
+    "q_sql_tpch_q18",
+    oracle=_Q18_BODY.format(),
+    category="2.A",
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) as SQL TEXT: IN-subquery over a
+    grouped HAVING aggregate — Catalyst rewrites it to a left-semi join
+    against the aggregated lineitem, which re-uses the same orderkey
+    partitioning as the main join (one exchange family). l_quantity is
+    integral-valued (domain 1-50) so BIGINT sums are exact on both
+    engines; ordering ties broken by orderkey for a stable top-100."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_BODY)

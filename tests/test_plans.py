@@ -94,3 +94,53 @@ def test_binned_interval_join_is_equi_not_nested_loop(spark, registry):
     df = registry["q_join_interval_binned"].fn(spark, SF_DIR)
     assert not has_operator(df, "BroadcastNestedLoopJoin")
     assert not has_operator(df, "CartesianProduct")
+
+
+# --- round-2 operators -----------------------------------------------------
+
+
+def test_stratified_sample_broadcasts_rates_no_agg_exchange(spark, registry):
+    # the sampler is a pure scan + broadcast of a 5-row rate table: the
+    # only acceptable join is a broadcast, and there must be no shuffle.
+    df = registry["q_llm_stratified_sample"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "stratified sample must not shuffle the corpus"
+    )
+
+
+def test_seq_pack_offsets_are_broadcast(spark, registry):
+    # the two-phase prefix sum re-attaches per-partition offsets with a
+    # broadcast join; a shuffled join would defeat the design.
+    df = registry["q_llm_seq_pack"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_contamination_joins_are_hash_not_nested_loop(spark, registry):
+    df = registry["q_llm_contamination"].fn(spark, SF_DIR)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_funnel_broadcasts_stage_frontiers(spark, registry):
+    # each stage frontier (one row per converted user) must broadcast
+    # into the next stage's join, never shuffle the events side twice.
+    df = registry["q_funnel_conversion"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_tpch_q10_pushes_date_filter_and_broadcasts_dims(spark, registry):
+    df = registry["q_sql_tpch_q10"].fn(spark, SF_DIR)
+    assert pushed_filters(df), "o_orderdate/returnflag must reach the scans"
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_tpch_q18_semi_join_rewrite(spark, registry):
+    # the IN-subquery must decorrelate to a semi join, not a nested loop
+    df = registry["q_sql_tpch_q18"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan or "SemiJoin" in plan, plan[:1500]
+    assert not has_operator(df, "CartesianProduct")
