@@ -657,3 +657,125 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
     else:
         raise RuntimeError("connected components did not converge in 20 rounds")
     return member, labels
+
+
+# --- q_llm_minhash_exact (round 2) -----------------------------------------
+
+# Cross-engine-verifiable MinHash: unlike q_llm_minhash_lsh (engine-native
+# vectorized hashing -> weak rows-only check), these signatures are built
+# from explicit integer arithmetic both engines reproduce bit-for-bit, so
+# the oracle hash-matches. Token hashes come from a character-level
+# polynomial fold computed ONCE over the DISTINCT vocabulary (tiny relative
+# to the corpus at any scale) and joined back; shingle (bigram) hashes
+# combine the two token hashes; k permutations (a_k*h + b_k) mod P are
+# min-reduced per doc in one hash-agg.
+_MH_MOD = 1_000_000_007
+_MH_P = 2_147_483_647  # Mersenne prime 2^31-1
+_MH_SEEDS = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (69_069, 362_437),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (134_775_813, 1_234_567),
+    (48_271, 399_268_537),
+    (16_807, 49_297),
+]
+_MH_SIG_SQL = ", ".join(
+    f"CAST(MIN(({a} * gh + {b}) % {_MH_P}) AS VARCHAR)"
+    for a, b in _MH_SEEDS
+)
+
+
+@query(
+    "q_llm_minhash_exact",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % {_MH_MOD}) AS h
+      FROM v
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS tok1, t[i + 1] AS tok2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    gh AS (
+      SELECT bg.doc_id,
+             (h1.h * 1000003 + h2.h) % {_MH_MOD} AS gh
+      FROM bg
+      JOIN th h1 ON h1.tok = bg.tok1
+      JOIN th h2 ON h2.tok = bg.tok2
+    )
+    SELECT doc_id,
+           concat_ws(',', {_MH_SIG_SQL}) AS sig
+    FROM gh GROUP BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations over bigram shingles) with fully
+    deterministic integer hashing — the cross-engine-checkable variant of
+    the LSH sketch: Jaccard-similar docs share signature positions, and a
+    band join over `sig` prefixes gives the same sub-quadratic candidate
+    generation as q_llm_minhash_lsh.
+
+    Scale: the char-level polynomial fold (an interpreted lambda, ~10
+    µs/element — SURVEY §8 law 1) runs ONLY on the distinct vocabulary,
+    which is millions of rows when the corpus is billions — then
+    broadcast-joins back to the shingle stream; the per-doc min-reduce is
+    one map-side-combining hash-agg on doc_id. No Python, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = toks.select("tok").distinct()
+    char_hashes = F.transform(
+        F.split("tok", ""), lambda c: F.ascii(c).cast("long")
+    )
+    th = vocab.select(
+        "tok",
+        F.aggregate(
+            char_hashes,
+            F.lit(7).cast("long"),
+            lambda acc, x: (acc * 131 + x) % _MH_MOD,
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("tok").alias("tok1"),
+        F.lead("tok", 1).over(w).alias("tok2"),
+    ).where(F.col("tok2").isNotNull())
+    gh = (
+        bg.join(F.broadcast(th.withColumnRenamed("h", "h1")), bg.tok1 == th.tok)
+        .drop("tok")
+        .join(
+            F.broadcast(
+                th.select(
+                    F.col("tok").alias("tok_b"), F.col("h").alias("h2")
+                )
+            ),
+            F.col("tok2") == F.col("tok_b"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("h1") * 1000003 + F.col("h2")) % _MH_MOD).alias("gh"),
+        )
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("gh") + F.lit(b)) % _MH_P).cast("string")
+        for a, b in _MH_SEEDS
+    ]
+    return gh.groupBy("doc_id").agg(
+        F.concat_ws(",", *mins).alias("sig")
+    )

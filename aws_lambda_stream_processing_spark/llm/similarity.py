@@ -18,6 +18,8 @@ Scale path (documented, exercised at test scale by the same code):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -438,4 +440,178 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# --- q_llm_embed_centroids (round 2) ---------------------------------------
+
+
+@query(
+    "q_llm_embed_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+    category="2.J",
+)
+def q_llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, as (label, dim, value)
+    rows — the class-prototype table every centroid-classifier / IVF
+    coarse-quantizer bootstrap needs. Mean per dimension is exact via the
+    fixed-point int64 discipline (parity.py isum): round(v·10⁶) sums are
+    order-independent, one division chain at the end.
+
+    Shape: posexplode to (label, dim, v) then ONE hash-agg — map-side
+    partial combine means the exchange carries |labels|×64 rows per
+    partition, not the corpus. At 100 TB this is the textbook
+    billion-vector centroid job: no collect, no driver state, output
+    bounded by labels×dims."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    return flat.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("v") * 1_000_000).cast("long")).cast("double")
+            / 1_000_000.0
+            / F.count("*")
+        ).alias("centroid"),
+    )
+
+
+# --- q_llm_cluster_assign (round 2) ----------------------------------------
+
+
+@query(
+    "q_llm_cluster_assign",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(round(
+               CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) * 1000000) AS BIGINT) AS ci
+      FROM flat GROUP BY label, dim
+    ),
+    q AS (
+      SELECT vec_id, dim, CAST(round(v * 1000000) AS BIGINT) AS vi
+      FROM flat
+    ),
+    scores AS (
+      SELECT q.vec_id, cent.clabel,
+             CAST(SUM(q.vi * cent.ci) AS BIGINT) AS dot
+      FROM q JOIN cent USING (dim)
+      GROUP BY q.vec_id, cent.clabel
+    ),
+    ranked AS (
+      SELECT vec_id, clabel AS assigned, dot,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rn
+      FROM scores
+    )
+    SELECT vec_id, assigned, dot FROM ranked WHERE rn = 1
+    """,
+    category="2.J",
+)
+def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step: assign every vector to its nearest label
+    centroid by (quantized) dot product — the building block of IVF list
+    assignment and centroid-classifier inference. Vectors AND centroids
+    are quantized to integer micro-units so the 64-term dot products sum
+    exactly in int64: the argmax is bit-deterministic on both engines
+    (ties broken by smallest label).
+
+    Shape: the centroid moments (int64 sums + counts per (label, dim))
+    come from a shuffle-free mapInPandas map-side combine — each Arrow
+    batch emits one labels×dims partial block; the collect is bounded at
+    partitions×labels×dims (same class as the IVF training sample) and
+    reduces in pandas. The E-step itself is ONE mapInPandas pass with the
+    quantized centroid matrix broadcast into the task: an int64 GEMM per
+    Arrow batch, zero shuffles, zero windows.
+    This IS the 100 TB layout — the scan parallelizes, nothing else
+    exists. np.argmax returns the first maximum, and centroid rows are
+    ordered by label, so ties break to the smallest label exactly like
+    the oracle's (dot DESC, label) ranking."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def _away(x: np.ndarray) -> np.ndarray:
+        # round-half-away-from-zero: Spark round() and DuckDB round()
+        # semantics; np.round is half-even (the wrong rule).
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    # Phase 1 — centroid moments as a map-side combine: each Arrow batch
+    # emits one (label, dim, partial-sum, count) block; no explode, no
+    # shuffle. The collect is bounded at partitions×labels×dims.
+    def partial_moments(batches):
+        for pdf in batches:
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xq = _away(X * 1_000_000.0).astype("int64")
+            lab = pdf["label"].to_numpy()
+            for lb in np.unique(lab):
+                rows = Xq[lab == lb]
+                yield pd.DataFrame(
+                    {
+                        "label": np.full(rows.shape[1], lb, dtype="int64"),
+                        "dim": np.arange(rows.shape[1], dtype="int64"),
+                        "s": rows.sum(axis=0, dtype="int64"),
+                        "n": np.full(rows.shape[1], len(rows), dtype="int64"),
+                    }
+                )
+
+    partials = (
+        e.select("label", "embedding")
+        .mapInPandas(partial_moments, "label long, dim long, s long, n long")
+        .toPandas()
+    )
+    moments = (
+        partials.groupby(["label", "dim"], as_index=False)[["s", "n"]]
+        .sum()
+        .sort_values(["label", "dim"])
+    )
+    labels = np.sort(moments["label"].unique()).astype("int64")
+    dims = int(moments["dim"].max()) + 1
+    # Identical double ops to the oracle's centroid expression.
+    mean_micro = (
+        moments["s"].to_numpy().astype("float64")
+        / 1_000_000.0
+        / moments["n"].to_numpy()
+        * 1_000_000.0
+    )
+    C = _away(mean_micro).astype("int64").reshape(len(labels), dims)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xq = _away(X * 1_000_000.0).astype("int64")
+            dots = Xq @ C.T
+            best = np.argmax(dots, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "assigned": labels[best],
+                    "dot": dots[np.arange(len(pdf)), best],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, assigned int, dot long"
     )

@@ -762,3 +762,156 @@ def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(share, 6, "token_share"),
         )
     )
+
+
+# --- round-2 corpus-statistics operators -----------------------------------
+
+
+@query(
+    "q_llm_unigram_xent",
+    oracle="""
+    WITH ev AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source IN ('src18', 'src19')
+    ),
+    tr AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source NOT IN ('src18', 'src19')
+    ),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM tr GROUP BY tok),
+    nv AS (
+      SELECT (SELECT COUNT(*) FROM tr) AS n,
+             (SELECT COUNT(*) FROM cnts) AS v
+    ),
+    terms AS (
+      SELECT ev.doc_id,
+             CAST(round(ln((COALESCE(cnt, 0) + 1) * 1.0 / (n + v))
+                        * 1000000) AS BIGINT) AS lc
+      FROM ev LEFT JOIN cnts USING (tok) CROSS JOIN nv
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           floor(-CAST(SUM(lc) AS DOUBLE) / 1000000.0 / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS xent
+    FROM terms GROUP BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy of each eval doc under the train split's
+    add-one-smoothed token distribution — the cheap perplexity-proxy
+    quality score (low xent = stereotyped text, high = OOV-heavy noise;
+    pipelines cut both tails).
+
+    Float discipline: p = (cnt+1)/(N+V) is one IEEE division of identical
+    integers on both engines; ln(p) agrees to the bit in practice (both
+    libms, already relied on by q_llm_tfidf); each log is then quantized
+    to integer micro-nats so the PER-DOC SUM is exact int64 — never sum
+    raw doubles across rows (SURVEY §8 law 5). Scale: the count table is
+    vocabulary-sized → broadcast; one exchange on doc_id for the final
+    agg."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin("src18", "src19")
+    ev = d.where(is_eval).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tr = d.where(~is_eval).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnts = tr.groupBy("tok").agg(F.count("*").alias("cnt"))
+    nv = tr.agg(F.count("*").alias("n")).crossJoin(
+        cnts.agg(F.count("*").alias("v"))
+    )
+    p = (F.coalesce(F.col("cnt"), F.lit(0).cast("long")) + 1) * 1.0 / (
+        F.col("n") + F.col("v")
+    )
+    terms = (
+        ev.join(F.broadcast(cnts), "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id", F.round(F.log(p) * 1_000_000).cast("long").alias("lc")
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        fround(
+            -F.sum("lc").cast("double") / 1_000_000.0 / F.count("*"),
+            4,
+            "xent",
+        ),
+    )
+
+
+@query(
+    "q_llm_zipf_slope",
+    oracle="""
+    WITH cnts AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS r
+      FROM cnts
+    ),
+    q AS (
+      SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= 100
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT n AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+    FROM s
+    """,
+    category="2.J",
+)
+def q_llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the top-100 terms — the corpus-health statistic (natural text ≈
+    −1; synthetic/templated corpora drift off). The (ln x, ln y) points
+    are quantized to integer micro-nats so every regression moment (Σx,
+    Σy, Σxy, Σx²) is an exact int64 — the slope is ONE double division of
+    identical integers on both engines; the 10⁶ scales cancel between
+    numerator and denominator.
+
+    Scale: term counts hash-agg with map-side combine; the top-100 cut is
+    TakeOrderedAndProject (no global sort materialization); the
+    regression runs on 100 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cnts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = cnts.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    q = top.select(
+        F.round(F.log(F.row_number().over(w)) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log("cnt") * 1_000_000).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return s.select(
+        n.alias("n_terms"),
+        F.round(
+            (n * F.col("sxy") - sx * sy).cast("double")
+            / (n * F.col("sxx") - sx * sx).cast("double"),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -177,3 +177,72 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("max_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+    category="2.E",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream:
+    collapse each user's consecutive same-event_type runs into versioned
+    validity intervals [valid_from, valid_to) — valid_to NULL on the
+    current version. The CDC-to-warehouse pattern a Lambda consumer
+    writing DynamoDB/S3 state implements imperatively; here it is three
+    window passes and one agg ALL on the same user_id key, so Catalyst
+    plans a single exchange for the whole pipeline — at 100 TB this runs
+    one shuffle over the change log, no matter how many versions."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version"),
+    )
+    intervals = runs.groupBy(
+        "user_id", F.col("version").cast("long").alias("version"), "event_type"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return intervals.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

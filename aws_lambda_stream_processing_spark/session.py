@@ -40,6 +40,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; defaults are acceptable
+    # A vanilla session ships shuffle.partitions=200: at small SFs that is
+    # ~6× the machine's cores in pure task-scheduling overhead per
+    # exchange. Results are partitioning-independent (the determinism
+    # gates re-run queries under partitions=1), so pin to the actual
+    # parallelism. Never raise above an explicitly configured value — on
+    # a real cluster the operator sizes this to 2-3× total cores.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * cores:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    except Exception:
+        pass
     return spark
 
 
