@@ -151,3 +151,62 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_int"),
         F.col("l_orderkey").cast("string").try_cast("int").alias("roundtrip"),
     )
+
+
+# --- round-2 function families ---------------------------------------------
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256
+    FROM documents
+    """,
+    category="2.H",
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family: md5 / sha256 of the document body. These
+    are standards, so the cross-engine check is bit-exact by definition —
+    the content-addressing primitives every exact-dedup and
+    cache-key pipeline builds on (q_llm_exact_dedup hashes with sha2 for
+    precisely this reason). Pure per-row scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS b_and,
+           event_id | 4096 AS b_or,
+           xor(event_id, 1365) AS b_xor,
+           CAST(event_id << 3 AS BIGINT) AS b_shl,
+           event_id >> 2 AS b_shr,
+           CAST(bit_count(event_id) AS INTEGER) AS b_pop
+    FROM events
+    """,
+    category="2.H",
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family over int64 ids: and/or/xor, shifts,
+    popcount — the building blocks of bitmap indexes, bloom-filter
+    membership, and hash mixing. Integer ops are exact on both engines;
+    event_id is non-negative so shifts stay in range."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.col("event_id")
+    return e.select(
+        "event_id",
+        c.bitwiseAND(F.lit(255)).alias("b_and"),
+        c.bitwiseOR(F.lit(4096)).alias("b_or"),
+        c.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(c, 3).alias("b_shl"),
+        F.shiftright(c, 2).alias("b_shr"),
+        F.bit_count(c).alias("b_pop"),
+    )

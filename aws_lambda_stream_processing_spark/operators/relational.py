@@ -219,3 +219,25 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle keeps exchange volume at cardinality, not row count)."""
     e = load_table(spark, sf_dir, "events")
     return e.select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 7
+    """,
+    category="2.B",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 5% sample: every key with o_orderkey ≡ 7 (mod 20).
+    The deterministic counterpart of q_sample_seeded (engine-RNG, weak
+    check): membership is a pure per-row predicate, so it pushes to the
+    parquet scan, re-runs identically at any scale, and a second engine
+    verifies it exactly — the properties that make hash/systematic
+    sampling the only sampling used in reproducible 100 TB pipelines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 20 == 7).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

@@ -56,6 +56,25 @@ def main() -> int:
             failures.append(name)
             print(f"bench FAIL {name}: {exc}", file=sys.stderr)
 
+    # Optional steady-state pass (ALSP_BENCH_WARM=1): re-run each query
+    # after the cold pass and report second-run timings alongside. The
+    # first run of every query pays ~0.3 s of Catalyst planning + Janino
+    # whole-stage-codegen compilation that a long-lived 100 TB deployment
+    # amortizes to zero; the warm pass is the TPC-style steady-state
+    # number. The primary `value` stays the cold suite total so rounds
+    # remain comparable.
+    warm: dict[str, float] = {}
+    if os.environ.get("ALSP_BENCH_WARM") == "1":
+        for name in sorted(registry):
+            if (only and name not in only) or name in failures:
+                continue
+            t0 = time.perf_counter()
+            try:
+                registry[name].fn(spark, sf_dir).toPandas()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                pass
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -71,6 +90,12 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "failures": failures,
+                **(
+                    {"warm_value": round(sum(warm.values()), 3),
+                     "warm_queries": warm}
+                    if warm
+                    else {}
+                ),
             }
         )
     )
