@@ -544,3 +544,159 @@ def q_ts_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = acc + F.col(f"x{j}")
     ewma = acc / (65535.0 / 65536.0) / 100.0
     return l.select("event_id", "user_id", "ts", fround(ewma, 4, "ewma16"))
+
+
+# --- q_ts_downsample_m4 (round 2) ------------------------------------------
+
+
+@query(
+    "q_ts_downsample_m4",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           COUNT(*) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last
+    FROM b GROUP BY event_type, bucket
+    """,
+    category="2.J",
+)
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (the error-free line-chart reduction from the M4
+    paper / Grafana): per (series, hour pixel-bucket) keep min, max,
+    first, last — the four values that reproduce the exact rendered line
+    at any zoom. No sums → raw doubles pass the oracle bit-identically;
+    first/last are made deterministic with (ts, event_id) tie-breaks.
+
+    One window pass + one hash-agg, both keyed on (event_type, bucket):
+    Catalyst plans a single exchange. Output is pixel-bounded (series ×
+    buckets), independent of input volume — the property that makes M4
+    the standard 100 TB dashboard path."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b = e.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+    )
+
+
+# --- q_ts_cross_corr (round 2) ---------------------------------------------
+
+
+@query(
+    "q_ts_cross_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type, bucket
+    ),
+    lags(lag_h) AS (VALUES (0), (1), (2), (3)),
+    pairs AS (
+      SELECT l.lag_h,
+             c.cents AS x, p.cents AS y
+      FROM hourly c
+      CROSS JOIN lags l
+      JOIN hourly p
+        ON p.event_type = 'purchase'
+       AND p.bucket = c.bucket + INTERVAL (l.lag_h) HOUR
+      WHERE c.event_type = 'click'
+    ),
+    m AS (
+      SELECT lag_h, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag_h
+    )
+    SELECT lag_h, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+             AS xcorr
+    FROM m ORDER BY lag_h
+    """,
+    category="2.J",
+)
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    value series (lags 0-3 h) — the does-activity-lead-revenue diagnostic.
+    Hourly sums are exact integer cents, so every correlation moment (Σx,
+    Σy, Σxy, Σx², Σy²) is exact int64 and the Pearson formula runs ONCE
+    on identical integers in both engines (sqrt/division are single
+    deterministic IEEE ops). int64 bound: n·Σxy < 2⁶³ holds through
+    ~sf1; beyond that drop the cents scale to whole units or use DECIMAL
+    moments (dsum).
+
+    Shape: one hash-agg to hourly grain (map-side combining — the raw
+    events never leave their scan), a 4-row lag table cross join, an
+    hour-shifted self-join on the TINY hourly table, one final agg."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    lags = spark.createDataFrame([(0,), (1,), (2,), (3,)], "lag_h int")
+    c = hourly.where(F.col("event_type") == "click").select(
+        F.col("bucket").alias("cb"), F.col("cents").alias("x")
+    )
+    p = hourly.where(F.col("event_type") == "purchase").select(
+        F.col("bucket").alias("pb"), F.col("cents").alias("y")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(lags))
+        .join(
+            p,
+            F.col("pb")
+            == F.col("cb") + F.make_interval(hours=F.col("lag_h")),
+        )
+        .select("lag_h", "x", "y")
+    )
+    m = pairs.groupBy("lag_h").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return m.select(
+        "lag_h", "n", F.round(num / den, 4).alias("xcorr")
+    ).orderBy("lag_h")

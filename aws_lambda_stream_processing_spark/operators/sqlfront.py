@@ -284,3 +284,29 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; ordering ties broken by orderkey for a stable top-100."""
     _register(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_Q18_BODY)
+
+
+_LATERAL_BODY = """
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o,
+    LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+    WHERE o.o_orderkey < 1000
+"""
+
+
+@query(
+    "q_join_lateral",
+    oracle=_LATERAL_BODY,
+    category="2.C",
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT (top-2
+    lineitems per order) — the modern SQL form of top-k-per-group.
+    Catalyst decorrelates the lateral into a join + windowed group limit
+    rather than re-executing the subquery per outer row; the fully
+    deterministic ORDER BY (price DESC, linenumber) makes the cut
+    engine-stable. Same text runs on both engines."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_LATERAL_BODY)
