@@ -77,19 +77,7 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs to kill collisions; here the string join is exact and the
     corpus is small enough that the hash leg would be pure overhead."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2, t3, t4 = (F.lead("tok", i).over(w) for i in (1, 2, 3, 4))
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.concat_ws(" ", "tok", t1, t2, t3, t4).alias("g"),
-        t4.alias("last"),
-    ).where(F.col("last").isNotNull())
+    sh = _shingles5(d)
     is_eval = F.col("source").isin(*EVAL_SOURCES)
     train = sh.where(~is_eval).select("g").distinct()
     ev = sh.where(is_eval).select("doc_id", "g").distinct()
@@ -266,4 +254,79 @@ def q_llm_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.where((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9)).select(
         "doc_id", "lang", "n_chars"
+    )
+
+
+def _shingles5(d: DataFrame) -> DataFrame:
+    """(doc_id, source, g): every 5-token shingle of every doc — one
+    posexplode + one window pass (see q_llm_contamination)."""
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2, t3, t4 = (F.lead("tok", i).over(w) for i in (1, 2, 3, 4))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", "tok", t1, t2, t3, t4).alias("g"),
+        t4.alias("last"),
+    ).where(F.col("last").isNotNull())
+
+
+@query(
+    "q_llm_contamination_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    ),
+    ev AS (
+      SELECT DISTINCT source AS eval_source, g FROM sh
+      WHERE source IN ('src18', 'src19')
+    ),
+    tr AS (
+      SELECT DISTINCT source AS train_source, g FROM sh
+      WHERE source NOT IN ('src18', 'src19')
+    )
+    SELECT eval_source, train_source, COUNT(*) AS shared_grams
+    FROM ev JOIN tr USING (g)
+    GROUP BY eval_source, train_source
+    """,
+    category="2.J",
+)
+def q_llm_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination provenance matrix: for each (eval source, train
+    source) pair, the number of distinct 5-gram shingles they share —
+    q_llm_contamination answers "how contaminated is this eval doc";
+    this answers "WHICH training source leaked it", the question a
+    curation team acts on (drop/clean the offending source).
+
+    Both sides collapse to source-level DISTINCT shingle sets before the
+    join, so the exchange carries unique (source, shingle) pairs — at
+    100 TB that is |sources| × vocabulary, not the corpus. Output is
+    bounded by |eval sources| × |train sources|."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles5(d)
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    ev = (
+        sh.where(is_eval)
+        .select(F.col("source").alias("eval_source"), "g")
+        .distinct()
+    )
+    tr = (
+        sh.where(~is_eval)
+        .select(F.col("source").alias("train_source"), "g")
+        .distinct()
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_source", "train_source")
+        .agg(F.count("*").alias("shared_grams"))
     )

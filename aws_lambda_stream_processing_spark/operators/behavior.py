@@ -246,3 +246,86 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "q_funnel_ttc",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    ),
+    ttc AS (
+      SELECT p.user_id, epoch_us(p.t2) - epoch_us(s.t0) AS us
+      FROM p JOIN s USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           array_to_string(
+             list_transform(quantile_cont(us, [0.5, 0.9, 0.99]),
+                            q -> CAST(CAST(ROUND(q, 1) AS DECIMAL(20, 1))
+                                      AS VARCHAR)),
+             ',') AS ttc_us_pcts
+    FROM ttc
+    """,
+    category="2.D",
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert: for users completing signup→click→purchase
+    (q_funnel_conversion's strict-ordering stages), the p50/p90/p99 of
+    total conversion latency. Durations are exact integer MICROSECONDS
+    (unix_micros difference — no float time math), interpolated once by
+    the percentile sort; the array result is string-serialized per §2
+    convention 4.
+
+    Same scale shape as the funnel: shrinking broadcast frontiers, then
+    ONE sorted-agg over one duration per converted user — the percentile
+    input is user-bounded, not event-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    ttc = p.join(s, "user_id").select(
+        (F.unix_micros("t2") - F.unix_micros("t0")).alias("us")
+    )
+    qs = F.percentile("us", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ttc.agg(
+        F.count("*").alias("n_converted"),
+        # decimal(20,1) detour: a bare double->string cast renders these
+        # magnitudes in scientific notation on Spark but positionally in
+        # DuckDB; decimal stringification is positional on both.
+        F.array_join(
+            F.transform(
+                qs,
+                lambda q: F.round(q, 1).cast("decimal(20,1)").cast("string"),
+            ),
+            ",",
+        ).alias("ttc_us_pcts"),
+    )

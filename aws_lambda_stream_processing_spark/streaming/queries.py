@@ -29,6 +29,7 @@ from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.streaming.replay import (
     _scratch,
     events_stream,
+    run_foreach_batch,
     run_to_memory,
     split_events_dir,
 )
@@ -595,4 +596,84 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = joined.select("click_id", "purchase_id", "user_id")
         return run_to_memory(out, output_mode="append")
     finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_upsert_foreachbatch",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, ts AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+    category="2.I",
+)
+def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed idempotent UPSERT via foreachBatch — the DynamoDB-putItem /
+    merge-into pattern every Lambda consumer implements: each micro-batch
+    reduces to its per-user latest row (ts, event_id ordered), merges with
+    the previous state version, and writes state version v{batch_id}
+    (overwrite → re-running a batch after a crash converges to the same
+    state: exactly-once by idempotence, not by transactions). Two ordered
+    micro-batches prove the merge genuinely carries state.
+
+    The final state equals "latest row per user" over the whole stream
+    regardless of batch boundaries — the invariant the exact oracle pins.
+    At 100 TB the state table is a keyed Delta/Iceberg MERGE INTO or a
+    hash-partitioned parquet rewrite of touched partitions; here plain
+    versioned parquet keeps the container-visible semantics identical."""
+    import os
+
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    state_base = _scratch("alsp_upsert_state_")
+    from pyspark.sql import Window
+
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w_latest))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        merged = batch_df.select("user_id", "event_type", "ts", "event_id")
+        prev = f"{state_base}/v{batch_id - 1}"
+        if os.path.isdir(prev):
+            prior = batch_df.sparkSession.read.parquet(prev)
+            merged = merged.unionByName(prior)
+        latest_per_user(merged).write.mode("overwrite").parquet(
+            f"{state_base}/v{batch_id}"
+        )
+
+    try:
+        run_foreach_batch(stream, handler)
+        versions = sorted(
+            int(p[1:]) for p in os.listdir(state_base) if p.startswith("v")
+        )
+        final = spark.read.parquet(f"{state_base}/v{versions[-1]}")
+        result = final.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
