@@ -254,3 +254,45 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    category="2.A",
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — the third columnar format next to
+    parquet (Spark ships the ORC reader/writer in-box; it is the other
+    common lake format at 100 TB). Unlike the CSV round-trip this also
+    carries TIMESTAMPS through the format to prove ORC's µs encoding
+    round-trips exactly (the parquet oracle sees the same rows). Exact
+    integer cents + min/max ts; the tiny final aggregate materializes so
+    the sink dir can be removed (q_sink_parquet pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="alsp_orc_")
+    try:
+        proj = e.select(
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        proj.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        result = back.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

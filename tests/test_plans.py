@@ -144,3 +144,34 @@ def test_tpch_q18_semi_join_rewrite(spark, registry):
     plan = plan_string(df)
     assert "LeftSemi" in plan or "SemiJoin" in plan, plan[:1500]
     assert not has_operator(df, "CartesianProduct")
+
+
+def test_contamination_matrix_hash_joins_only(spark, registry):
+    df = registry["q_llm_contamination_matrix"].fn(spark, SF_DIR)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_cross_corr_broadcasts_lag_table(spark, registry):
+    df = registry["q_ts_cross_corr"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin") or has_operator(
+        df, "BroadcastNestedLoopJoin"
+    )
+    # the hour-shift equi-condition must not degrade to a cartesian
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_m4_and_ewma_windows_no_extra_exchange(spark, registry):
+    # window + agg share the (event_type, bucket)/(user_id) key: exactly
+    # one hash-partitioning exchange family may appear
+    from aws_lambda_stream_processing_spark.plans import plan_string
+
+    for name in ("q_ts_downsample_m4", "q_ts_ewma16"):
+        plan = plan_string(registry[name].fn(spark, SF_DIR))
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
+
+
+def test_systematic_sample_pushes_predicate(spark, registry):
+    df = registry["q_sample_systematic"].fn(spark, SF_DIR)
+    assert pushed_filters(df), "modulo predicate must reach the scan"
