@@ -779,3 +779,60 @@ def q_llm_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gh.groupBy("doc_id").agg(
         F.concat_ws(",", *mins).alias("sig")
     )
+
+
+# --- q_llm_dedup_survivor (round 2) ----------------------------------------
+
+
+@query(
+    "q_llm_dedup_survivor",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             lang || '|' ||
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, k,
+             first_value(doc_id) OVER (
+               PARTITION BY k ORDER BY n_chars DESC, doc_id) AS survivor_id,
+             COUNT(*) OVER (PARTITION BY k) AS cluster_size
+      FROM keyed
+    )
+    SELECT doc_id, survivor_id, CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE cluster_size > 1
+    """,
+    category="2.J",
+)
+def q_llm_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship mapping: cluster docs by a deterministic
+    near-dup key (language + 5-token prefix — the cheap blocking key that
+    seeds every entity-resolution pipeline), elect one survivor per
+    cluster by quality (longest doc, doc_id tie-break), and emit the
+    doc→survivor action list for clusters with duplicates. This is the
+    step BETWEEN candidate generation (MinHash/shingle ops) and the
+    actual delete: which copy to keep, and a stable mapping for
+    provenance.
+
+    One exchange on the blocking key serves both windows (first_value +
+    count). At 100 TB the same shape runs keyed on the MinHash band or
+    connected-component id from the upstream dedup ops — swap the key,
+    keep the election."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.concat_ws(
+        "|",
+        "lang",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " "),
+    )
+    keyed = d.select("doc_id", "n_chars", k.alias("k"))
+    w = Window.partitionBy("k").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("k")
+    ranked = keyed.select(
+        "doc_id",
+        F.first("doc_id").over(w).alias("survivor_id"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
+    return ranked.where(F.col("cluster_size") > 1).select(
+        "doc_id", "survivor_id", "cluster_size"
+    )

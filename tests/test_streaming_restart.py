@@ -11,6 +11,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.streaming.queries import SPLIT_DDL
@@ -156,3 +157,54 @@ def test_stateful_agg_continues_across_restart(spark, scratch_dirs):
     assert final == expected, (
         "restarted aggregate diverged from the batch truth"
     )
+
+
+def test_upsert_handler_is_idempotent_per_batch(spark):
+    """Re-running a micro-batch against the same state version must
+    converge to byte-identical state — the exactly-once-by-idempotence
+    claim of q_stream_upsert_foreachbatch, exercised directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+
+    base = tempfile.mkdtemp(prefix="alsp_upsert_idem_")
+    try:
+        b0 = e.where("ts < TIMESTAMP '2024-01-15 00:00:00'")
+        b1 = e.where("ts >= TIMESTAMP '2024-01-15 00:00:00'")
+        latest(b0).write.mode("overwrite").parquet(f"{base}/v0")
+
+        def run_batch1():
+            prior = spark.read.parquet(f"{base}/v0")
+            merged = b1.select(
+                "user_id", "event_type", "ts", "event_id"
+            ).unionByName(prior)
+            latest(merged).write.mode("overwrite").parquet(f"{base}/v1")
+            return sorted(
+                (r.user_id, r.event_type, r.ts)
+                for r in spark.read.parquet(f"{base}/v1").collect()
+            )
+
+        first = run_batch1()
+        second = run_batch1()  # crash-replay of the same batch
+        assert first == second, "re-running a batch changed the state"
+        # and the state equals the batch-truth latest row per user
+        truth = sorted(
+            (r.user_id, r.event_type, r.ts) for r in latest(e).collect()
+        )
+        assert first == truth
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
