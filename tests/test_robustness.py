@@ -33,6 +33,12 @@ SAMPLE = [
     "q_llm_bm25",  # multi-factor float formula must stay order-independent
     "q_ts_anomaly_zscore",  # 3-sigma flags must not flip across partitioning
     "q_ts_gapfill_interp",  # single-division interpolants
+    # round-2 hazards:
+    "q_llm_seq_pack",  # two-phase prefix sum must not depend on partitioning
+    "q_llm_cluster_assign",  # numpy kernel: batch boundaries must not matter
+    "q_ts_ewma16",  # exact lag dot product across partition layouts
+    "q_ts_cross_corr",  # integer moments + single-shot Pearson formula
+    "q_llm_zipf_slope",  # top-100 cut + regression must be engine-stable
 ]
 
 
