@@ -310,3 +310,100 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable. Same text runs on both engines."""
     _register(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_LATERAL_BODY)
+
+
+_Q14_BODY = """
+    SELECT ROUND(
+             {hundred} * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(round(l.l_extendedprice
+                                              * (1 - l.l_discount) * 100)
+                                        AS BIGINT)
+                              ELSE 0 END)
+             / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)),
+             4) AS promo_revenue_pct
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@query(
+    "q_sql_tpch_q14",
+    oracle=_Q14_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    Both the conditional and total revenue sums are exact integer
+    hundredths-of-cents, so the single percentage division is one IEEE op
+    on identical integers — no float-sum drift despite the CASE. The
+    month predicate pushes to the lineitem scan; part joins on partkey
+    (broadcast at these SFs, shuffle-hash at 100 TB)."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_BODY.format(hundred="CAST(100 AS DOUBLE)"))
+
+
+_Q19_BODY = """
+    SELECT COUNT(*) AS n_lines,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / {hundred} AS revenue
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND (
+            (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+             AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+             AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+      )
+"""
+
+
+@query(
+    "q_sql_tpch_q19",
+    oracle=_Q19_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunction of conjunctive
+    brand/size/quantity baskets — adapted to this corpus's part columns):
+    the OR-of-ANDs predicate is the classic pushdown/join-predicate
+    splitting test — Catalyst must keep the join on partkey an equi hash
+    join and evaluate the disjunction as a post-join filter (or push the
+    per-side conjuncts down), never degrade to a nested loop. Revenue in
+    exact integer cents; one scalar output row."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_BODY.format(hundred="CAST(100 AS DOUBLE)"))
+
+
+_Q12_BODY = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o, lineitem l
+    WHERE o.o_orderkey = l.l_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+
+
+@query(
+    "q_sql_tpch_q12",
+    oracle=_Q12_BODY,
+    category="2.A",
+)
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split — adapted: returnflag
+    stands in for the absent l_shipmode): fact-fact orderkey join with a
+    year cut and two conditional counts. Integer counts → exact; the
+    year predicate pushes to the lineitem scan so the join input is
+    pre-filtered — the Q12 plan property that matters at 100 TB."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_BODY)

@@ -152,24 +152,47 @@ def split_events_dir(
     ordered micro-batches (late-data / watermark testing — SURVEY §7.2).
 
     Returns the directory. Caller owns cleanup.
+
+    The Spark write jobs run ONCE per (application, sf_dir, predicates)
+    into a memoized master dir; every call hands back a fresh tmpfs COPY
+    of those files (~ms), so callers keep delete-ownership while a
+    multi-query sweep pays the split cost once, not per streaming query.
     """
     from aws_lambda_stream_processing_spark.tables import load_table
 
+    key = (spark.sparkContext.applicationId, sf_dir, tuple(predicates))
+    stale = [k for k in _SPLIT_MEMO if k[0] != key[0]]
+    for k in stale:
+        shutil.rmtree(_SPLIT_MEMO.pop(k), ignore_errors=True)
+    master = _SPLIT_MEMO.get(key)
+    if master is None or not os.path.isdir(master):
+        master = _scratch("alsp_stream_master_")
+        events = load_table(spark, sf_dir, "events")
+        for i, pred in enumerate(predicates):
+            part_dir = os.path.join(master, f"_stage_{i}")
+            events.where(F.expr(pred)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            src = next(
+                f for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            shutil.move(
+                os.path.join(part_dir, src),
+                os.path.join(master, f"batch_{i:03d}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        _SPLIT_MEMO[key] = master
     out = _scratch("alsp_stream_in_")
-    events = load_table(spark, sf_dir, "events")
     now = time.time()
-    for i, pred in enumerate(predicates):
-        part_dir = os.path.join(out, f"_stage_{i}")
-        events.where(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(
-            part_dir
-        )
-        src = next(
-            f for f in os.listdir(part_dir)
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-        dst = os.path.join(out, f"batch_{i:03d}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        shutil.rmtree(part_dir, ignore_errors=True)
+    for i in range(len(predicates)):
+        name = f"batch_{i:03d}.parquet"
+        dst = os.path.join(out, name)
+        shutil.copy(os.path.join(master, name), dst)
         # FileStreamSource orders by modification time (oldest first).
         os.utime(dst, (now + i * 10, now + i * 10))
     return out
+
+
+# (app_id, sf_dir, predicates) -> master split dir; see split_events_dir.
+_SPLIT_MEMO: dict[tuple[str, str, tuple[str, ...]], str] = {}
