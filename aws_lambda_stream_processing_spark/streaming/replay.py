@@ -195,4 +195,17 @@ def split_events_dir(
 
 
 # (app_id, sf_dir, predicates) -> master split dir; see split_events_dir.
+# tmpfs outlives the process, so masters are reaped at interpreter exit —
+# the round-1 ADVICE tempdir-leak class, closed preemptively.
 _SPLIT_MEMO: dict[tuple[str, str, tuple[str, ...]], str] = {}
+
+
+def _reap_split_masters() -> None:
+    for d in _SPLIT_MEMO.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SPLIT_MEMO.clear()
+
+
+import atexit  # noqa: E402  (registration belongs next to the memo)
+
+atexit.register(_reap_split_masters)
