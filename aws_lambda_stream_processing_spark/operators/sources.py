@@ -296,3 +296,77 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_python_datasource",
+    oracle="""
+    WITH recs AS (
+      SELECT CAST(g // 100 AS INTEGER) AS shard_id,
+             g,
+             CAST((g * 37) % 1000 AS BIGINT) AS tenths
+      FROM (SELECT unnest(range(0, 400)) AS g)
+    )
+    SELECT shard_id,
+           COUNT(*) AS n,
+           CAST(SUM(tenths) AS BIGINT) AS total_tenths
+    FROM recs GROUP BY shard_id
+    """,
+    category="2.A",
+)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API — the
+    in-container analog of writing a Kinesis/Kafka connector: a
+    registered format ("kinesis_like") whose reader exposes one
+    InputPartition per shard and yields records partition-parallel, like
+    a real connector maps shards to tasks. Records are deterministic
+    (value = (global_id·37 mod 1000)/10), so the DuckDB oracle reproduces
+    the stream arithmetically and the aggregate hash-matches exactly
+    (sums over integer tenths).
+
+    Scale note: the reader runs IN PYTHON (Arrow-batched rows) — right
+    for connector prototyping and moderate-volume feeds; a production
+    100 TB connector belongs in the JVM DataSource V2 API, with this
+    Python class as the behavioral spec."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class ShardReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_shards = int(options.get("shards", "4"))
+            self.per = int(options.get("recordsPerShard", "100"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_shards)]
+
+        def read(self, part):
+            sid = part.value
+            for seq in range(self.per):
+                gid = sid * self.per + seq
+                yield (sid, seq, gid, (gid * 37) % 1000)
+
+    class KinesisLike(DataSource):
+        @classmethod
+        def name(cls):
+            return "kinesis_like"
+
+        def schema(self):
+            return "shard_id int, seq int, global_id int, tenths long"
+
+        def reader(self, schema):
+            return ShardReader(self.options)
+
+    spark.dataSource.register(KinesisLike)
+    recs = (
+        spark.read.format("kinesis_like")
+        .option("shards", "4")
+        .option("recordsPerShard", "100")
+        .load()
+    )
+    return recs.groupBy("shard_id").agg(
+        F.count("*").alias("n"),
+        F.sum("tenths").alias("total_tenths"),
+    )
