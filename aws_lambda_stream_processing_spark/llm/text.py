@@ -915,3 +915,65 @@ def q_llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "q_llm_langid_confusion",
+    oracle=f"""
+    WITH markers(lang, word) AS (VALUES {_MARKER_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS hits
+      FROM toks t JOIN markers m USING (word)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM hits
+    ),
+    pred AS (
+      SELECT d.doc_id, d.lang AS true_lang,
+             COALESCE(b.lang, 'und') AS pred_lang
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    category="2.J",
+)
+def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-based classifier's
+    predictions (q_llm_langid's exact argmax) crossed against the labeled
+    `lang` column — the evaluation step that turns a heuristic into a
+    measured component (per-pair counts expose which languages the marker
+    set confuses and how much 'und' fallback remains). Output bounded by
+    |langs|² regardless of corpus size; same broadcast-join + argmax
+    shape as the classifier itself plus one final hash-agg."""
+    d = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(LANG_MARKERS, "lang string, word string")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pl"))
+    )
+    pred = d.select("doc_id", F.col("lang").alias("true_lang")).join(
+        best, "doc_id", "left"
+    )
+    return pred.groupBy(
+        "true_lang",
+        F.coalesce("pl", F.lit("und")).alias("pred_lang"),
+    ).agg(F.count("*").alias("n_docs"))
