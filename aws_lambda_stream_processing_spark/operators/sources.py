@@ -17,12 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
-from aws_lambda_stream_processing_spark.streaming.replay import (
-    events_stream,
-    run_foreach_batch,
-    run_to_memory,
-)
 from aws_lambda_stream_processing_spark.tables import load_table
+
+# NOTE: streaming.replay is imported INSIDE the two stream-flavored ops,
+# not at module level — a module-level import fires the streaming
+# package's @query registrations mid-operators, defeating load_all()'s
+# cheap-first registration order (the driver certifies in that order).
 
 
 @query(
@@ -114,6 +114,11 @@ def q_stream_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow trigger + checkpoint + memory sink) and return exactly the
     rows that flowed through — proving the stream path loses/duplicates
     nothing vs the batch oracle."""
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        events_stream,
+        run_to_memory,
+    )
+
     stream = events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -145,6 +150,11 @@ def q_stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(f"{sink_dir}/batch={batch_id}")
         )
+
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        events_stream,
+        run_foreach_batch,
+    )
 
     run_foreach_batch(events_stream(spark, sf_dir), handler)
     # partitioned-dataset read: `batch` becomes the partition column

@@ -66,11 +66,17 @@ def query(
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module so its @query decorators run."""
+    """Import every operator module so its @query decorators run.
+
+    Import order is registration order is the order a sequential driver
+    sweep certifies queries in — cheap batch families first, the
+    streaming set (irreducible ~2 s/query of micro-batch machinery)
+    LAST, so a budget-truncated sweep certifies the maximum count.
+    """
     import aws_lambda_stream_processing_spark.operators  # noqa: F401
     import aws_lambda_stream_processing_spark.functions  # noqa: F401
-    import aws_lambda_stream_processing_spark.streaming  # noqa: F401
     import aws_lambda_stream_processing_spark.llm  # noqa: F401
     import aws_lambda_stream_processing_spark.udf  # noqa: F401
+    import aws_lambda_stream_processing_spark.streaming  # noqa: F401
 
     return REGISTRY
