@@ -182,3 +182,31 @@ def test_null_ordering_conventions(spark, nulls_side):
     ]
     con.close()
     assert srows == drows
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=20_000), min_size=16, max_size=48
+    )
+)
+def test_ewma16_weighted_sum_is_exact_in_doubles(cents):
+    """The q_ts_ewma16 exactness claim (SURVEY §9 law 13): with power-of-
+    two weights over integer cents <= 2^15, every partial sum of the
+    16-term dot product is exactly representable in a double, so float
+    evaluation equals exact rational arithmetic."""
+    from fractions import Fraction
+
+    for k in range(15, len(cents)):
+        window = cents[k - 15 : k + 1][::-1]  # lag j = 0..15
+        acc_float = 0.0
+        acc_exact = Fraction(0)
+        for j, xc in enumerate(window):
+            acc_float = acc_float + xc / float(2 ** (j + 1))
+            acc_exact += Fraction(xc, 2 ** (j + 1))
+        assert acc_float == float(acc_exact)
+        assert Fraction(acc_float) == acc_exact  # bit-exact, not just close
