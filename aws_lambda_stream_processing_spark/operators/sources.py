@@ -380,3 +380,47 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("tenths").alias("total_tenths"),
     )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+             AS n_errors
+    FROM events
+    """,
+    category="2.A",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime metrics via the Observation API — the monitoring hook that
+    attaches named aggregates to a flowing query plan: metrics are
+    collected AS A SIDE EFFECT of one pass over the data (no second scan,
+    no separate job), which is how a production pipeline exports row
+    counts / error rates to its metrics system while doing its real work.
+    The observed values are returned as the result frame and hash-checked
+    against a plain aggregate oracle — proving observe() sees every row
+    exactly once. Streaming twin: the same named metrics surface per
+    micro-batch via StreamingQueryProgress."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("pipeline_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    # drive the pass that the observation rides on (the "real work" here
+    # is a trivial materialization; any action works)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_errors"])],
+        "n_rows long, total_cents long, n_errors long",
+    )
