@@ -424,3 +424,72 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_cents"], m["n_errors"])],
         "n_rows long, total_cents long, n_errors long",
     )
+
+
+@query(
+    "q_source_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN event_id % 10 != 0 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(CASE WHEN event_id % 10 = 0 THEN 1 END) AS BIGINT)
+             AS n_dlq,
+           CAST(SUM(CASE WHEN event_id % 10 != 0
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS good_cents
+    FROM events
+    """,
+    category="2.A",
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-record / dead-letter handling — the Lambda consumer's
+    malformed-payload story in Spark form: a CSV feed where every 10th
+    record is truncated (missing columns) is parsed in PERMISSIVE mode
+    with `columnNameOfCorruptRecord`; corrupt rows route to the DLQ
+    count, clean rows flow on. (The other modes are one option away:
+    DROPMALFORMED silently discards, FAILFAST poisons the batch — the
+    at-least-once retry loop a Lambda DLQ exists to break.) The corrupt
+    split is deterministic (event_id mod 10), so the oracle reproduces
+    the good/DLQ partition arithmetically and the exact cents total
+    proves no clean record was lost or double-counted."""
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="alsp_dlq_")
+    try:
+        cents = F.round(F.col("value") * 100).cast("long")
+        line = F.when(
+            F.col("event_id") % 10 == 0, F.col("event_type")
+        ).otherwise(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                "event_type",
+                cents.cast("string"),
+            )
+        )
+        e.select(line.alias("value")).write.mode("overwrite").text(out)
+        back = (
+            spark.read.schema(
+                "event_id LONG, event_type STRING, cents LONG,"
+                " _corrupt_record STRING"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out)
+        )
+        # MUST cache before referencing _corrupt_record: without it,
+        # column pruning re-parses only the projected columns and the
+        # truncated rows stop mismatching the (pruned) schema — Spark
+        # documents exactly this caveat for corrupt-record queries.
+        back = back.cache()
+        bad = F.col("_corrupt_record").isNotNull()
+        result = back.agg(
+            F.count(F.when(~bad, 1)).alias("n_good"),
+            F.count(F.when(bad, 1)).alias("n_dlq"),
+            F.sum(F.when(~bad, F.col("cents")).otherwise(0)).alias(
+                "good_cents"
+            ),
+        )
+        rows = result.collect()
+        back.unpersist()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
