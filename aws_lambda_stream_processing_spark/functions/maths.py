@@ -210,3 +210,36 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(c, 2).alias("b_shr"),
         F.bit_count(c).alias("b_pop"),
     )
+
+
+@query(
+    "q_binary_funcs",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS b64,
+           hex(substring(text, 1, 8)) AS hx,
+           CAST(bit_length(text) AS INTEGER) AS bl,
+           CAST(octet_length(encode(text)) AS INTEGER) AS ol
+    FROM documents WHERE doc_id < 100
+    """,
+    category="2.H",
+)
+def q_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding function family: base64, hex, bit/octet length —
+    the payload-encoding primitives of the reference architecture
+    (Kinesis records arrive base64-encoded in the Lambda event; the
+    envelope decode in q_source_kinesis_envelope is this family's
+    consumer). RFC 4648 base64 and hex are standards → bit-exact across
+    engines — EXCEPT that Spark's base64 uses the Java MIME encoder
+    (CRLF every 76 chars) while DuckDB emits unchunked RFC 4648; the
+    regexp_replace strips the line breaks to the canonical form."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.regexp_replace(
+            F.base64(F.col("text").cast("binary")), "\r\n", ""
+        ).alias("b64"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("hx"),
+        F.bit_length("text").alias("bl"),
+        F.octet_length("text").alias("ol"),
+    )
