@@ -407,3 +407,199 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filtered — the Q12 plan property that matters at 100 TB."""
     _register(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_Q12_BODY)
+
+
+_Q4_BODY = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query(
+    "q_sql_tpch_q4",
+    oracle=_Q4_BODY,
+    category="2.A",
+)
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking — adapted: "some line
+    shipped after the order date" stands in for the absent
+    commitdate<receiptdate lateness test): correlated EXISTS over the
+    fact table. Catalyst rewrites to a LEFT SEMI hash join on orderkey
+    with the quarter cut pushed to the orders scan — the semi join
+    dedups lineitem matches on the build side, so multi-line orders
+    count once. Integer counts -> exact."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_BODY)
+
+
+_Q6_BODY = """
+    SELECT SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+           / {hundred} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "q_sql_tpch_q6",
+    oracle=_Q6_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate,
+    no join — the canonical predicate-pushdown + whole-stage-codegen
+    benchmark. All three range predicates push to the parquet scan
+    (shipdate min/max prunes row groups at 100 TB); revenue is summed in
+    exact integer hundredths-of-cents so the single scalar matches the
+    oracle bit-for-bit. The BETWEEN on the double discount column
+    compares identical parquet doubles to identical literals in both
+    engines -> no boundary drift."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_BODY.format(hundred="CAST(100 AS DOUBLE)"))
+
+
+_Q13_BODY = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query(
+    "q_sql_tpch_q13",
+    oracle=_Q13_BODY,
+    category="2.A",
+)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution — comment filter
+    dropped with the absent o_comment column): LEFT OUTER join so
+    zero-order customers survive into the c_count=0 bucket, then a
+    second aggregation over the counts. COUNT(o.o_orderkey) counts
+    non-null matches only — the outer-join-then-count-child-column
+    semantics that naive COUNT(*) gets wrong. Both aggs are hash aggs
+    with map-side partials; the first shuffles on custkey (same key as
+    the join -> single exchange), the second on the tiny count domain."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_BODY)
+
+
+_Q17_BODY = """
+    SELECT SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+           / {seven} AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#2'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query(
+    "q_sql_tpch_q17",
+    oracle=_Q17_BODY.format(seven="700.0"),
+    category="2.A",
+)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    subquery per partkey. Catalyst decorrelates into a per-partkey
+    aggregate joined back on partkey — one extra hash agg + equi join,
+    not per-row re-execution. Exactness: l_quantity values are integral
+    doubles, so each partkey's SUM is exact and AVG is a single IEEE
+    division on identical operands in both engines; the 0.2* threshold
+    is one more deterministic float op. Revenue in exact integer cents;
+    single scalar out."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_BODY.format(seven="CAST(700 AS DOUBLE)"))
+
+
+_Q21_BODY = """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate
+                                            + INTERVAL '60' DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "q_sql_tpch_q21",
+    oracle=_Q21_BODY,
+    category="2.A",
+)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting — adapted:
+    "shipped >60 days after the order date" stands in for the absent
+    receiptdate>commitdate lateness test): the hardest decorrelation in
+    the TPC-H suite — EXISTS (another supplier touched the order) AND
+    NOT EXISTS (any OTHER supplier was also late), the latter correlated
+    to BOTH l1 (orderkey, suppkey<>) and o (the lateness cutoff).
+    Catalyst plans semi + anti hash joins on orderkey with the non-equi
+    conjuncts as join residuals — no nested-loop fallback. Ties in
+    numwait are broken by s_name for a stable LIMIT."""
+    _register(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_BODY)
+
+
+_Q22_BODY = """
+    SELECT CAST(c.c_nationkey % 5 AS INTEGER) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))
+           / {hundred} AS totacctbal
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) >
+          (SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                  / CAST(COUNT(*) AS DOUBLE)
+           FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY CAST(c.c_nationkey % 5 AS INTEGER)
+    ORDER BY cntrycode
+"""
+
+
+@query(
+    "q_sql_tpch_q22",
+    oracle=_Q22_BODY.format(hundred="100.0"),
+    category="2.A",
+)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity — adapted: nationkey%5
+    stands in for the absent phone-prefix country code, and "no orders
+    since 1999" for "never ordered" — every customer in this corpus has
+    at least one order, so the spec's unrestricted NOT EXISTS would be
+    vacuously empty): uncorrelated scalar AVG threshold + NOT EXISTS
+    anti join against recent orders. The
+    threshold compares exact integer cents against a single deterministic
+    division (exact BIGINT sum / count), so the above-average cut cannot
+    drift between engines; the anti join is a broadcast/shuffled hash
+    anti on custkey. Balance totals in exact integer cents."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_BODY.format(hundred="CAST(100 AS DOUBLE)"))

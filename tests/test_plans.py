@@ -175,3 +175,26 @@ def test_m4_and_ewma_windows_no_extra_exchange(spark, registry):
 def test_systematic_sample_pushes_predicate(spark, registry):
     df = registry["q_sample_systematic"].fn(spark, SF_DIR)
     assert pushed_filters(df), "modulo predicate must reach the scan"
+
+
+def test_tpch_q21_decorrelates_to_hash_joins(spark, registry):
+    # EXISTS + doubly-correlated NOT EXISTS must become semi/anti hash
+    # joins; a BroadcastNestedLoopJoin or CartesianProduct here would be
+    # O(n^2) over the fact table at scale.
+    df = registry["q_sql_tpch_q21"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q6_pushes_all_range_predicates(spark, registry):
+    # Q6 is the canonical pushdown benchmark: shipdate/discount/quantity
+    # ranges must reach the parquet scan, and the scan must prune to the
+    # four referenced columns.
+    df = registry["q_sql_tpch_q6"].fn(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    cols = scan_columns(df)
+    assert cols and all(len(c) <= 4 for c in cols), cols
