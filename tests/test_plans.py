@@ -198,3 +198,21 @@ def test_tpch_q6_pushes_all_range_predicates(spark, registry):
         assert col in pf, f"{col} not pushed: {pf}"
     cols = scan_columns(df)
     assert cols and all(len(c) <= 4 for c in cols), cols
+
+
+def test_tpch_q2_decorrelates_min_subquery(spark, registry):
+    # The correlated MIN-cost subquery must become an aggregate + equi
+    # join, not a per-row re-execution (BNLJ/cartesian) over partsupp.
+    df = registry["q_sql_tpch_q2"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_tpch_q20_nested_in_stays_hash_joins(spark, registry):
+    # IN -> IN -> correlated scalar: all three levels must plan as
+    # semi/equi hash joins with the scalar decorrelated on the pair key.
+    df = registry["q_sql_tpch_q20"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
