@@ -4,6 +4,7 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     aggregates,
     behavior,
     joins,
+    profiling,
     relational,
     scale,
     setops,

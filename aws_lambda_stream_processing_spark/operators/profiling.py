@@ -1,0 +1,286 @@
+"""Data-profiling / data-quality operators (SURVEY.md §2, round 2): the
+queries a pipeline runs BEFORE trusting a 100 TB corpus — column profiles,
+exact correlation, k-anonymity audit, event-cadence gaps, vocabulary
+growth. Reference identity per SURVEY §0 [T1 README.md:3-4] (a stream
+pipeline's landed data gets exactly this QA pass); semantics are the
+public definitions (Heaps' law, Pearson r, k-anonymity).
+
+Exactness discipline: every output is integers, strings, or a single
+IEEE division/sqrt over exactly-summed integers (parity.py §: one float
+op on identical operands is bit-deterministic); ratios round via
+floor(x*10^k + 0.5)/10^k half-up on both engines — never engine ROUND,
+whose tie behavior differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "q_profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _ORDERS_COLS
+    )
+    + "\nORDER BY column_name",
+    category="2.D",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of `orders`: per-column row/null/distinct counts —
+    the schema-drift smoke test every ingest runs. One Spark job computes
+    ALL columns' stats in a single pass (one global aggregate emitting
+    2+len(cols) exact counters, then a tiny explode to long form) — NOT a
+    scan per column: at 100 TB that's 6 scans saved vs the naive UNION
+    ALL the oracle uses. COUNT(DISTINCT c1), COUNT(DISTINCT c2), ... in
+    one agg is planned by Spark as expand+partial-agg (one shuffle, no
+    joins). Counts are exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _ORDERS_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    per_col = ", ".join(
+        f"'{c}', struct(nn_{c} AS nn, nd_{c} AS nd)" for c in _ORDERS_COLS
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(f"explode(map({per_col})) AS (column_name, s)"),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("s.nn")).alias("n_null"),
+            F.col("s.nd").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )
+
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(round(l_discount * 1000) AS BIGINT)
+                  * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       floor((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000
+             + CAST(0.5 AS DOUBLE))
+       / CAST(1000000 AS DOUBLE) AS corr_qty_disc
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_corr_exact", oracle=_CORR_ORACLE, category="2.D")
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (quantity, discount) per returnflag from
+    EXACT integer moments — not the engines' float `corr` aggregate,
+    whose accumulation order differs run to run. Quantities are integral
+    doubles and discounts live on a 0.001 grid, so the six moments
+    (n, Sx, Sy, Sxx, Syy, Sxy) are exact int64 (bounds at sf0.1:
+    Sxy <= 50*100*600k = 3e9, n*Sxy <= 1.8e15 — headroom; at true 100 TB
+    the moments move to DECIMAL(38), same shape). The final r is a fixed
+    IEEE expression over identical integers on both engines, rounded
+    half-up to 6 decimals via the floor discipline. One hash agg, six
+    counters — the same map-side-partial shape as any SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_discount") * 1000).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.floor(r * 1000000 + F.lit(0.5).cast("double"))
+         / F.lit(1000000).cast("double")).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_anon_kanonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) >= 5 AS k_anonymous
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    category="2.D",
+)
+def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier pair
+    (mktsegment, nationkey): a release is k-anonymous iff every
+    quasi-identifier combination bucket holds >= k individuals. One hash
+    agg; the flag is a pure integer comparison. At 100 TB the
+    quasi-identifier domain is small (segments x nations), so the partial
+    aggregate collapses each map task to the domain size before the
+    shuffle — the audit costs one scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "group_size",
+            (F.col("group_size") >= 5).alias("k_anonymous"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@query(
+    "q_events_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           floor(SUM(gap_us) / CAST(COUNT(gap_us) AS DOUBLE) / 1000000
+                 * 1000 + CAST(0.5 AS DOUBLE))
+           / CAST(1000 AS DOUBLE) AS avg_gap_s
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="2.E",
+)
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per user: consecutive-event gaps via lag over
+    (user_id, ts, event_id) — event_id breaks ts ties so the lag pairing
+    is deterministic — then max and mean gap. Gaps are exact integer
+    microseconds (unix_micros, matching the oracle's epoch_us; the NANOS
+    source column is already µs-truncated by tables.load_table); the mean
+    is one division over exact ints, floor-rounded half-up to
+    milliseconds. Scale: one shuffle on user_id shared by the window and
+    the agg — Catalyst reuses the partitioning, so the whole op is a
+    single exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("sum_us"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            "max_gap_us",
+            (
+                F.floor(
+                    F.col("sum_us") / F.col("n_gaps").cast("double")
+                    / 1000000 * 1000
+                    + F.lit(0.5).cast("double")
+                )
+                / F.lit(1000).cast("double")
+            ).alias("avg_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_llm_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    first AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents)
+    SELECT CAST(t.d AS INTEGER) AS decile,
+           CAST(SUM(CASE WHEN f.first_doc * 10 < t.d * n.nd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+    FROM first f CROSS JOIN n CROSS JOIN generate_series(1, 10) t(d)
+    GROUP BY t.d
+    ORDER BY decile
+    """,
+    category="2.J",
+)
+def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct tokens seen within
+    the first d/10 of the corpus (by doc_id), for d = 1..10 — the
+    dedup-planning companion to the Zipf slope (`q_llm_zipf_slope`): a
+    flattening curve says near-dup mass, a steep one says fresh text.
+
+    Scale shape: explode to tokens, ONE hash agg to first-occurrence
+    (token -> min doc_id; vocabulary-sized, not corpus-sized), then ten
+    conditional sums in a single pass over that agg — threshold math is
+    pure integers (first_doc*10 < d*nd), no division. The only joins are
+    two broadcast attaches (the 1-row max and the 10-row decile spine);
+    the token explode never shuffles raw text, only (token, doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    first = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nd = d.agg((F.max("doc_id") + 1).alias("nd"))
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    return (
+        first.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(deciles))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("first_doc") * 10 < F.col("d") * F.col("nd"), 1
+                ).otherwise(0)
+            ).alias("vocab")
+        )
+        .select(F.col("d").alias("decile"), "vocab")
+        .orderBy("decile")
+    )
