@@ -977,3 +977,49 @@ def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang",
         F.coalesce("pl", F.lit("und")).alias("pred_lang"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q_llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(
+             list_slice(list_sort(list(doc_id)), 1, 20), ',') AS posting_head
+    FROM tok
+    GROUP BY token
+    ORDER BY df DESC, token
+    """,
+    category="2.J",
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> document frequency + the first 20
+    doc ids of the sorted posting list (the 'posting head' — real indexes
+    store blocks, not unbounded strings, so the output stays bounded no
+    matter how common the token). Per-doc token dedup first (DISTINCT),
+    then one hash agg per token; the posting head is
+    slice(sort, 20) -> string per SURVEY §2 convention 4.
+
+    Scale shape: the explode emits (token, doc_id) pairs only — never
+    text bodies — and the agg's map-side partial collapses each task to
+    its local vocabulary. Posting lists longer than the head would be
+    bucketed into blocks by (token, doc_id range) at 100 TB; df and head
+    are what a query planner actually consults."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("posting_head"),
+        )
+        .orderBy(F.desc("df"), "token")
+    )

@@ -700,3 +700,78 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag_h", "n", F.round(num / den, 4).alias("xcorr")
     ).orderBy("lag_h")
+
+
+@query(
+    "q_ts_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med_c
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.cents, abs(v.cents - m.med_c) AS adev
+      FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           MIN(m2.med_c) / CAST(100 AS DOUBLE) AS median_value,
+           MIN(mad.mad_c) / CAST(100 AS DOUBLE) AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN mad ON d.event_type = mad.event_type
+    JOIN med m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    category="2.J",
+)
+def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via Median Absolute Deviation — the
+    outlier-resistant twin of `q_ts_anomaly_zscore` (a z-score's mean and
+    stddev are themselves dragged by the outliers being hunted; the
+    median/MAD pair is not). Two exact medians over integer cents
+    (linear interpolation at .5 lands on the half-cent grid — exact IEEE
+    in both engines), then count of |v - median| > 3*MAD.
+
+    Scale shape: two sorted aggregations on the same event_type key (the
+    second over |deviation|), one broadcast attach of the per-type
+    medians between them — type cardinality is tiny, so both aggs
+    collapse map-side. No row leaves as anything wider than (type,
+    cents)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_c")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_c")).alias("adev"),
+        "med_c",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.min("med_c") / F.lit(100).cast("double")).alias("median_value"),
+            (F.min("mad_c") / F.lit(100).cast("double")).alias("mad_value"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

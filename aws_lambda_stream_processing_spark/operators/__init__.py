@@ -3,6 +3,7 @@
 from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     aggregates,
     behavior,
+    graphs,
     joins,
     profiling,
     relational,

@@ -1,0 +1,237 @@
+"""Graph operators over relationally-derived graphs (SURVEY.md §2,
+round 2): triangle census and fixed-point PageRank on the part
+co-occurrence graph (parts are connected iff some order contains both),
+plus the recursive-CTE SQL surface. Complements the label-propagation
+connected components already in `llm/dedup.py` (q_llm_dedup_cc).
+
+Reference identity per SURVEY §0 [T1 README.md:3-4]; algorithms are the
+public definitions (node-iterator triangle counting, PageRank as in the
+original Brin/Page formulation with damping 0.85).
+
+Exactness discipline: PageRank runs in FIXED-POINT integer arithmetic
+(scale 10^12, floor division) — float PageRank sums neighbor
+contributions in nondeterministic order, so its low bits are not
+engine-portable; the integer iteration is bit-exact on both engines and
+converges the same way (the quantization error is < N/SCALE per step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges (u < v): two parts are
+    adjacent iff they appear in the same order. Self-join on l_orderkey
+    with the u < v cut, then DISTINCT — the pair explosion is bounded by
+    (lines per order choose 2), a small constant per order, and the
+    distinct output by (part vocabulary)^2, not by fact-table size."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT 1 FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+    category="2.C",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-occurrence graph by ordered
+    edge enumeration: with every edge stored once as u < v, the join
+    e1(u,v) |> e2(v,w) |> probe e3(u,w) emits each triangle exactly once
+    (u < v < w by construction) — no /6 correction, no double counting.
+
+    Scale shape: this is the distributed node-iterator algorithm — two
+    equi hash joins on node keys. The wedge stream (e1 |> e2) is the big
+    intermediate; at 100 TB you'd pre-bucket edges by u and rely on AQE
+    skew splitting for hub nodes, but the join topology is unchanged. The
+    final probe is a semi-join-shaped equi join on (u, w)."""
+    e = _part_edges(spark, sf_dir).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return edges_n.crossJoin(F.broadcast(tri))
+
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE integer PageRank for DuckDB (// is floor division;
+    Spark side uses `div` — identical on the positive values here)."""
+    body = f"""
+    WITH edges_half AS ({_EDGES_SQL}),
+    edges AS (
+      SELECT u, v FROM edges_half
+      UNION ALL
+      SELECT v AS u, u AS v FROM edges_half
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    pr0 AS (
+      SELECT deg.u AS node, {_PR_SCALE} // n.n_nodes AS pr
+      FROM deg CROSS JOIN n
+    )"""
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        body += f""",
+    c{i} AS (
+      SELECT e.v AS node,
+             CAST(SUM(p.pr // deg.d) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN {prev} p ON p.node = e.u
+      JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    ),
+    pr{i} AS (
+      SELECT c.node,
+             ({_PR_SCALE} * 15) // (100 * n.n_nodes)
+             + (85 * c.contrib) // 100 AS pr
+      FROM c{i} c CROSS JOIN n
+    )"""
+        prev = f"pr{i}"
+    body += f"""
+    SELECT node, pr FROM {prev}
+    ORDER BY pr DESC, node
+    LIMIT 10
+    """
+    return body
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle(), category="2.C")
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} fixed iterations) on the
+    symmetrized part co-occurrence graph, in fixed-point integer
+    arithmetic at scale 10^12: pr' = (0.15*S)//N + (85*sum(pr//deg))//100
+    with floor division throughout. Summing integers is
+    order-independent, so the result is bit-exact on any engine and any
+    partitioning — the property float PageRank lacks. Top-10 by rank,
+    node tiebreak.
+
+    Scale shape: each iteration is one equi join (pr |> edges, both
+    partitioned by node) + one hash agg on the target node — the classic
+    distributed PageRank step. The degree table joins on the same key, so
+    a bucketed layout pays one shuffle total; the symmetric graph has no
+    dangling-mass correction to carry. Iteration count is fixed (an
+    analytics snapshot, not a convergence loop), so the plan is a static
+    {iters}-stage chain — no driver-side loop state beyond plan
+    construction, no collect().""".format(iters=_PR_ITERS)
+    half = _part_edges(spark, sf_dir)
+    # The co-occurrence graph is vocabulary-sized (<= |parts|^2 edges,
+    # ~20k here) while the session's shuffle width is sized for the fact
+    # tables — running the 3-iteration join chain at fact-table width
+    # costs ~10 stage launches of pure overhead. Coalesce the tiny graph
+    # to a handful of partitions; at a 100 TB part vocabulary you'd raise
+    # this (or bucket by node) but the iteration topology is unchanged.
+    edges = (
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .coalesce(4)
+        .cache()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    pr = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("u").alias("node"),
+            F.expr(f"{_PR_SCALE} div n_nodes").alias("pr"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, pr["node"] == edges["u"])
+            .join(deg, on="u")
+            .select(F.col("v").alias("node"), F.expr("pr div d").alias("share"))
+            .groupBy("node")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        pr = contrib.crossJoin(F.broadcast(n)).select(
+            "node",
+            F.expr(
+                f"({_PR_SCALE} * 15) div (100 * n_nodes)"
+                " + (85 * contrib) div 100"
+            ).alias("pr"),
+        )
+    return pr.orderBy(F.desc("pr"), "node").limit(10)
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS ancestor, 0 AS depth
+      FROM part WHERE p_partkey >= (SELECT MAX(p_partkey) - 3 FROM part)
+      UNION ALL
+      SELECT node, ancestor // 2 AS ancestor, depth + 1 AS depth
+      FROM anc WHERE ancestor > 0
+    )
+    SELECT node, ancestor, depth FROM anc
+    ORDER BY node, depth
+    """,
+    category="2.A",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): ancestor chains in the
+    implicit binary tree parent(k) = k//2 — the BOM/org-hierarchy
+    traversal shape — for the four highest part keys (anchor bound via a
+    scalar subquery, so the frontier stays 4 nodes at every SF). Floor division on
+    non-negative keys is identical between Spark's `div` and DuckDB's
+    `//`; depth is bounded by log2(maxkey) so the recursion terminates in
+    ~8 rounds. Each round is one filter+project over the frontier — the
+    same iterative-join shape as the PageRank chain but driven by the
+    engine's recursion operator instead of an unrolled plan."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey AS ancestor, 0 AS depth
+          FROM part WHERE p_partkey >= (SELECT MAX(p_partkey) - 3 FROM part)
+          UNION ALL
+          SELECT node, ancestor div 2 AS ancestor, depth + 1 AS depth
+          FROM anc WHERE ancestor > 0
+        )
+        SELECT node, ancestor, depth FROM anc
+        ORDER BY node, depth
+        """
+    )
