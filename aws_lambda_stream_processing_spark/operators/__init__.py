@@ -9,6 +9,7 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     relational,
     scale,
     setops,
+    sketches,
     sorts,
     sources,
     sqlfront,

@@ -593,3 +593,53 @@ def q_agg_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(qs, lambda q: F.round(q, 4).cast("string")), ","
         ).alias("quartiles")
     )
+
+
+@query(
+    "q_agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.D",
+)
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    'materialized' pre-1999 aggregate and the 'arriving delta' (1999+)
+    aggregate are computed separately, then MERGED by summing partials —
+    count and integer-cents sum are commutative monoids, so
+    merge(agg(A), agg(B)) == agg(A ∪ B) exactly, which is what the
+    full-recompute oracle certifies. This is the foreachBatch-upsert /
+    streaming-partial-agg contract (`q_stream_upsert_foreachbatch`,
+    `q_stream_running_state`) stated as a batch algebra law.
+
+    Scale shape: the delta agg touches only delta partitions (orderdate
+    pruning pushes to the scan); the merge re-agg runs over 2x|groups|
+    rows, not data. At 100 TB this is the difference between re-reading
+    the lake and reading yesterday's summary plus today's partition."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    base = part(o.where(F.col("o_orderdate") < cut))
+    delta = part(o.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
