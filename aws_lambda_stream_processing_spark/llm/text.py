@@ -1023,3 +1023,79 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), "token")
     )
+
+
+@query(
+    "q_llm_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS fanout
+      FROM pair GROUP BY w1
+    ),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vs FROM pair)
+    SELECT p.w1, p.w2, p.c12, u.c1,
+           floor((p.c12 + 1) / CAST(u.c1 + v.vs AS DOUBLE) * 1000000
+                 + CAST(0.5 AS DOUBLE))
+           / CAST(1000000 AS DOUBLE) AS p_smoothed
+    FROM pair p JOIN uni u ON u.w1 = p.w1 CROSS JOIN v
+    ORDER BY p.c12 DESC, p.w1, p.w2
+    LIMIT 30
+    """,
+    category="2.J",
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing: the top-30
+    transitions by count, each with P(w2|w1) = (c12+1)/(c1+|V|) — the
+    n-gram companion to `q_llm_unigram_xent` (which scores docs under a
+    unigram LM; this builds the conditional table itself, the structure a
+    repetition/fluency heuristic consults). Counts are exact integers;
+    the single smoothed division is one IEEE op over identical ints,
+    floor-rounded half-up to 6 decimals.
+
+    Scale shape: posexplode to adjacent pairs (pairs never leave as
+    text — two token columns), one hash agg to the bigram table, one
+    re-agg to the unigram marginals (same w1 key — the exchange is
+    reused), broadcast |V| scalar. Top-30 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    bg = toks.select(
+        F.posexplode("t").alias("i", "w1"),
+        F.col("t"),
+    ).where(F.col("i") < F.size("t") - 1).select(
+        "w1", F.expr("t[i + 1]").alias("w2")
+    )
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = pair.agg(F.countDistinct("w2").alias("vs"))
+    p = (
+        pair.join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (
+                F.floor(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("vs")).cast("double")
+                    * 1000000
+                    + F.lit(0.5).cast("double")
+                )
+                / F.lit(1000000).cast("double")
+            ).alias("p_smoothed"),
+        )
+    )
+    return p.orderBy(F.desc("c12"), "w1", "w2").limit(30)

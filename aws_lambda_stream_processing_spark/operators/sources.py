@@ -493,3 +493,47 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 ships the XML data source
+    in-box — the spark-xml package folded into core): orders projected to
+    (priority, exact cents), written as row-tagged XML, read back with an
+    explicit schema, re-aggregated against the parquet oracle. XML is the
+    interchange format of the B2B feeds a stream pipeline often fronts;
+    the integer-cents projection proves values survive the text encoding
+    exactly (no float re-parse drift — cents travel as longs). Tiny final
+    aggregate materializes so the sink dir can be removed (q_sink_parquet
+    pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="alsp_xml_")
+    try:
+        proj = o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        proj.write.mode("overwrite").format("xml").option(
+            "rowTag", "order"
+        ).save(out + "/x")
+        back = spark.read.format("xml").option("rowTag", "order").schema(
+            "o_orderpriority string, cents long"
+        ).load(out + "/x")
+        result = back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
