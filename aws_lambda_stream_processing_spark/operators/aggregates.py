@@ -13,7 +13,7 @@ tradeoff and overflow bounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.parity import (
@@ -642,4 +642,114 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS wt
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    c AS (
+      SELECT l_returnflag, qty, wt,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY qty)
+                  AS BIGINT) AS cumw,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+      FROM w
+    )
+    SELECT l_returnflag, CAST(MIN(qty) AS BIGINT) AS weighted_median_qty
+    FROM c WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    category="2.D",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per returnflag: the smallest
+    quantity whose cumulative revenue weight reaches half the total —
+    the 'what quantity does half the money sit below' statistic that an
+    unweighted median misstates. Pre-aggregating to the (flag, qty)
+    domain FIRST bounds the windowed rows by the quantity domain (50
+    values), not the fact table — the running sum then costs nothing at
+    any scale. All weights are exact integer cents; the crossing test
+    2*cumw >= totw stays in integers (no /2, no float)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "wt"
+        )
+    )
+    win_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_tot = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "qty",
+        F.sum("wt").over(win_cum).alias("cumw"),
+        F.sum("wt").over(win_tot).alias("totw"),
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("qty").alias("weighted_median_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT event_type,
+             user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+               AS bits
+      FROM events
+      GROUP BY event_type, user_id // 32
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap
+    FROM words
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event_type via BITMAP aggregation
+    (the roaring/groupBitmap pattern): pack user ids into 32-bit words
+    (word = id//32, bit = id%32 — 32 not 64: DuckDB range-checks signed
+    shifts, so bit 63 would overflow its BIGINT), OR the words per group,
+    popcount-sum. Equivalent to COUNT(DISTINCT) but the shuffled state is
+    |id-domain|/32
+    words per group instead of one row per distinct id — the bitmap is
+    the mergeable summary, which is why OLAP engines ship it as a
+    first-class agg. Pure integer ops; exact on both engines.
+
+    Scale note: for sparse 64-bit id spaces the word layer keys the
+    bitmap (that IS roaring's chunking); the dense-word math here is the
+    in-chunk representation."""
+    e = load_table(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).alias("n_users_bitmap"))
+        .orderBy("event_type")
     )

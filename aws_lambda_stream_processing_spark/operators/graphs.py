@@ -78,7 +78,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate; at 100 TB you'd pre-bucket edges by u and rely on AQE
     skew splitting for hub nodes, but the join topology is unchanged. The
     final probe is a semi-join-shaped equi join on (u, w)."""
-    e = _part_edges(spark, sf_dir).cache()
+    # Vocabulary-sized graph (see q_graph_pagerank): run the two-join
+    # chain on a few partitions instead of fact-table shuffle width.
+    e = _part_edges(spark, sf_dir).coalesce(4).cache()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

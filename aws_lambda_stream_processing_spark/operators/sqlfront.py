@@ -899,3 +899,78 @@ def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three-valued logic, same as the spec's semantics)."""
     _register(spark, sf_dir, "lineitem", "supplier", "part", "nation")
     return spark.sql(_Q20_BODY)
+
+
+@query(
+    "q_sql_ctas_insert",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL/DML surface: CREATE TABLE AS SELECT (the pre-1998 order rows)
+    then INSERT INTO ... SELECT (the 1998+ delta), then aggregate the
+    catalog table — the managed-table write path a warehouse layer uses,
+    certified against the direct parquet aggregate. Fixed table name with
+    drop-and-clean (the q_join_bucketed pattern: the in-memory catalog
+    forgets tables between sessions while warehouse dirs persist), result
+    materialized before the DROP so the returned frame doesn't read a
+    dead table."""
+    import os
+    import shutil as _sh
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("CREATE DATABASE IF NOT EXISTS alsp_ddl")
+    tbl = "alsp_ddl.orders_ctas"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(
+            os.path.join(warehouse, "alsp_ddl.db", "orders_ctas"),
+            ignore_errors=True,
+        )
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} USING PARQUET AS
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            """
+        )
+        spark.sql(
+            f"""
+            INSERT INTO {tbl}
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            """
+        )
+        result = spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM {tbl}
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+            """
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(
+            os.path.join(warehouse, "alsp_ddl.db", "orders_ctas"),
+            ignore_errors=True,
+        )
