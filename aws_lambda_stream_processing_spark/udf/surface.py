@@ -195,3 +195,145 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token "
         "FROM udtf_docs, LATERAL tokenize_doc(doc_id, text) t"
     )
+
+
+@query(
+    "q_udf_cogrouped_map",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS event_cents
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.event_cents, 0) AS event_cents,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_cents, 0) AS order_cents
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    ORDER BY user_id
+    """,
+    category="2.K",
+)
+def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map surface: `groupBy().cogroup().applyInPandas` — the
+    two-sided Arrow kernel (both tables' per-key groups arrive as pandas
+    frames in one call; the API a custom as-of merge or interval align
+    uses when the built-in joins can't express it). The kernel here
+    computes per-user exact-cents totals from BOTH sides including
+    one-sided keys — full-outer semantics a plain grouped-map can't see.
+
+    Scale shape: ONE co-partitioned shuffle of both inputs on user_id;
+    kernel output is one row per key. The oracle is the equivalent
+    agg + full-outer join."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 150)
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    )
+
+    def merge(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        # Two-sided Arrow kernel: either side may be empty for this key.
+        ec = (
+            np.floor(np.abs(epdf["value"]) * 100 + 0.5).astype("int64")
+            * np.sign(epdf["value"]).astype("int64")
+        ).sum() if len(epdf) else 0
+        oc = (
+            np.floor(opdf["o_totalprice"] * 100 + 0.5).astype("int64").sum()
+            if len(opdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(epdf)],
+                "event_cents": [int(ec)],
+                "n_orders": [len(opdf)],
+                "order_cents": [int(oc)],
+            }
+        )
+
+    out = (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, event_cents long,"
+            " n_orders long, order_cents long",
+        )
+    )
+    return out.orderBy("user_id")
+
+
+@query(
+    "q_udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS disc_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    category="2.K",
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: the zero-copy rung below mapInPandas — batches
+    arrive as raw pyarrow RecordBatches (no pandas conversion), the right
+    API when the kernel is itself Arrow-native (tokenizers, codecs,
+    Arrow-compute). The kernel computes per-batch partial (flag, count,
+    exact discounted cents) partials; a JVM hash-agg merges them — the
+    partial-agg-in-UDF + final-agg-in-engine split that keeps Python
+    from ever seeing the full table.
+
+    The per-row product stays IEEE double (bit-identical everywhere);
+    rounding uses pyarrow/numpy floor half-up on non-negative values,
+    matching the oracle's round()."""
+    import pyarrow as pa
+
+    def partials(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype("int64")
+            df = pd.DataFrame({"f": flags, "c": cents})
+            g = df.groupby("f", sort=False).agg(
+                n=("c", "size"), s=("c", "sum")
+            )
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "l_returnflag": g.index.to_numpy(),
+                        "n_part": g["n"].to_numpy().astype("int64"),
+                        "cents_part": g["s"].to_numpy().astype("int64"),
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    part = li.mapInArrow(
+        partials, "l_returnflag string, n_part long, cents_part long"
+    )
+    return (
+        part.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum("cents_part").alias("disc_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
