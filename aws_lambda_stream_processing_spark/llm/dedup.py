@@ -836,3 +836,203 @@ def q_llm_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("cluster_size") > 1).select(
         "doc_id", "survivor_id", "cluster_size"
     )
+
+
+# --- q_llm_dedup_eval (round 2) ---------------------------------------------
+
+_EV_MINS_SQL = ", ".join(
+    f"MIN(({a} * gh + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_MH_SEEDS)
+)
+_EV_B1_SQL = " || ',' || ".join(f"h{i}" for i in range(4))
+_EV_B2_SQL = " || ',' || ".join(f"h{i}" for i in range(4, 8))
+
+
+@query(
+    "q_llm_dedup_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % {_MH_MOD}) AS h
+      FROM v
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS tok1, t[i + 1] AS tok2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    gh AS (
+      SELECT bg.doc_id,
+             (h1.h * 1000003 + h2.h) % {_MH_MOD} AS gh
+      FROM bg
+      JOIN th h1 ON h1.tok = bg.tok1
+      JOIN th h2 ON h2.tok = bg.tok2
+    ),
+    mh AS (
+      SELECT doc_id, {_EV_MINS_SQL}
+      FROM gh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, '1|' || {_EV_B1_SQL} AS bk FROM mh
+      UNION ALL
+      SELECT doc_id, '2|' || {_EV_B2_SQL} AS bk FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT DISTINCT doc_id, gh FROM gh),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.gh = a.gh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b, COALESCE(i.o, 0) AS o, x.n AS na, y.n AS nb
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sz x ON c.doc_a = x.doc_id
+      JOIN sz y ON c.doc_b = y.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN 3 * o >= na + nb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE SUM(CASE WHEN 3 * o >= na + nb THEN 1 ELSE 0 END)
+                     * 10000 // COUNT(*) END AS BIGINT) AS precision_bp
+    FROM scored
+    """,
+    category="2.J",
+)
+def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder EVALUATION: take the LSH candidate pairs (2 bands x 4
+    rows over the exact-MinHash signatures of `q_llm_minhash_exact`) and
+    score them against TRUE shingle Jaccard — precision in integer basis
+    points. The >= 0.5 truth test is the pure-integer inequality
+    3*o >= na + nb (o/(na+nb-o) >= 1/2 cleared of the division), so the
+    whole evaluation is exact: candidate generation, truth, and the
+    precision ratio (integer floor division).
+
+    This is the measurement that justifies the banding parameters the
+    weak `q_llm_minhash_lsh` ships: recall needs ground truth over all
+    pairs (infeasible by definition at scale — that's WHY LSH exists),
+    but precision is computable exactly over the candidate set, which is
+    sub-quadratic by construction.
+
+    Scale shape: signatures and band keys are one hash-agg each;
+    candidates come from an equi self-join on band key (the LSH bucket
+    join); the truth join touches only candidate pairs x their shingle
+    sets — never all pairs. Everything shuffles ids and 8-int signatures,
+    not text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = toks.select("tok").distinct()
+    th = vocab.select(
+        "tok",
+        F.aggregate(
+            F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(7).cast("long"),
+            lambda acc, x: (acc * 131 + x) % _MH_MOD,
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("tok").alias("tok1"),
+        F.lead("tok", 1).over(w).alias("tok2"),
+    ).where(F.col("tok2").isNotNull())
+    gh = (
+        bg.join(F.broadcast(th.withColumnRenamed("h", "h1")), bg.tok1 == th.tok)
+        .drop("tok")
+        .join(
+            F.broadcast(
+                th.select(F.col("tok").alias("tok_b"), F.col("h").alias("h2"))
+            ),
+            F.col("tok2") == F.col("tok_b"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("h1") * 1000003 + F.col("h2")) % _MH_MOD).alias("gh"),
+        )
+        # cached: BOTH the signature agg (mh) and the truth-side shingle
+        # sets (sh) consume this stream — without the cache the whole
+        # token-hash pipeline runs twice.
+        .cache()
+    )
+    mh = gh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("gh") + F.lit(b)) % _MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_SEEDS)
+        ]
+    )
+    b1 = mh.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.lit("1|"), *[F.col(f"h{i}") for i in range(4)]
+        ).alias("bk"),
+    )
+    b2 = mh.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.lit("2|"), *[F.col(f"h{i}") for i in range(4, 8)]
+        ).alias("bk"),
+    )
+    bands = b1.unionByName(b2)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = gh.distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("g_a"))
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("gh").alias("g_b"))
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(
+            b_sh,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("g_a") == F.col("g_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("o"))
+    )
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"o": 0})
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    true_flag = F.when(3 * F.col("o") >= F.col("na") + F.col("nb"), 1).otherwise(0)
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(true_flag).alias("n_true"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE"
+            " SUM(CASE WHEN 3 * o >= na + nb THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) END AS BIGINT)"
+        ).alias("precision_bp"),
+    )
