@@ -775,3 +775,160 @@ def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1
+    ),
+    hod AS (
+      SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1
+    )
+    SELECT hour_of_day, n_hours,
+           (CAST(s AS DOUBLE) / n_hours) / 100 AS seasonal_mean,
+           (CAST(sq AS DOUBLE) / n_hours
+            - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours))
+           / 10000 AS resid_var
+    FROM hod
+    ORDER BY hour_of_day
+    """,
+    category="2.J",
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of the hourly click-revenue
+    series: hourly totals in exact integer cents, then per hour-of-day
+    the seasonal mean and the residual variance — the classic additive
+    seasonal-naive profile (what remains after the seasonal mean is the
+    residual; its variance comes from the exact moment identity
+    E[x²]−E[x]², so no per-row float subtraction ever happens). Every
+    aggregate is integer-exact; the only float ops are the final
+    divisions, written in the SAME order in both engines.
+
+    Scale shape: two cascading hash-aggs — (hour) then (hour-of-day) —
+    the first collapses map-side per input partition (hours are dense,
+    bounded by the time span), the second's output is exactly 24 rows.
+    Nothing wider than (hour, cents) shuffles; no window function at
+    all."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
+        )
+    )
+    hod = hourly.groupBy(
+        F.hour("h").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n_hours")
+    return hod.select(
+        "hour_of_day",
+        "n_hours",
+        (mean_c / F.lit(100)).alias("seasonal_mean"),
+        (
+            (F.col("sq").cast("double") / F.col("n_hours") - mean_c * mean_c)
+            / F.lit(10000)
+        ).alias("resid_var"),
+    ).orderBy("hour_of_day")
+
+
+@query(
+    "q_ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t
+      FROM daily
+    ),
+    cum AS (
+      SELECT d,
+             SUM(c) OVER (ORDER BY d) AS pre,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+             n, t
+      FROM daily CROSS JOIN tot
+    )
+    SELECT CAST(d AS TIMESTAMP) AS change_day,
+           CAST(abs(n * pre - k * t) AS BIGINT) AS cusum_abs,
+           CAST(pre AS DOUBLE) / k / 100 AS mean_before,
+           CAST(t - pre AS DOUBLE) / NULLIF(n - k, 0) / 100 AS mean_after
+    FROM cum
+    ORDER BY abs(n * pre - k * t) DESC, d ASC
+    LIMIT 1
+    """,
+    category="2.J",
+)
+def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily error-revenue series:
+    the split point k maximizing |S_k| where S_k is the cumulative
+    deviation from the global mean. Cleared of divisions, that is the
+    PURE-INTEGER statistic |n·P_k − k·T| (P_k prefix sum, T total, n
+    days) — argmax, tie-broken to the earliest day, is bit-exact under
+    any partitioning. The before/after means are single float divisions
+    on exact integers, applied identically in both engines.
+
+    Scale shape: the raw stream collapses to a DAILY series in one
+    hash-agg (map-side partials, output bounded by the calendar), so the
+    cumulative window runs over days, not events — a global window over
+    a calendar-bounded frame is a single-task triviality, and the
+    top-1 is a WindowGroupLimit-free orderBy().limit(1) on that same
+    tiny frame. The (n, T) scalars attach by broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("c").alias("t")
+    )
+    w = Window.orderBy("d")
+    cum = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.sum("c").over(w).alias("pre"),
+            F.row_number().over(w).cast("bigint").alias("k"),
+            "n",
+            "t",
+        )
+    )
+    stat = F.abs(F.col("n") * F.col("pre") - F.col("k") * F.col("t"))
+    return (
+        cum.select(
+            # date -> timestamp for cross-engine result parity (the
+            # dates.py convention: pandas renders a DuckDB DATE as a
+            # Timestamp, Spark's DATE as datetime.date).
+            F.col("d").cast("timestamp").alias("change_day"),
+            stat.cast("bigint").alias("cusum_abs"),
+            (F.col("pre").cast("double") / F.col("k") / F.lit(100)).alias(
+                "mean_before"
+            ),
+            (
+                (F.col("t") - F.col("pre")).cast("double")
+                / F.nullif(F.col("n") - F.col("k"), F.lit(0))
+                / F.lit(100)
+            ).alias("mean_after"),
+        )
+        .orderBy(F.col("cusum_abs").desc(), F.col("change_day").asc())
+        .limit(1)
+    )

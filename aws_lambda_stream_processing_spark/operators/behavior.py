@@ -329,3 +329,90 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ttc_us_pcts"),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END AS touch_type,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END AS touch_ts
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, ts, event_type, cents,
+             LAST_VALUE(touch_type IGNORE NULLS) OVER w AS lt_type,
+             LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS lt_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN lt_ts IS NOT NULL
+                 AND lt_ts >= ts - INTERVAL 7 DAY
+                THEN lt_type ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    category="2.J",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    most recent STRICTLY-EARLIER click/view by the same user within a
+    7-day lookback, else to 'direct'; revenue rolls up per channel in
+    exact integer cents. "Strictly earlier" is pinned by the window
+    frame (ROWS ... AND 1 PRECEDING) over the deterministic (ts,
+    event_id) order, so a touch sharing a purchase's timestamp never
+    attributes to it — identical tie semantics in both engines.
+
+    Scale shape: ONE shuffle on user_id (the natural high-cardinality
+    key) drives a single carry-forward window (`last(..., ignorenulls)`
+    over the unioned event stream — the same pattern as a sorted
+    merge-scan per user); the channel rollup is a tiny hash-agg whose
+    output is bounded by channel count. No self-join of purchases
+    against touches — the as-of lookup rides the one sort."""
+    e = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "cents",
+        F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    channel = F.when(
+        F.col("lt_ts").isNotNull()
+        & (F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
