@@ -24,6 +24,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # Read as raw nanos and convert to µs in tables.load_table — identical
     # truncation to DuckDB 1.0's ns→µs read (verified).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The 2026-08-13 testdata regen switched ts/o_orderdate/l_shipdate to
+    # NAIVE timestamp[us] parquet. Spark 4 infers those as TIMESTAMP_NTZ,
+    # which breaks unix_micros() and every LTZ-assuming expression. Read
+    # them as LTZ instead: parquet micros are taken verbatim as epoch
+    # micros (no zone shift), which under the pinned UTC session equals
+    # DuckDB's naive-as-UTC read — bit-identical to the old behavior.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow-batched toPandas: OSS Spark defaults this OFF, so a vanilla
     # driver session materializes results row-by-row over py4j — measured
     # 4.1 s for the 60k-row cast matrix vs ~0.5 s with Arrow. Values are

@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Explicit schema: streaming file sources cannot infer (and at 100 TB you
-# pin schemas anyway). ts is parquet TIMESTAMP(NANOS) → read as raw nanos
-# (nanosAsLong conf) and truncated to µs, matching DuckDB 1.0 and the batch
-# loader (tables.load_table).
+# pin schemas anyway). The 2026-08-13 testdata regen stores ts as NAIVE
+# timestamp[us]; with inferTimestampNTZ disabled (session.RUNTIME_CONFS)
+# Spark reads the stored micros verbatim as LTZ — identical to the batch
+# loader (tables.load_table) and DuckDB's naive-as-UTC read. (The earlier
+# TIMESTAMP(NANOS)-as-long era needed `ts BIGINT` + div-1000 here.)
 EVENTS_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -66,12 +68,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded DataFrame (file streaming source)."""
     # The file streaming source wants a directory; select just events.parquet
     # out of the sf dir with a glob filter.
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_DDL)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_memory(

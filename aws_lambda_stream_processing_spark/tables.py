@@ -62,6 +62,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive: if NTZ inference was active anyway (immutable conf), map
+    # every TIMESTAMP_NTZ column to LTZ via zone-independent calendar
+    # arithmetic against the NTZ epoch — equals the naive-as-UTC read.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(
+                fld.name,
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {fld.name}))"
+                ),
+            )
     if os.environ.get("ALSP_CACHE_TABLES") == "1":
         df = df.cache()
     _MEMO[key] = df
