@@ -173,3 +173,54 @@ def q_str_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("tok", "nearest", "dist")
     )
+
+
+@query(
+    "q_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://shop' || CAST(user_id % 5 AS VARCHAR)
+               || '.example.com/' || event_type
+               || '?uid=' || CAST(user_id AS VARCHAR)
+               || '&v=' || CAST(event_id % 100 AS VARCHAR) AS url
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]uid=([^&]*)', 1) AS uid
+    FROM u
+    ORDER BY event_id
+    """,
+    category="2.H",
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the web-corpus curation primitive (host-level
+    dedup, per-domain quotas, query-param stripping all start here).
+    URLs are synthesized deterministically from events (the corpus ships
+    none), then split with Spark's dedicated parse_url expression
+    (HOST / PATH / QUERY / keyed QUERY) — JVM codegen, no regex cost on
+    the Spark side; the oracle recovers identical parts with anchored
+    RE2 regexes. Pure map stage: no shuffle, scales linearly, and at
+    100 TB the parse feeds directly into a host-keyed groupBy without
+    rereading text."""
+    e = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/"), F.col("event_type"),
+        F.lit("?uid="), F.col("user_id").cast("string"),
+        F.lit("&v="), (F.col("event_id") % 100).cast("string"),
+    )
+    return (
+        e.select("event_id", url.alias("url"))
+        .select(
+            "event_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid"),
+        )
+        .orderBy("event_id")
+    )

@@ -330,3 +330,63 @@ def q_llm_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("eval_source", "train_source")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               text2, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+               text2, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(
+               regexp_replace(text2, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                              '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS scrubbed_len
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus — the compliance step every
+    training pipeline runs before anything else sees the text. The corpus
+    ships no PII, so a deterministic synthetic email + phone is appended
+    per doc (keyed off doc_id — reproducible on both engines), then both
+    are detected (regexp_count) and redacted (regexp_replace → [EMAIL] /
+    [PHONE] placeholders). Patterns stay in the ASCII subset where Java
+    and RE2 regex dialects agree. Everything is whole-stage codegen
+    string ops — no Python in the loop; at 100 TB this is a pure map
+    stage, no shuffle at all (the ORDER BY is presentation-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+    phone_re = r"555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text2, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(text2, F.lit(email_re)).cast("long").alias("n_emails"),
+            F.regexp_count(text2, F.lit(phone_re)).cast("long").alias("n_phones"),
+            F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        )
+        .orderBy("doc_id")
+    )

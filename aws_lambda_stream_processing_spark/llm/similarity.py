@@ -615,3 +615,92 @@ def q_llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, assigned int, dot long"
     )
+
+
+@query(
+    "q_llm_semdedup",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, qv,
+             list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)
+               AS nn
+      FROM q
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                       s -> s[1] * s[2]), (x, y) -> x + y) > 0
+        AND 100 * list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                             s -> s[1] * s[2]),
+                              (x, y) -> x + y)
+            * list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                         s -> s[1] * s[2]), (x, y) -> x + y)
+            >= 9 * a.nn * b.nn
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM n
+    GROUP BY label ORDER BY label
+    """,
+    category="2.J",
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (cluster-then-pairwise semantic dedup, Abbas et al. 2023,
+    public arXiv): within each embedding cluster — the `label` column
+    stands in for the k-means assignment a 100 TB pipeline computes
+    first — drop every vector whose cosine to a LOWER-id cluster-mate
+    exceeds τ=0.30 (survivor = min id, matching the exact-dedup ladder's
+    survivorship rule). The kernel quantizes to int8 exactly like
+    q_llm_embed_quantize, so the comparison is pure integer math:
+    cos ≥ τ ⇔ dot > 0 ∧ 100·dot² ≥ 9·|a|²·|b|² — no sqrt, no float, and
+    therefore bit-exact across engines. Scale shape: pairwise work is
+    confined WITHIN clusters (the whole point of SemDedup) — one shuffle
+    on label, each group a dense int GEMM; at 100 TB clusters are sized
+    (~10k vectors) so each group's S = QQᵀ fits an executor, and the
+    output collapses to per-cluster counters before leaving the
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        Q = np.floor(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            * 127.0 + 0.5
+        ).astype(np.int64)
+        S = Q @ Q.T
+        nn = np.diag(S)
+        cond = (S > 0) & (100 * S * S >= 9 * np.outer(nn, nn))
+        lower = np.tril(cond, k=-1)  # rows sorted by vec_id: j<i ⇔ lower id
+        dropped = lower.any(axis=1)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "n_dropped": [int(dropped.sum())],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", F.col("embedding").alias("emb"))
+        .groupBy("label")
+        .applyInPandas(kernel, "label int, n_vecs long, n_dropped long")
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+        .orderBy("label")
+    )

@@ -416,3 +416,63 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM trans
+      GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           floor(CAST(t.n AS DOUBLE) / g.row_total * 1000000.0 + 0.5)
+               / 1000000.0 AS p
+    FROM trans t JOIN tot g USING (prev_type)
+    ORDER BY t.prev_type, t.next_type
+    """,
+    category="2.D",
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | prev_type) with exact transition counts — the
+    behavioral model behind next-action prediction and anomaly scoring
+    ("error after purchase is 40× base rate"). lag() pairs consecutive
+    events (event_id breaks ts ties → deterministic pairing), one hash
+    agg counts the 5×5 transition cells, a window-sum normalizes rows;
+    the single division is over exact int64 on both engines, floor-
+    rounded half-up to 6dp (values are non-negative). Scale: one window
+    shuffle on user_id, then counts collapse to the |types|² domain
+    before any further movement — the matrix is tiny no matter the
+    corpus."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    p = F.col("n").cast("double") / F.col("row_total")
+    return (
+        trans.withColumn("row_total", row_total)
+        .select(
+            "prev_type", "next_type", "n",
+            (F.floor(p * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -237,3 +237,41 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY node, depth
         """
     )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges)
+      GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    category="2.C",
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-occurrence graph — the first
+    diagnostic on any relationally-derived graph (skew here predicts
+    hot-key trouble in every downstream graph op: a power-law tail means
+    PageRank/triangles need salting). Both directions of each undirected
+    edge count once toward their endpoint, one hash agg per level:
+    edges → degrees → histogram. The histogram domain is bounded by the
+    max degree, so the second agg collapses map-side; the only real
+    shuffle is the degree count, keyed by node. Exact integers
+    throughout."""
+    edges = _part_edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("degree")
+    )

@@ -284,3 +284,121 @@ def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("decile"), "vocab")
         .orderBy("decile")
     )
+
+
+@query(
+    "q_agg_linreg_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) >= 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) * 1000000.0 + 0.5) / 1000000.0
+                ELSE ceil(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) * 1000000.0 - 0.5) / 1000000.0
+           END AS slope_cents_day,
+           CASE WHEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / (n * sxx - sx * sx) >= 0
+                THEN floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / (n * sxx - sx * sx) * 1000000.0 + 0.5) / 1000000.0
+                ELSE ceil(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / (n * sxx - sx * sx) * 1000000.0 - 0.5) / 1000000.0
+           END AS intercept_cents
+    FROM m ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of spend over time from EXACT integer
+    moments — regr_slope/regr_intercept semantics without the engines'
+    float accumulators (whose summation order differs run to run).
+    x = whole days since 2024-01-01 (≤ 31), y = integer cents (≤ 49k), so
+    all five moments are exact int64 with wide headroom (n·Sxy ≈ 6e14 at
+    sf0.1; the 100 TB version moves moments to DECIMAL(38), same shape).
+    Slope and intercept are each ONE IEEE division of exact integers,
+    rounded half-up-by-magnitude to 6dp with the floor/ceil pair (slope
+    can be negative — bare fround would round toward +∞). One hash agg,
+    five counters: the same map-side-partial shape as any SUM."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = e.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    den = (n * sxx - sx * sx).cast("double")
+
+    def _round6_signed(c):
+        return F.when(
+            c >= 0, F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).otherwise(F.ceil(c * 1000000.0 - F.lit(0.5)) / 1000000.0)
+
+    slope = (n * sxy - sx * sy).cast("double") / den
+    intercept = (sy * sxx - sx * sxy).cast("double") / den
+    return m.select(
+        "event_type", "n",
+        _round6_signed(slope).alias("slope_cents_day"),
+        _round6_signed(intercept).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_anon_ldiversity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT floor(c_acctbal / 1000)) AS BIGINT)
+               AS n_sensitive,
+           COUNT(DISTINCT floor(c_acctbal / 1000)) >= 3 AS l_diverse
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    category="2.D",
+)
+def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — k-anonymity's stronger sibling: each
+    quasi-identifier bucket (mktsegment, nationkey) must contain at
+    least l DISTINCT values of the sensitive attribute (account-balance
+    band, $1000 granularity), or the bucket leaks the attribute even
+    when it is k-anonymous. One hash agg with a distinct-count; the band
+    floor() over a double is the identical IEEE op both engines. Same
+    bounded-domain collapse as q_anon_kanonymity: segments × nations
+    partial-aggregates map-side before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000)
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct(band).alias("n_sensitive"),
+        )
+        .select(
+            "c_mktsegment", "c_nationkey", "group_size", "n_sensitive",
+            (F.col("n_sensitive") >= 3).alias("l_diverse"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )

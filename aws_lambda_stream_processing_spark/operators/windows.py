@@ -369,3 +369,42 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pct, 4),
         ).alias("pct_change"),
     )
+
+
+@query(
+    "q_win_median_sliding",
+    oracle="""
+    SELECT user_id, event_id,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row median of value per user — the robust-smoothing
+    transform (median filters kill single-point spikes that moving
+    averages only dilute). Spark has no windowed median, so the frame is
+    materialized as collect_list over ROWS 2 PRECEDING, array_sorted, and
+    the median picked positionally: middle element for odd n, IEEE mean
+    of the two middles for even n — the same interpolation DuckDB's
+    windowed median() uses, and (a+b)/2 over identical doubles is one
+    deterministic float op. Cost: the frame is O(3) per row, so the
+    collect_list is bounded — one window shuffle on user_id, no
+    quadratic blowup. At 100 TB the identical plan holds: frame size is
+    a constant, partitions are per-user."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    mid = ((n + 1) / 2).cast("int")
+    lo, hi = (n / 2).cast("int"), (n / 2 + 1).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(a, mid)).otherwise(
+        (F.element_at(a, lo) + F.element_at(a, hi)) / 2
+    )
+    return e.select("user_id", "event_id", med.alias("med3"))
