@@ -476,3 +476,348 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "q_events_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant, user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM u
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                WHEN (c_a * n_b - c_b * n_a) >= 0
+                THEN floor(sqrt(
+                       CAST((c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) AS DOUBLE)
+                       * (n_a + n_b)
+                       / (CAST(n_a AS DOUBLE) * n_b * (c_a + c_b)
+                          * (n_a + n_b - c_a - c_b))) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -floor(sqrt(
+                       CAST((c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) AS DOUBLE)
+                       * (n_a + n_b)
+                       / (CAST(n_a AS DOUBLE) * n_b * (c_a + c_b)
+                          * (n_a + n_b - c_a - c_b))) * 1000000.0 + 0.5)
+                     / 1000000.0
+           END AS z
+    FROM m
+    """,
+    category="2.D",
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (variant = user_id parity
+    — the deterministic assignment an experimentation platform hashes):
+    z² reduces to the EXACT integer ratio
+    (c₁n₂−c₂n₁)²·N / (n₁n₂·c·(N−c)), so the only float ops are one
+    division and one sqrt over identical operands — bit-deterministic on
+    both engines; the sign is an integer comparison and |z| is floor-
+    rounded half-up to 6dp. Scale: per-user conversion is one hash agg
+    keyed by user (partial max map-side), the four counters collapse to
+    a single row before the driver sees anything."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "user_id"
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    na, ca, nb, cb = F.col("n_a"), F.col("c_a"), F.col("n_b"), F.col("c_b")
+    num = ca * nb - cb * na
+    z2 = (
+        (num * num).cast("double") * (na + nb)
+        / (na.cast("double") * nb * (ca + cb) * (na + nb - ca - cb))
+    )
+    absz = F.floor(F.sqrt(z2) * 1000000.0 + F.lit(0.5)) / 1000000.0
+    degenerate = ((ca + cb) == 0) | ((ca + cb) == (na + nb))
+    return m.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .when(num >= 0, absz)
+        .otherwise(-absz)
+        .alias("z"),
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS INT)
+               AS m,
+           CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS VARCHAR)
+             || CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                     AS VARCHAR) AS segment
+    FROM base ORDER BY o_custkey
+    """,
+    category="2.E",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cut: quintile
+    scores for Recency (last order date), Frequency (order count) and
+    Monetary (lifetime cents), concatenated into the 555-style segment
+    code. ntile(5) is identically defined on both engines (floor-split
+    buckets) and made deterministic by the custkey tie-break; monetary
+    uses exact cents. Scale: one hash agg on custkey, then three window
+    passes over the aggregated (one-row-per-customer) relation — the
+    windows run on the reduced table, never the fact table, and a global
+    ntile at 100 TB would swap in a 2-pass percentile-cut (the agg
+    output is what gets ranked, and it is ~customers, not orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary_cents", "o_custkey")
+    r, f_, m = F.ntile(5).over(wr), F.ntile(5).over(wf), F.ntile(5).over(wm)
+    return (
+        base.select(
+            "o_custkey", "frequency", "monetary_cents",
+            r.alias("r"), f_.alias("f"), m.alias("m"),
+            F.concat(
+                r.cast("string"), f_.cast("string"), m.cast("string")
+            ).alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      FROM rev
+    ),
+    cl AS (
+      SELECT l_partkey, cents,
+             CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.80
+                  THEN 'A'
+                  WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95
+                  THEN 'B' ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM cl GROUP BY abc ORDER BY abc
+    """,
+    category="2.E",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: cumulative share
+    of exact discounted cents (descending, partkey tie-break), class A
+    up to 80%, B to 95%, C the tail — the inventory-analysis staple.
+    The running sum is over exact int64 cents; the share is ONE IEEE
+    division per row over identical integers, so the 0.80/0.95 boundary
+    comparisons agree bit-for-bit across engines. Scale: revenue agg
+    shuffles on partkey; the cumulative window is a single global sort
+    of the AGGREGATED relation (≈ part vocabulary, not fact rows) — at
+    100 TB you'd range-partition that sort, same plan otherwise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    wcum = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    share = (
+        F.sum("cents").over(wcum).cast("double")
+        / F.sum("cents").over(wall)
+    )
+    abc = (
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        rev.select("l_partkey", "cents", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    item_n AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.ante, p.cons, p.n_pair,
+           floor(CAST(p.n_pair AS DOUBLE) / ia.n_item * 1000000.0 + 0.5)
+               / 1000000.0 AS confidence,
+           floor(CAST(p.n_pair AS DOUBLE) * n.n / (ia.n_item * ic.n_item)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pair_n p
+    JOIN item_n ia ON ia.l_partkey = p.ante
+    JOIN item_n ic ON ic.l_partkey = p.cons
+    CROSS JOIN n_orders n
+    ORDER BY p.n_pair DESC, p.ante, p.cons
+    LIMIT 100
+    """,
+    category="2.D",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (ante ⇒ cons) over order baskets:
+    pair support counts from the order self-join, confidence
+    n(a,b)/n(a) and lift n(a,b)·N/(n(a)·n(b)) as single IEEE divisions
+    over exact integers, floor-rounded half-up to 6dp; min support
+    count 3 prunes the noise tail, deterministic total order (count
+    desc, ante, cons) with a top-100 cut. Scale: the pair explosion is
+    bounded per order by (basket size choose 2) — at 100 TB the support
+    HAVING runs as a partial-agg before the big shuffle, item counts
+    broadcast, and the final top-k is a TakeOrdered, no global sort
+    materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante")
+    )
+    ic = item_n.select(
+        F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
+    )
+    joined = (
+        pair_n.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    conf = F.col("n_pair").cast("double") / F.col("n_ante")
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n")
+        / (F.col("n_ante") * F.col("n_cons"))
+    )
+    return (
+        joined.select(
+            "ante", "cons", "n_pair",
+            (F.floor(conf * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "confidence"
+            ),
+            (F.floor(lift * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("ante"), F.asc("cons"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_events_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      FROM events
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path
+    """,
+    category="2.E",
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths: every 3-step event sequence (sliding, per user,
+    event_id tiebreak) counted corpus-wide — the clickstream-analysis
+    primitive behind "what do users do right before purchase". Two
+    lead() calls in ONE window pass build the trigram, a hash agg
+    counts paths (the domain collapses to |types|³ map-side), and the
+    deterministic order is (count desc, path). Scale: one shuffle on
+    user_id for the window; the count agg moves only |types|³ rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+    )
