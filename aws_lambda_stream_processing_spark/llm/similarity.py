@@ -704,3 +704,124 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_llm_ann_pq",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT q.vec_id, (t.i - 1) // 8 AS j, (t.i - 1) % 8 AS b,
+             q.qv[t.i] AS val
+      FROM q CROSS JOIN generate_series(1, 64) t(i)
+    ),
+    codes AS (
+      SELECT vec_id, j,
+             CAST(SUM(CASE WHEN val > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS code
+      FROM comps GROUP BY vec_id, j
+    ),
+    probes AS (SELECT * FROM codes WHERE vec_id < 5),
+    cand AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
+      FROM probes p JOIN codes c
+        ON c.j = p.j AND c.code = p.code AND c.vec_id <> p.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.cand_id,
+             list_reduce(list_transform(list_zip(a.qv, b.qv),
+               s -> s[1] * s[2]), (x, y) -> x + y) AS qdot
+      FROM cand
+      JOIN q a ON a.vec_id = cand.probe_id
+      JOIN q b ON b.vec_id = cand.cand_id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, qdot,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY qdot DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT probe_id, cand_id, qdot, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY probe_id, rank
+    """,
+    category="2.J",
+)
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-code ANN (multi-index hashing): vectors are int8-quantized,
+    split into 8 subspaces of 8 dims, each reduced to an 8-bit SIGN code
+    — the deterministic, training-free cousin of product-quantization
+    codebooks (a trained PQ would k-means each subspace; sign codes keep
+    the whole pipeline expressible on both engines, so unlike IVF/LSH
+    this ANN variant gets an EXACT oracle instead of a weak row check).
+    Probes (vec_id < 5) match candidates sharing ≥1 sub-code (8-band
+    banding, the q_llm_minhash_lsh pattern), then candidates are
+    re-ranked by the exact integer dot product with a deterministic
+    (qdot desc, cand_id) top-5 cut.
+
+    Scale: codes are 8 small ints per vector — the candidate join moves
+    (vec_id, j, code) triples, never embeddings; re-rank joins fetch
+    only the candidate pairs' vectors. At 100 TB the code table is the
+    index you'd persist (bucketed by (j, code)); probe fan-out is
+    per-band hash lookups + a top-k — no scan of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    comps = q.select(
+        "vec_id", F.posexplode("qv").alias("i", "val")
+    ).select(
+        "vec_id",
+        (F.col("i") / 8).cast("int").alias("j"),
+        (F.col("i") % 8).alias("b"),
+        "val",
+    )
+    codes = comps.groupBy("vec_id", "j").agg(
+        F.sum(
+            F.when(F.col("val") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        ).alias("code")
+    )
+    probes = codes.where(F.col("vec_id") < 5)
+    cand = (
+        F.broadcast(
+            probes.select(
+                F.col("vec_id").alias("probe_id"), "j", "code"
+            )
+        )
+        .join(codes, ["j", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb"))
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "probe_id")
+        .join(qb, "cand_id")
+        .select("probe_id", "cand_id", qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("qdot"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "cand_id", "qdot", "rank")
+        .orderBy("probe_id", "rank")
+    )

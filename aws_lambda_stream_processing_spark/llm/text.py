@@ -1099,3 +1099,52 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.orderBy(F.desc("c12"), "w1", "w2").limit(30)
+
+
+@query(
+    "q_llm_corpus_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_ws_tokens,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+           floor(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS en_share
+    FROM documents
+    """,
+    category="2.J",
+)
+def q_llm_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card header: one-row corpus summary (doc/lang/source
+    cardinalities, char and whitespace-token totals, length extremes,
+    English share) — the numbers every dataset release prints first and
+    every ingest run diffs against yesterday's. ONE aggregate pass,
+    every counter an exact integer (token count = space count + 1,
+    identical closed form both engines); the single ratio is one exact-
+    int division floor-rounded half-up. At 100 TB this is the cheapest
+    query in the suite: all counters combine map-side into eight values
+    per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    tlen = F.length("text")
+    ws_tokens = tlen - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    en_share = (
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+        / F.count("*")
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(tlen.cast("long")).alias("total_chars"),
+        F.sum(ws_tokens.cast("long")).alias("total_ws_tokens"),
+        F.min(tlen).cast("long").alias("min_chars"),
+        F.max(tlen).cast("long").alias("max_chars"),
+        (F.floor(en_share * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "en_share"
+        ),
+    )
