@@ -39,6 +39,13 @@ SAMPLE = [
     "q_ts_ewma16",  # exact lag dot product across partition layouts
     "q_ts_cross_corr",  # integer moments + single-shot Pearson formula
     "q_llm_zipf_slope",  # top-100 cut + regression must be engine-stable
+    # round-2b hazards:
+    "q_llm_semdedup",  # per-cluster GEMM kernel: group batching must not matter
+    "q_llm_ann_pq",  # banded candidates + (qdot, id) tie-broken top-5
+    "q_rfm_segmentation",  # global ntile must be tie-break-stable
+    "q_pareto_abc",  # cumulative-share class boundary across partitionings
+    "q_win_median_sliding",  # even-frame interpolation determinism
+    "q_events_ab_test",  # single-division+sqrt z over exact ints
 ]
 
 
