@@ -487,3 +487,103 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(d), o.status_key.eqNullSafe(d.status_key)
     ).select("o_orderkey", o.status_key.alias("status_key"), "label")
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             (SELECT max(c.event_id) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts <= p0.ts) AS prev_id,
+             (SELECT max(c.ts) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts <= p0.ts) AS prev_ts,
+             (SELECT min(c.event_id) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts >= p0.ts) AS next_id,
+             (SELECT min(c.ts) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts >= p0.ts) AS next_ts
+      FROM events p0 WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN epoch_us(next_ts) - epoch_us(ts)
+                     < epoch_us(ts) - epoch_us(prev_ts) THEN next_id
+                ELSE prev_id END AS nearest_click_id,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                WHEN prev_id IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+                WHEN next_id IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+                WHEN epoch_us(next_ts) - epoch_us(ts)
+                     < epoch_us(ts) - epoch_us(prev_ts)
+                THEN epoch_us(next_ts) - epoch_us(ts)
+                ELSE epoch_us(ts) - epoch_us(prev_ts) END AS gap_us
+    FROM p
+    """,
+    category="2.C",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the third direction (q_join_asof = backward,
+    q_join_asof_forward = forward): each purchase matches the click with
+    the smallest |Δt| in EITHER direction, ties to the backward match —
+    the feature-store alignment rule when sensors can lag or lead. One
+    union + ONE shuffle on user_id feeding two window passes (same
+    partitioning, two sort orders: clicks sort before purchases at equal
+    ts for the ≤ side, after for the ≥ side, so same-instant ties match
+    both directions at gap 0 and resolve backward). Gaps are exact
+    integer µs; at 100 TB this is the same single-exchange pattern as
+    the other as-of directions — no range join, no explosion."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        # ≤ side: clicks (0) before purchases (1) at equal ts
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias(
+            "side_b"
+        ),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_b", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ≥ side: purchases (side_b=1) sort before clicks via descending side_b
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("side_b"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = tagged.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(wb).alias("prev_id"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("next_id"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("next_ts"),
+    ).where(F.col("side_b") == 1)
+    gap_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    gap_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    forward_wins = F.col("next_id").isNotNull() & (
+        F.col("prev_id").isNull() | (gap_next < gap_prev)
+    )
+    return enriched.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(forward_wins, F.col("next_id"))
+        .otherwise(F.col("prev_id"))
+        .alias("nearest_click_id"),
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .when(forward_wins, gap_next)
+        .otherwise(gap_prev)
+        .alias("gap_us"),
+    )
