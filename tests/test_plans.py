@@ -216,3 +216,56 @@ def test_tpch_q20_nested_in_stays_hash_joins(spark, registry):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_assoc_rules_broadcasts_item_counts(spark, registry):
+    df = registry["q_assoc_rules"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan
+    # item-count and n_orders attaches must broadcast, not shuffle
+    assert has_operator(df, "BroadcastHashJoin") or has_operator(
+        df, "BroadcastNestedLoopJoin"
+    ), plan
+    assert has_operator(df, "TakeOrderedAndProject"), (
+        "top-100 must be a TakeOrdered, not a global sort materialization"
+    )
+
+
+def test_ann_pq_candidate_join_is_hash_and_probe_side_broadcast(
+    spark, registry
+):
+    df = registry["q_llm_ann_pq"].fn(spark, SF_DIR)
+    assert not has_operator(df, "CartesianProduct")
+    assert has_operator(df, "BroadcastHashJoin"), (
+        "probe code table must broadcast into the candidate join"
+    )
+    assert has_operator(df, "WindowGroupLimit") or has_operator(
+        df, "Window"
+    ), "per-probe top-5 must stay a window, not a collect"
+
+
+def test_semdedup_is_single_shuffle_per_cluster_kernel(spark, registry):
+    df = registry["q_llm_semdedup"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert not has_operator(df, "CartesianProduct"), plan
+    import re
+
+    # formatted plans list each node twice (tree + detail); count nodes
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, (
+        "SemDedup should shuffle once on label (+presentation sort), "
+        f"plan has {n_exchanges} exchanges:\n{plan}"
+    )
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan, plan
+
+
+def test_asof_nearest_single_user_exchange(spark, registry):
+    df = registry["q_join_asof_nearest"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert not has_operator(df, "SortMergeJoin"), (
+        "nearest as-of must be the union+window pattern, not a join"
+    )
+    assert not has_operator(df, "CartesianProduct"), plan
+    # one hash-partitioning exchange on user_id (AQE may append a
+    # coalesce read, but no second shuffle key should appear)
+    assert plan.count("hashpartitioning(user_id") >= 1, plan
