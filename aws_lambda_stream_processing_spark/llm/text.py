@@ -1148,3 +1148,91 @@ def q_llm_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_share"
         ),
     )
+
+
+@query(
+    "q_llm_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY source
+    ),
+    dist AS (
+      SELECT c.tok,
+             CAST(SUM(CASE WHEN c.source = 'src0' THEN c.cnt END) AS BIGINT)
+               AS c_p,
+             CAST(SUM(CASE WHEN c.source = 'src1' THEN c.cnt END) AS BIGINT)
+               AS c_q
+      FROM c GROUP BY c.tok
+    ),
+    probs AS (
+      SELECT COALESCE(CAST(c_p AS DOUBLE), 0.0)
+               / (SELECT n FROM tot WHERE source = 'src0') AS p,
+             COALESCE(CAST(c_q AS DOUBLE), 0.0)
+               / (SELECT n FROM tot WHERE source = 'src1') AS q
+      FROM dist
+    )
+    SELECT
+      floor(CAST(SUM(CAST(
+        CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) * 0.5)) ELSE 0 END
+        + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) * 0.5)) ELSE 0 END
+        AS DECIMAL(38, 18))) AS DOUBLE) * 10000000000.0 + 0.5)
+          / 10000000000.0 AS js_nats,
+      CAST(COUNT(*) AS BIGINT) AS vocab_union
+    FROM probs
+    """,
+    category="2.J",
+)
+def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' unigram
+    distributions — the data-mixture QA statistic (how different is
+    src0's text from src1's; 0 = identical, ln 2 = disjoint). Same
+    tokenization as q_llm_wordcount; each term 0.5·p·ln(p/m) +
+    0.5·q·ln(q/m) uses TRANSCENDENTAL ln, where JVM and libm disagree
+    in the last ulp — so the vocabulary-sized sum goes through
+    DECIMAL(38,18) (order independence) AND the final scalar is floor-
+    rounded half-up to 10dp, far above ulp noise (q_agg_entropy
+    discipline). Scale: two vocab-sized hash aggs + one vocab-sized full-outer
+    merge (here a grouped CASE), broadcast scalar totals — the corpus
+    is read once."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    n_p = tot.where(F.col("source") == "src0").select(
+        F.col("n").alias("n_p")
+    )
+    n_q = tot.where(F.col("source") == "src1").select(
+        F.col("n").alias("n_q")
+    )
+    dist = c.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("cnt"))).alias("c_p"),
+        F.sum(F.when(F.col("source") == "src1", F.col("cnt"))).alias("c_q"),
+    )
+    merged = dist.crossJoin(F.broadcast(n_p)).crossJoin(F.broadcast(n_q))
+    p = F.coalesce(F.col("c_p").cast("double"), F.lit(0.0)) / F.col("n_p")
+    q = F.coalesce(F.col("c_q").cast("double"), F.lit(0.0)) / F.col("n_q")
+    m = (p + q) * 0.5
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    ).cast("decimal(38,18)")
+    return merged.agg(
+        (
+            F.floor(F.sum(term).cast("double") * 10000000000.0 + F.lit(0.5))
+            / 10000000000.0
+        ).alias("js_nats"),
+        F.count("*").alias("vocab_union"),
+    )

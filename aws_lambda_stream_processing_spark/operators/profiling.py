@@ -402,3 +402,152 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_nationkey")
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           floor(CAST(-SUM(CAST((CAST(cnt AS DOUBLE) / n)
+                           * ln(CAST(cnt AS DOUBLE) / n)
+                           AS DECIMAL(38, 18))) AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS entropy_nats
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+    category="2.D",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity profile (bots score near 0, organic users near ln 5).
+    Exactness: ln is TRANSCENDENTAL — JVM Math.log and DuckDB's libm
+    disagree in the last ulp for some inputs (measured on this corpus),
+    so no summation discipline alone can hash-match. The defense is
+    layered: DECIMAL(38,18) summation removes order dependence, then the
+    final value is floor-rounded half-up to 8dp — ulp noise is ~1e-16,
+    eight orders below the rounding grid, so the boundary cannot be
+    straddled in practice. One shuffle on user_id shared by the count, the window
+    total, and the final agg."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("user_id"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    term = (p * F.log(p)).cast("decimal(38,18)")
+    return (
+        c.withColumn("n", n)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.max("n").alias("n_events"),
+            (
+                F.floor((-F.sum(term)).cast("double") * 100000000.0
+                        + F.lit(0.5))
+                / 100000000.0
+            ).alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_agg_winsorize",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM base
+    ),
+    cuts AS (
+      SELECT event_type, MAX(n) AS n,
+             CAST(MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END)
+                  AS BIGINT) AS lo_cents,
+             CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+                  AS BIGINT) AS hi_cents
+      FROM ranked GROUP BY event_type
+    )
+    SELECT b.event_type, CAST(MAX(c.n) AS BIGINT) AS n,
+           CAST(MAX(c.lo_cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(c.hi_cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN b.cents < c.lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN b.cents > c.hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           floor(CAST(SUM(least(greatest(b.cents, c.lo_cents), c.hi_cents))
+                      AS DOUBLE) / MAX(c.n) * 10000.0 + 0.5) / 10000.0
+               AS winsor_mean_cents
+    FROM base b JOIN cuts c USING (event_type)
+    GROUP BY b.event_type ORDER BY b.event_type
+    """,
+    category="2.D",
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorization per event type — the outlier-robust mean the
+    feature pipeline uses before normalizing a heavy-tailed metric. The
+    cutoffs are POSITION-based order statistics (rank ⌈0.05n⌉ / ⌈0.95n⌉
+    computed in pure integer arithmetic, (5n+99) div 100 — no float
+    quantile interpolation, so the cut values are actual data points and
+    every downstream sum stays exact int64). Clipping, clip counts and
+    the winsorized mean are integer ops + ONE division, floor-rounded
+    half-up to 4dp. Scale: one shuffle on event_type for the ranking
+    window, cutoffs collapse to |types| rows and broadcast back onto the
+    stream — two passes over the column, zero float hazards."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wrank = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type", "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    k_lo = F.expr("(n * 5 + 99) div 100")
+    k_hi = F.expr("(n * 95 + 99) div 100")
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo_cents"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi_cents"),
+    )
+    clipped = base.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "cents", "n", "lo_cents", "hi_cents",
+        F.least(
+            F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+        ).alias("wcents"),
+    )
+    wmean = F.sum("wcents").cast("double") / F.max("n")
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            (F.floor(wmean * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                "winsor_mean_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
