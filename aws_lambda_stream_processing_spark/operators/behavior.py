@@ -821,3 +821,71 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
     )
+
+
+@query(
+    "q_events_dau_wau",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY day
+    ),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN daily u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           floor(CAST(dau.dau AS DOUBLE) / wau.wau * 10000.0 + 0.5)
+               / 10000.0 AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+    category="2.D",
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement dashboard's first row.
+    Distinct (day, user) pairs once, then DAU is a per-day count and WAU
+    a 7-day trailing distinct count built by joining the day DIMENSION
+    (≈ calendar size, broadcast) against the daily-user pairs on a
+    6-day-back range — windowed COUNT DISTINCT doesn't exist in Spark
+    windows, and re-counting from the deduplicated pair relation is the
+    scalable form (pairs ≈ users×days, not events). Stickiness DAU/WAU
+    is one exact-int division floor-rounded to 4dp. Day goes out as
+    TIMESTAMP per the §2 DATE-canon convention. At 100 TB the pair
+    relation is the only big intermediate; the range join fans each pair
+    to ≤7 days."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    u = daily.select(F.col("day").alias("uday"), "user_id")
+    wau = (
+        F.broadcast(days)
+        .join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    stick = F.col("dau").cast("double") / F.col("wau")
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.floor(stick * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
