@@ -10,6 +10,7 @@ sinks, and Structured Streaming file replay for the shard itself.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -532,6 +533,62 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("o_orderpriority").agg(
             F.count("*").alias("n"),
             F.sum("cents").alias("cents"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_binary_file",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           substring(text, 1, 8) AS head
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id
+    """,
+    category="2.A",
+)
+def q_source_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the ingestion path every multimodal corpus
+    starts with (image/audio/video blobs land as files; Spark reads
+    (path, length, content) without decoding). Twenty documents are
+    written out as raw .bin files named by doc_id, read back via
+    `format("binaryFile")`, and checked byte-exactly: id parsed from the
+    filename, blob length, and the first 8 bytes decoded — all matched
+    against the parquet-side text. The corpus text is ASCII by
+    construction, so length(text) == byte length. Scale: binaryFile
+    supports pathGlobFilter + recursive lookup and parallelizes by file;
+    at 100 TB you read manifests of object-store keys this way and hand
+    `content` straight to the Arrow decode kernels
+    (llm/multimodal.py). Tiny result materialized so the dir can be
+    removed (the q_sink_parquet pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="alsp_bin_")
+    try:
+        docs = d.where(F.col("doc_id") < 20).select("doc_id", "text").collect()
+        for r in docs:
+            with open(
+                os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(out)
+        )
+        result = (
+            back.select(
+                F.regexp_extract(
+                    F.col("path"), r"doc_(\d+)\.bin$", 1
+                ).cast("long").alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.decode(
+                    F.expr("substring(content, 1, 8)"), "UTF-8"
+                ).alias("head"),
+            )
+            .orderBy("doc_id")
         )
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
