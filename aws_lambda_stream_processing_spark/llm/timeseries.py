@@ -932,3 +932,95 @@ def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cusum_abs").desc(), F.col("change_day").asc())
         .limit(1)
     )
+
+
+@query(
+    "q_ts_hampel",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, cents,
+             list_sort(list(cents) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS frame
+      FROM base
+    ),
+    med AS (
+      SELECT user_id, event_id, cents, frame,
+             CASE WHEN len(frame) % 2 = 1
+                  THEN CAST(frame[(len(frame) + 1) // 2] AS DOUBLE)
+                  ELSE (frame[len(frame) // 2]
+                        + frame[len(frame) // 2 + 1]) / 2.0
+             END AS med
+      FROM framed
+    ),
+    dev AS (
+      SELECT user_id, event_id, cents, med,
+             list_sort(list_transform(frame, v -> abs(v - med))) AS devs
+      FROM med
+    )
+    SELECT user_id, event_id, cents, med,
+           CASE WHEN len(devs) % 2 = 1
+                THEN devs[(len(devs) + 1) // 2]
+                ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+           END AS mad,
+           abs(cents - med) > 3 * (CASE WHEN len(devs) % 2 = 1
+                THEN devs[(len(devs) + 1) // 2]
+                ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+           END) AS is_outlier
+    FROM dev
+    """,
+    category="2.J",
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: flag points more than 3 MADs from the sliding
+    5-point median — the robust spike detector that, unlike the z-score
+    (q_ts_anomaly_zscore), is not itself corrupted by the outliers it
+    hunts. Both the median and the MAD are POSITIONAL picks from sorted
+    bounded frames (integer cents in, the only non-integers are the
+    two-middle averages — one IEEE op on identical operands), so flags
+    are bit-deterministic across engines and partitionings. One window
+    shuffle on user_id; the frame is O(5) per row — no quadratic
+    blowup, the identical plan at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    framed = e.select(
+        "user_id", "event_id", cents.alias("cents"),
+        F.array_sort(F.collect_list(cents).over(w)).alias("frame"),
+    )
+
+    def _pos_median(arr):
+        n = F.size(arr)
+        mid = ((n + 1) / 2).cast("int")
+        lo, hi = (n / 2).cast("int"), (n / 2 + 1).cast("int")
+        return F.when(
+            n % 2 == 1, F.element_at(arr, mid).cast("double")
+        ).otherwise(
+            (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2.0
+        )
+
+    med = framed.select(
+        "user_id", "event_id", "cents", "frame",
+        _pos_median(F.col("frame")).alias("med"),
+    )
+    devs = F.array_sort(
+        F.transform(F.col("frame"), lambda v: F.abs(v - F.col("med")))
+    )
+    dev = med.select(
+        "user_id", "event_id", "cents", "med", devs.alias("devs")
+    )
+    mad = _pos_median(F.col("devs"))
+    return dev.select(
+        "user_id", "event_id", "cents", "med",
+        mad.alias("mad"),
+        (F.abs(F.col("cents") - F.col("med")) > 3 * mad).alias("is_outlier"),
+    )

@@ -551,3 +551,50 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt) AS BIGINT) AS rn
+      FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           floor((CAST(2 * SUM(rn * cnt) - (COUNT(*) + 1) * SUM(cnt)
+                       AS DOUBLE))
+                 / (COUNT(*) * SUM(cnt)) * 1000000.0 + 0.5) / 1000000.0
+               AS gini
+    FROM r
+    """,
+    category="2.D",
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event concentration — the inequality
+    statistic behind "do 10% of users generate 90% of traffic"
+    (workload-skew QA: a high Gini predicts hot keys everywhere
+    downstream). Closed form over rank-weighted sums:
+    G = (2·Σ rn·x − (n+1)·Σx)/(n·Σx) with all sums exact int64; ties in
+    x make rn assignment arbitrary but Σ rn·x is INVARIANT within a tie
+    block (consecutive ranks × equal values), so no tiebreak is needed.
+    One count agg + one vocabulary-sized ranking window + one division,
+    floor-rounded half-up to 6dp (G ≥ 0 by sorted construction)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    r = x.select(
+        "cnt", F.row_number().over(Window.orderBy("cnt")).alias("rn")
+    )
+    n, sx = F.count("*"), F.sum("cnt")
+    srx = F.sum(F.col("rn") * F.col("cnt"))
+    gini = (2 * srx - (n + 1) * sx).cast("double") / (n * sx)
+    return r.agg(
+        n.alias("n_users"),
+        sx.alias("total_events"),
+        (F.floor(gini * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("gini"),
+    )
