@@ -1236,3 +1236,112 @@ def q_llm_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_nats"),
         F.count("*").alias("vocab_union"),
     )
+
+
+@query(
+    "q_llm_perplexity_band",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY w1
+    ),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vs FROM pair),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             floor(CAST(-SUM(CAST(
+                 ln((p.c12 + 1) / CAST(u.c1 + v.vs AS DOUBLE))
+                 AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*)
+                 * 100000000.0 + 0.5) / 100000000.0 AS xent_nats
+      FROM bg b
+      JOIN pair p ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN uni u ON u.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY xent_nats, doc_id)
+                     AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT doc_id, n_bigrams, xent_nats,
+           CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM ranked ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by its
+    add-1-smoothed bigram cross-entropy under a model trained on the
+    corpus itself, then cut the ranking into head/middle/tail tertiles —
+    the curation step that routes 'head' (most-predictable) text into
+    the training mix and quarantines the tail. ln terms go through
+    DECIMAL(38,18) sums + 8dp final rounding (law 18 — JVM/libm ulp
+    drift); tertile cuts are integer position arithmetic ((n+2) div 3)
+    over the (xent, doc_id)-deterministic ranking. Scale: the model
+    (pair/unigram counts) is vocabulary-sized and BROADCAST back onto
+    the bigram stream — the corpus is read once, shuffled once (doc_id
+    agg); the global ranking runs on the doc-grain relation, and at
+    100 TB becomes a 2-pass percentile cut exactly like
+    q_rfm_segmentation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = pair.select(F.countDistinct("w2").alias("vs"))
+    logp = F.log(
+        (F.col("c12") + 1) / (F.col("c1") + F.col("vs")).cast("double")
+    ).cast("decimal(38,18)")
+    scored = (
+        bg.join(F.broadcast(pair), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    (-F.sum(logp)).cast("double") / F.count("*")
+                    * 100000000.0 + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("xent_nats"),
+        )
+    )
+    wr = Window.orderBy("xent_nats", "doc_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    band = (
+        F.when(F.col("rn") <= F.expr("(n + 2) div 3"), "head")
+        .when(F.col("rn") <= F.expr("(2 * n + 2) div 3"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "n_bigrams", "xent_nats", band.alias("band")
+    ).orderBy("doc_id")
