@@ -1345,3 +1345,62 @@ def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "n_bigrams", "xent_nats", band.alias("band")
     ).orderBy("doc_id")
+
+
+@query(
+    "q_llm_feature_hash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             (ascii(tok) * 31
+              + ascii(substring(tok, length(tok), 1)) * 17
+              + length(tok) * 7) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> ''
+      GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS l2sq
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens map straight into a
+    fixed 64-bucket feature space with NO vocabulary table — the
+    unbounded-vocab ML-prep step (Weinberger et al. 2009, public). The
+    hash is a small polynomial over first/last char codes + length,
+    chosen because it is expressible IDENTICALLY on both engines
+    (production swaps in xxhash64 — engine-specific, hence not oracle-
+    checkable; the pipeline shape is what matters). Per doc: token
+    count, occupied buckets, and the collision-aware ℓ² norm of the
+    hashed count vector — all exact int64. Scale: explode + two hash
+    aggs with map-side collapse to ≤64 rows per doc; no vocabulary
+    join, which is the entire point of the trick at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = (
+        F.ascii("tok") * 31
+        + F.ascii(F.expr("substring(tok, length(tok), 1)")) * 17
+        + F.length("tok") * 7
+    ) % 64
+    b = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("l2sq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,3 +77,36 @@ def test_hostile_session_timezone(spark, registry, name):
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
     assert base == hostile, f"{name}: leaks session timezone into results"
+
+
+def test_events_ts_reads_as_ltz_timestamp(spark):
+    """2026-08-13 regen guard: naive parquet timestamp[us] must surface as
+    TIMESTAMP_LTZ (inferTimestampNTZ pinned off), or unix_micros breaks."""
+    from pyspark.sql.types import TimestampType
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    df = load_table(spark, SF_DIR, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), (
+        f"events.ts is {df.schema['ts'].dataType.simpleString()}, not LTZ"
+    )
+
+
+def test_ntz_fallback_cast_is_epoch_verbatim(spark):
+    """The load_table defensive NTZ→LTZ cast must map a naive timestamp to
+    the SAME epoch micros regardless of session timezone (naive-as-UTC)."""
+    from pyspark.sql import functions as F
+
+    row = spark.sql(
+        "SELECT timestamp_micros(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "TIMESTAMP_NTZ '2024-03-01 12:34:56.789012')) AS ts"
+    ).select(F.unix_micros("ts").alias("us")).collect()[0]
+    import datetime as dt
+
+    expect = int(
+        dt.datetime(
+            2024, 3, 1, 12, 34, 56, 789012, tzinfo=dt.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    assert row["us"] == expect
