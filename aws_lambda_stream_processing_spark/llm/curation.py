@@ -390,3 +390,51 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_llm_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             (doc_id * 2654435761) % 4294967296 AS h,
+             (SELECT CAST(MAX(n_chars) AS BIGINT) FROM documents) AS max_wt
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h * max_wt < wt * 4294967296
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h * max_wt < wt * 4294967296
+                         THEN wt ELSE 0 END) AS BIGINT) AS kept_weight
+    FROM w GROUP BY source ORDER BY source
+    """,
+    category="2.J",
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: keep doc i with probability
+    w_i / max_w (here w = n_chars — longer docs are worth more tokens),
+    decided by the pure-integer predicate h(id)·max_w < w_i·2³² with the
+    Knuth multiplicative hash (q_llm_stratified_sample's idiom) — no
+    RNG, so the SAME docs are kept on every engine, every run, every
+    partitioning: the only sane reproducibility story at 100 TB, and
+    the standard first stage of token-budget mixture construction.
+    All-int64 comparisons (h ≤ 2³², max_w ≤ 577 ⇒ no overflow), one
+    broadcast scalar (max weight), one agg. Zero shuffles beyond the
+    final per-source collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    max_wt = d.agg(F.max("n_chars").alias("max_wt"))
+    w = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("wt")
+    ).crossJoin(F.broadcast(max_wt))
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    keep = (h * F.col("max_wt")) < (F.col("wt") * F.lit(4294967296))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("wt")).otherwise(0)).alias("kept_weight"),
+        )
+        .orderBy("source")
+    )

@@ -408,3 +408,37 @@ def q_win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at(a, lo) + F.element_at(a, hi)) / 2
     )
     return e.select("user_id", "event_id", med.alias("med3"))
+
+
+@query(
+    "q_win_nth_value",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(value, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_v,
+           nth_value(value, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_v
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the running frame: each row sees the 2nd and 3rd
+    event values in its user's history so far (NULL until the frame is
+    deep enough) — the 'compare against the user's early behavior'
+    transform. Deterministic frame order via the event_id tiebreak;
+    identical ROWS frame semantics on both engines. One window shuffle
+    on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.nth_value("value", 2).over(w).alias("second_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
