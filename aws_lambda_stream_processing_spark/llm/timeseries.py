@@ -1024,3 +1024,82 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad.alias("mad"),
         (F.abs(F.col("cents") - F.col("med")) > 3 * mad).alias("is_outlier"),
     )
+
+
+@query(
+    "q_ts_forecast_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    anchors AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(MIN(day) AS TIMESTAMP) AS first_day,
+             CAST(MAX(day) AS TIMESTAMP) AS last_day,
+             CAST(MAX(CASE WHEN day = (SELECT MIN(d2.day) FROM daily d2
+                                       WHERE d2.event_type = daily.event_type)
+                           THEN cents END) AS BIGINT) AS y1,
+             CAST(MAX(CASE WHEN day = (SELECT MAX(d2.day) FROM daily d2
+                                       WHERE d2.event_type = daily.event_type)
+                           THEN cents END) AS BIGINT) AS yt
+      FROM daily GROUP BY event_type
+    )
+    SELECT a.event_type, h.h, a.yt, a.t,
+           CAST(floor(a.yt + h.h * CAST(a.yt - a.y1 AS DOUBLE) / (a.t - 1)
+                      + 0.5) AS BIGINT) AS forecast_cents
+    FROM anchors a CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+    ORDER BY a.event_type, h.h
+    """,
+    category="2.J",
+)
+def q_ts_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-method forecast (the classical naive-with-trend baseline,
+    Hyndman & Athanasopoulos, public): per event type, project daily
+    revenue h=1..7 days past the last observation as
+    ŷ(T+h) = y_T + h·(y_T − y₁)/(T−1) — the line through the first and
+    last points. Every forecasting pipeline needs this EXACT baseline to
+    beat, and unlike ETS/ARIMA it is fully expressible on both engines:
+    anchors are exact int64 cents, the slope is ONE IEEE division, and
+    the forecast is floor(x+0.5)-rounded to whole cents (positive by
+    corpus construction). Scale: daily rollup collapses map-side to
+    |types|×|days| rows; anchors and the 7-row horizon table are
+    broadcast-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    wfirst = Window.partitionBy("event_type").orderBy("day")
+    wlast = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    anchors = (
+        daily.select(
+            "event_type", "day", "cents",
+            F.row_number().over(wfirst).alias("rn_f"),
+            F.row_number().over(wlast).alias("rn_l"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("t"),
+            F.max(F.when(F.col("rn_f") == 1, F.col("cents"))).alias("y1"),
+            F.max(F.when(F.col("rn_l") == 1, F.col("cents"))).alias("yt"),
+        )
+    )
+    horizon = spark.range(1, 8).select(F.col("id").cast("long").alias("h"))
+    slope = (F.col("yt") - F.col("y1")).cast("double") / (F.col("t") - 1)
+    return (
+        anchors.crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type", "h", "yt", "t",
+            F.floor(F.col("yt") + F.col("h") * slope + F.lit(0.5)).alias(
+                "forecast_cents"
+            ),
+        )
+        .orderBy("event_type", "h")
+    )
