@@ -753,3 +753,41 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("bits")).alias("n_users_bitmap"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_nationkey::VARCHAR, ','
+                      ORDER BY c_nationkey::VARCHAR) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="2.D",
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg — the SQL-standard ordered string
+    concatenation aggregate (report columns like 'nations present per
+    segment'). Spark expresses it as concat_ws over a SORTED collected
+    set, which is exactly string_agg(DISTINCT ... ORDER BY ...): the
+    explicit array_sort makes the result order-deterministic under any
+    partitioning (collect_set order is not). Output is scalar strings —
+    canonicalizer-safe per §2 convention 4. Note the sort is LEXICAL on
+    the stringified key to keep one ordering rule on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    nations = F.array_join(
+        F.array_sort(
+            F.collect_set(F.col("c_nationkey").cast("string"))
+        ),
+        ",",
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            nations.alias("nations"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

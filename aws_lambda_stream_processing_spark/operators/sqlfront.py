@@ -974,3 +974,101 @@ def q_sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(warehouse, "alsp_ddl.db", "orders_ctas"),
             ignore_errors=True,
         )
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries :cutoff and :status placeholders and values arrive via
+    `spark.sql(..., args={...})` — the injection-safe API surface every
+    SQL front end needs (string-interpolated literals are the #1 SQL
+    injection vector; named binding also lets the driver cache one plan
+    per TEXT, not per literal). Semantics and plan are identical to the
+    inlined-literal query — Catalyst folds the bound constants and the
+    date filter still reaches the parquet scan."""
+    from aws_lambda_stream_processing_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    try:
+        return spark.sql(
+            """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM param_orders
+            WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+            """,
+            args={"cutoff": "1996-01-01", "status": "F"},
+        )
+    finally:
+        pass  # temp view is session-scoped; overwritten on next call
+
+
+@query(
+    "q_sql_not_in_nulls",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey <= 200
+    ),
+    sub AS (
+      SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END
+               AS k
+      FROM orders WHERE o_custkey <= 150
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+       WHERE c_custkey NOT IN (SELECT k FROM sub)) AS not_in_count,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe p
+       WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = p.c_custkey))
+        AS not_exists_count,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM sub WHERE k IS NULL) AS n_nulls
+    """,
+    category="2.C",
+)
+def q_sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NULL trap, certified: when the subquery produces even
+    ONE NULL, ANSI three-valued logic makes `x NOT IN (...)` evaluate to
+    UNKNOWN for every x — zero rows — while NOT EXISTS (an anti-join)
+    still returns the true complement. Both engines implement the
+    standard; this query pins the engine's null-aware anti-join
+    (Spark plans NOT IN as NullAwareAntiJoin) against the oracle so a
+    future optimizer regression that 'fixes' the trap into anti-join
+    semantics would be caught. All three counters exact."""
+    from aws_lambda_stream_processing_spark.tables import load_tables
+
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    c.createOrReplaceTempView("nin_customer")
+    o.createOrReplaceTempView("nin_orders")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey FROM nin_customer WHERE c_custkey <= 200
+        ),
+        sub AS (
+          SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END
+                   AS k
+          FROM nin_orders WHERE o_custkey <= 150
+        )
+        SELECT
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey NOT IN (SELECT k FROM sub)) AS not_in_count,
+          (SELECT COUNT(*) FROM probe p
+           WHERE NOT EXISTS (SELECT 1 FROM sub s
+                             WHERE s.k = p.c_custkey)) AS not_exists_count,
+          (SELECT COUNT(*) FROM sub WHERE k IS NULL) AS n_nulls
+        """
+    )
