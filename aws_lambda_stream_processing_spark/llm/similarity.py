@@ -825,3 +825,98 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", "qdot", "rank")
         .orderBy("probe_id", "rank")
     )
+
+
+@query("q_llm_ann_pq_trained", oracle=None, category="2.J", tags=("weak",))
+def q_llm_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook product quantization ANN — the full PQ (Jégou et
+    al. 2011, public) next to the training-free sign-code variant
+    (q_llm_ann_pq): each of 8 subspaces gets a 16-codeword k-means
+    codebook trained on a BOUNDED 256-vector driver sample (the
+    q_llm_ann_ivf pattern — sample size independent of corpus size),
+    vectors encode to 8 bytes, probes (vec_id < 5) match candidates
+    sharing ≥2 sub-codes, and survivors re-rank by exact double dot.
+    Weak check (candidate sets depend on the trained codebooks, not
+    SQL-expressible); determinism still holds: fixed init (first 16
+    sample subvectors), fixed iteration count, argmin ties to the
+    lowest codeword index. Scale: training cost is constant; encoding
+    is one mapInPandas GEMM pass; the candidate join moves (vec_id, j,
+    code) triples only — same persistable-index shape as the sign-code
+    PQ."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.orderBy("vec_id").limit(256).select("embedding").collect()
+    )
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    n_sub, sub_d, n_code = 8, 8, 16
+    books = []
+    for j in range(n_sub):
+        S = X[:, j * sub_d : (j + 1) * sub_d]
+        C = S[:n_code].copy()  # deterministic init
+        for _ in range(5):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest index
+            for k in range(n_code):
+                m = S[assign == k]
+                if len(m):
+                    C[k] = m.mean(axis=0)
+        books.append(C)
+    B = np.stack(books)  # (8, 16, 8)
+
+    def encode(batches):
+        for pdf in batches:
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for j in range(n_sub):
+                S = Xb[:, j * sub_d : (j + 1) * sub_d]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                out[f"c{j}"] = np.argmin(d2, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"c{j} int" for j in range(n_sub))
+    codes_wide = emb.select("vec_id", "embedding").mapInPandas(encode, schema)
+    codes = codes_wide.selectExpr(
+        "vec_id",
+        "stack(8, " + ", ".join(f"{j}, c{j}" for j in range(n_sub)) + ")"
+        " AS (j, code)",
+    )
+    probes = codes.where(F.col("vec_id") < 5)
+    cand = (
+        F.broadcast(
+            probes.select(F.col("vec_id").alias("probe_id"), "j", "code")
+        )
+        .join(codes, ["j", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "probe_id")
+        .join(qb, "cand_id")
+        .select(
+            "probe_id", "cand_id", "n_shared",
+            dot_double("ea", "eb").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "probe_id", "cand_id", "n_shared",
+            F.round("sim", 4).alias("sim"), "rank",
+        )
+        .orderBy("probe_id", "rank")
+    )
