@@ -1404,3 +1404,124 @@ def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_sql_round(prev_seq: str, r: int) -> str:
+    """One unrolled BPE round as DuckDB CTE text: pair counts from
+    `{prev_seq}` (word_seq, c), top pair, merged sequences."""
+    return f"""
+    pairs{r} AS (
+      SELECT s.seq[i] || ' ' || s.seq[i + 1] AS pair, s.c
+      FROM (SELECT string_split(word_seq, ' ') AS seq, c
+            FROM {prev_seq}) s,
+           LATERAL (SELECT unnest(range(1, len(s.seq))) AS i)
+    ),
+    top{r} AS (
+      SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM pairs{r} GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    seq{r} AS (
+      SELECT trim(replace(' ' || w.word_seq || ' ',
+                          ' ' || t.pair || ' ',
+                          ' ' || replace(t.pair, ' ', '') || ' '))
+               AS word_seq,
+             w.c
+      FROM {prev_seq} w CROSS JOIN top{r} t
+    )"""
+
+
+@query(
+    "q_llm_bpe_train",
+    oracle="WITH words AS (\n"
+    "  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c\n"
+    "  FROM (SELECT unnest(string_split(text, ' ')) AS tok\n"
+    "        FROM documents)\n"
+    "  WHERE tok <> '' GROUP BY tok\n"
+    "),\n"
+    "seq0 AS (\n"
+    "  SELECT array_to_string(string_split(tok, ''), ' ') AS word_seq, c\n"
+    "  FROM words\n"
+    "),"
+    + _bpe_sql_round("seq0", 1)
+    + ","
+    + _bpe_sql_round("seq1", 2)
+    + ","
+    + _bpe_sql_round("seq2", 3)
+    + """
+    SELECT 1 AS round, pair AS merged_pair, cnt FROM top1
+    UNION ALL SELECT 2, pair, cnt FROM top2
+    UNION ALL SELECT 3, pair, cnt FROM top3
+    ORDER BY round
+    """,
+    category="2.J",
+)
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, public): three
+    unrolled merge rounds over the corpus word-frequency table — count
+    weighted adjacent-symbol pairs, pick the most frequent (ties →
+    lexicographic), fuse it everywhere, repeat. The merge application
+    is space-boundary-guarded string replace, which both engines
+    execute with identical left-to-right non-overlap semantics
+    (probed); the learned merge rules therefore hash-match exactly.
+    Fully LAZY: the chosen pair flows into the next round as a
+    broadcast 1-row cross join, never a driver collect. Scale: the
+    working relation is the WORD VOCABULARY (with counts), not the
+    corpus — one explode + hash agg + 1-row broadcast per round; real
+    tokenizer training runs ~30k rounds of exactly this dataflow."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    seq = words.select(
+        F.concat_ws(" ", F.split("tok", "")).alias("word_seq"), "c"
+    )
+    tops = []
+    for _ in range(3):
+        pairs = seq.select(
+            F.explode(
+                # Spark's sequence(1, 0) counts DOWN ([1,0]) instead of
+                # yielding empty like DuckDB's range — guard 1-symbol words.
+                F.expr(
+                    "CASE WHEN size(split(word_seq, ' ')) < 2 "
+                    "THEN array() "
+                    "ELSE transform(sequence(1, size(split(word_seq, ' ')) - 1), "
+                    "i -> concat(element_at(split(word_seq, ' '), i), ' ', "
+                    "element_at(split(word_seq, ' '), i + 1))) END"
+                )
+            ).alias("pair"),
+            "c",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        tops.append(top)
+        seq = seq.crossJoin(F.broadcast(top)).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("word_seq"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("word_seq"),
+            "c",
+        )
+    out = None
+    for i, t in enumerate(tops, start=1):
+        row = t.select(
+            F.lit(i).alias("round"),
+            F.col("pair").alias("merged_pair"),
+            "cnt",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")
