@@ -438,3 +438,49 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_llm_dataset_split",
+    oracle="""
+    WITH assign AS (
+      SELECT source,
+             CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(n_chars AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS total_chars
+    FROM assign GROUP BY split, source
+    ORDER BY split, source
+    """,
+    category="2.J",
+)
+def q_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by Knuth-hash modulus
+    of doc_id — the split assignment that must be STABLE across reruns,
+    engines and partitionings or eval sets silently contaminate train
+    (the q_llm_contamination failure mode, caused upstream). Per
+    (split, source) doc and char counts verify both the ratios and that
+    no source is starved in val/test. Pure integer predicate + one hash
+    agg; zero extra shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"), "source",
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )

@@ -920,3 +920,103 @@ def q_llm_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rank")
     )
+
+
+@query(
+    "q_llm_triplet_mine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM q WHERE vec_id < 50),
+    pos AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS pos_id,
+             list_reduce(list_transform(list_zip(a.qv, c.qv),
+               s -> s[1] * s[2]), (x, y) -> x + y) AS pos_qdot,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_reduce(list_transform(list_zip(a.qv, c.qv),
+                 s -> s[1] * s[2]), (x, y) -> x + y) DESC, c.vec_id) AS rn
+      FROM anchors a JOIN q c
+        ON c.label = a.label AND c.vec_id <> a.vec_id
+    ),
+    neg AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY (c.vec_id * 2654435761) % 4294967296, c.vec_id)
+               AS rn
+      FROM anchors a JOIN q c ON c.label <> a.label
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_qdot, n.neg_id
+    FROM (SELECT * FROM pos WHERE rn = 1) p
+    JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+    category="2.J",
+)
+def q_llm_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor, the hardest
+    POSITIVE (same cluster label, max int8-quantized dot — exact
+    integer, tie → lowest id) and a deterministic NEGATIVE (different
+    label, Knuth-hash argmin — reproducible, not RNG). This is the
+    (anchor, positive, negative) construction every embedding-model
+    fine-tune consumes. Scale note: the negative here scans the
+    complement per anchor for oracle parity; at 100 TB you keep the
+    GLOBAL top-2 hash-minima (one tiny agg) and pick whichever label
+    differs — O(1) per anchor, same output. Positives shuffle once on
+    label, exactly the SemDedup layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = q.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("albl"),
+        F.col("qv").alias("qa"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pos_scored = (
+        F.broadcast(a)
+        .join(q, F.col("label") == F.col("albl"))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), qdot.alias("pos_qdot"))
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.desc("pos_qdot"), F.asc("pos_id")
+    )
+    pos = (
+        pos_scored.withColumn("rn", F.row_number().over(wpos))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    neg_scored = (
+        F.broadcast(a.select("anchor_id", "albl"))
+        .join(q, F.col("label") != F.col("albl"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+                "h"
+            ),
+        )
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("neg_id"))
+    neg = (
+        neg_scored.withColumn("rn", F.row_number().over(wneg))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", "neg_id")
+    )
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")

@@ -598,3 +598,78 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.alias("total_events"),
         (F.floor(gini * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("gini"),
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), d=1..9, as shared
+# 17-digit literals — IDENTICAL text in the Spark builder and the oracle,
+# so both engines parse the same doubles (no runtime log10 divergence).
+_BENFORD = {
+    1: "0.30102999566398120", 2: "0.17609125905568124",
+    3: "0.12493873660829993", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+@query(
+    "q_agg_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ),
+    exp AS (
+      {" UNION ALL ".join(f"SELECT {d} AS d, CAST({p} AS DOUBLE) AS p" for d, p in _BENFORD.items())}
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.d, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(floor(t.n * e.p + 0.5) AS BIGINT) AS n_expected,
+           floor((COALESCE(o.n_obs, 0) - t.n * e.p)
+                 * (COALESCE(o.n_obs, 0) - t.n * e.p)
+                 / (t.n * e.p) * 10000.0 + 0.5) / 10000.0 AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot t
+    ORDER BY e.d
+    """,
+    category="2.D",
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fabricated-data
+    detector (natural multiplicative amounts put ~30.1% of first digits
+    at 1; uniform synthetics don't, and THIS corpus's uniform totals
+    fail loudly — which is the point of the audit). First digit comes
+    from exact integer cents stringified (no float log10); the nine
+    expected probabilities are shared 17-digit literals so both engines
+    parse identical doubles; each χ² term is a fixed IEEE expression
+    over (exact count, n·p), floor-rounded to 4dp. One digit histogram
+    agg + a 9-row broadcast — nothing scales with the corpus but the
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n_obs"))
+    exp_rows = [(d, float(p)) for d, p in _BENFORD.items()]
+    exp = spark.createDataFrame(exp_rows, "d long, p double")
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    j = (
+        F.broadcast(exp)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    npexp = F.col("n") * F.col("p")
+    chi2 = (n_obs - npexp) * (n_obs - npexp) / npexp
+    return j.select(
+        "d",
+        n_obs.alias("n_obs"),
+        F.floor(npexp + F.lit(0.5)).alias("n_expected"),
+        (F.floor(chi2 * 10000.0 + F.lit(0.5)) / 10000.0).alias("chi2_term"),
+    ).orderBy("d")
