@@ -673,3 +673,85 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(npexp + F.lit(0.5)).alias("n_expected"),
         (F.floor(chi2 * 10000.0 + F.lit(0.5)) / 10000.0).alias("chi2_term"),
     ).orderBy("d")
+
+
+@query(
+    "q_agg_ks_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             user_id % 2 AS variant
+      FROM events
+    ),
+    pts AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM tagged GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             CAST(SUM(a) OVER (ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM pts
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM pts
+    )
+    SELECT t.na, t.nb,
+           CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS d_num,
+           floor(CAST(MAX(abs(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+                 / (t.na * t.nb) * 1000000.0 + 0.5) / 1000000.0 AS ks_d
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    category="2.D",
+)
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the hash-variant
+    value distributions — the distribution-level A/B check that catches
+    shape shifts the mean-based z-test (q_events_ab_test) misses.
+    ENTIRELY integer until the last step: D = max|F₁−F₂| evaluated at
+    the distinct-value grid as max|c₁·n₂ − c₂·n₁| (exact int64 cumsums
+    over exact cents), then ONE division floor-rounded to 6dp. One hash
+    agg to the value grid, one cumulative window over that grid (≈
+    distinct values, not rows), one max — at 100 TB the grid window is
+    a range-partitioned sort of a bounded-cardinality relation."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2).alias("variant"),
+    )
+    pts = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("b"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pts.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+    )
+    tot = pts.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    dnum = F.max(
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    )
+    return j.groupBy("na", "nb").agg(
+        dnum.alias("d_num"),
+        (
+            F.floor(
+                dnum.cast("double") / (F.col("na") * F.col("nb"))
+                * 1000000.0 + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("ks_d"),
+    )

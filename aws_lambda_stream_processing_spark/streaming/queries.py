@@ -677,3 +677,58 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_progress_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events
+    """,
+    category="2.I",
+)
+def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY certified: drain the events stream with
+    availableNow and reconcile the engine's own progress telemetry
+    (StreamingQueryProgress.numInputRows summed over micro-batches)
+    against the batch ground truth — the monitoring contract a
+    production pipeline alarms on (the Lambda/Kinesis analogue:
+    IteratorAge + delivery metrics). The aggregate itself also lands in
+    the sink (day count), so BOTH the data path and the metrics path
+    are checked in one query. Telemetry equals data exactly because
+    availableNow replays a frozen file list — no racing appends."""
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        _scratch,
+        _stream_shuffle_conf,
+        events_stream,
+    )
+    import shutil as _sh
+    import uuid as _uuid
+
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.to_date("ts").alias("day")).count()
+    name = "mem_" + _uuid.uuid4().hex[:12]
+    ckpt = _scratch("alsp_metrics_ckpt_")
+    total_rows = 0
+    with _stream_shuffle_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120.0)
+            for prog in q.recentProgress:
+                total_rows += prog["numInputRows"]
+        finally:
+            if q.isActive:
+                q.stop()
+            _sh.rmtree(ckpt, ignore_errors=True)
+    n_days = spark.table(name).count()
+    return spark.createDataFrame(
+        [(total_rows, n_days)], "total_input_rows long, n_days long"
+    )
