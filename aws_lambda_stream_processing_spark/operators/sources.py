@@ -594,3 +594,67 @@ def q_source_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_comment_len) AS BIGINT) AS n_with_new_col,
+           CAST(SUM(COALESCE(o_comment_len, 0)) AS BIGINT) AS total_len
+    FROM (
+      SELECT o_orderpriority, NULL::BIGINT AS o_comment_len
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderpriority, length(o_orderstatus) + o_orderkey % 7
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (`mergeSchema`): two parquet generations
+    land in one dataset directory — the old writer's files lack a
+    column the new writer added — and a single mergeSchema read
+    reconciles them, NULL-filling the legacy files. This is the
+    lakehouse reality every long-lived 100 TB dataset hits (adding a
+    column must not rewrite history). Old/new split is deterministic
+    (orderkey parity), the new column derived from existing values, and
+    the aggregate certifies both generations' rows survive with correct
+    NULL accounting. Tiny result materialized + dir removed (the
+    q_sink_parquet pattern). At scale, mergeSchema reads footers in
+    parallel; pin the merged schema explicitly once it stabilizes."""
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="alsp_evo_")
+    try:
+        old_gen = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderpriority"
+        )
+        new_gen = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderpriority",
+            (
+                F.length("o_orderstatus") + F.col("o_orderkey") % 7
+            ).cast("long").alias("o_comment_len"),
+        )
+        old_gen.write.mode("overwrite").parquet(f"{out}/gen=0")
+        new_gen.write.mode("overwrite").parquet(f"{out}/gen=1")
+        back = spark.read.option("mergeSchema", True).parquet(
+            f"{out}/gen=0", f"{out}/gen=1"
+        )
+        result = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.count("o_comment_len").alias("n_with_new_col"),
+                F.sum(F.coalesce(F.col("o_comment_len"), F.lit(0))).alias(
+                    "total_len"
+                ),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

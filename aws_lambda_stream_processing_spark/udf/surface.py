@@ -388,3 +388,59 @@ def q_udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         title_case("p_name").alias("title_name"),
         n_words("p_name").alias("n_words"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q_udtf_table_arg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events WHERE user_id < 50
+    GROUP BY user_id ORDER BY user_id
+    """,
+    category="2.K",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4): the function receives
+    WHOLE PARTITIONS of a table via `TABLE(...) PARTITION BY ... ORDER
+    BY ...` — the SQL-surfaced cousin of applyInPandas, and the only
+    UDTF form that can aggregate (eval per row into held state,
+    terminate() emits). The kernel keeps exact integer cents (floor
+    half-up, values ≥ 0). Bounded to user_id < 50 for the same reason
+    as q_udf_cogrouped_map: per-partition Python calls are the cost,
+    and the demo pins that constant in corpus size."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n bigint, cents bigint, max_cents bigint")
+    class PerUserStats:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._cents = 0
+            self._max = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            c = int(row["value"] * 100 + 0.5)  # value ≥ 0: floor half-up
+            self._n += 1
+            self._cents += c
+            self._max = c if self._max is None else max(self._max, c)
+
+        def terminate(self):
+            if self._uid is not None:
+                yield self._uid, self._n, self._cents, self._max
+
+    e = load_table(spark, sf_dir, "events")
+    e.where(F.col("user_id") < 50).select(
+        "user_id", "value"
+    ).createOrReplaceTempView("udtf_events")
+    spark.udtf.register("per_user_stats", PerUserStats)
+    return spark.sql(
+        "SELECT * FROM per_user_stats("
+        "TABLE(udtf_events) PARTITION BY user_id ORDER BY user_id) "
+        "ORDER BY user_id"
+    )
