@@ -484,3 +484,62 @@ def q_llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+@query(
+    "q_llm_code_detect",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[;{}()\\[\\]=<>|&]', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_symbols,
+           floor(CAST(n_symbols AS DOUBLE) / n_chars * 10000.0 + 0.5)
+               / 10000.0 AS symbol_ratio,
+           floor(CAST(n_chars AS DOUBLE) / n_tokens * 100.0 + 0.5)
+               / 100.0 AS avg_token_len,
+           (CAST(n_symbols AS DOUBLE) / n_chars) >= 0.05 AS looks_like_code
+    FROM f ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by symbol-density heuristics — the
+    routing step that sends code to a code-specific pipeline (different
+    dedup granularity, different quality rules) and keeps it out of the
+    prose mix. Features: density of structural symbols (;{}()[]=<>|&),
+    mean token length — the classic fast pre-filter before an expensive
+    classifier. Every feature is an exact integer count; ratios are
+    single divisions floor-rounded (4dp/2dp), and the decision boundary
+    compares the IDENTICAL double on both engines. Pure map stage +
+    presentation sort; this corpus is all prose, so the flag fires
+    nowhere — the point is the certified feature pipeline, not this
+    corpus's labels."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[;{}()\[\]=<>|&]", ""))
+    ).cast("long")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    ratio = n_symbols.cast("double") / n_chars
+    atl = n_chars.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_symbols.alias("n_symbols"),
+        (F.floor(ratio * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "symbol_ratio"
+        ),
+        (F.floor(atl * 100.0 + F.lit(0.5)) / 100.0).alias("avg_token_len"),
+        (ratio >= 0.05).alias("looks_like_code"),
+    ).orderBy("doc_id")
