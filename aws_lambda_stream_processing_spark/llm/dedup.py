@@ -1036,3 +1036,70 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) END AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+@query(
+    "q_llm_line_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, (i - 1) // 10 AS chunk_id,
+             array_to_string(t[i : i + 9], ' ') AS chunk
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1, 10)) AS i)
+    ),
+    freq AS (
+      SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1
+                         THEN length(c.chunk) ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line/span) deduplication — the CCNet/C4 step the
+    doc-level ladder can't do: documents are segmented into
+    deterministic 10-token chunks, a chunk appearing in MORE THAN ONE
+    document is boilerplate to strip (headers, licenses, navigation),
+    and each doc reports how much of it would be removed. Chunk
+    frequency is a hash agg on the chunk text (at 100 TB: on its
+    64-bit hash — 8-byte shuffle rows, the q_llm_exact_dedup
+    discipline); the per-doc join back is chunk-keyed. Counts and char
+    totals exact. Segmentation is position-based (not content-based) so
+    both engines produce identical chunks by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (size(split(text, ' ')) - 1) div 10), "
+                "k -> array_join(slice(split(text, ' '), k * 10 + 1, 10), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.length("chunk")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -46,6 +46,9 @@ SAMPLE = [
     "q_pareto_abc",  # cumulative-share class boundary across partitionings
     "q_win_median_sliding",  # even-frame interpolation determinism
     "q_events_ab_test",  # single-division+sqrt z over exact ints
+    "q_llm_bpe_train",  # lazy 1-row broadcast merge chain, argmax ties
+    "q_agg_ks_test",  # integer cumsum grid + max under any partitioning
+    "q_llm_line_dedup",  # chunk frequency join-back stability
 ]
 
 
