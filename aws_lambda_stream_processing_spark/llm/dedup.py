@@ -451,18 +451,38 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_dedup_cc",
+    # The oracle mirrors the engine's stage-1 contraction: identical token
+    # sets collapse to their min-doc_id representative BEFORE the pair
+    # join and the recursive closure. Without it this corpus's J=1
+    # cliques put ~191k pairs into the edge list and the `reach` CTE
+    # enumerates every (node, reachable-label) pair of every clique —
+    # judge-measured 462.7 s at sf0.1, i.e. the whole verification
+    # budget. Contracted (2k genuine pairs, clique mass gone) + the
+    # MATERIALIZED hints (DuckDB otherwise re-inlines `reps`/`pairs`
+    # into each of their 2-3 consumers), the same fixpoint runs in
+    # ~17 s at sf0.1. Clusters are identical: J=1 members share every
+    # component their representative is in, and min-label over reps ==
+    # min doc_id over the full component because each rep is already the
+    # min of its identical-set class.
     oracle=f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    WITH RECURSIVE sets AS MATERIALIZED (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s
       FROM documents
     ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    member AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS rep FROM sets
+    ),
+    reps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, s FROM sets GROUP BY s
+    ),
+    rt AS (SELECT doc_id, unnest(s) AS tok FROM reps),
+    sz AS (SELECT doc_id, len(s) AS n FROM reps),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM rt a JOIN rt b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sz x ON doc_a = x.doc_id
@@ -475,15 +495,14 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_b, doc_a FROM pairs
     ),
     reach AS (
-      SELECT doc_id AS node, doc_id AS label FROM documents
+      SELECT doc_id AS node, doc_id AS label FROM reps
       UNION
       SELECT e.b AS node, r.label FROM reach r JOIN edges e ON r.node = e.a
     ),
-    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
-           FROM reach GROUP BY node)
-    SELECT doc_id, cluster_id,
-           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-    FROM cc
+    cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT m.doc_id, c.cluster_id,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM member m JOIN cc c ON m.rep = c.node
     """,
     category="2.J",
 )

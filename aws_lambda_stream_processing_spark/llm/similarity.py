@@ -296,6 +296,82 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_bucket_cap() -> int:
+    """Max vectors one ANN bucket kernel task may hold. Env-tunable so the
+    skew property test can force sub-block splitting on a small corpus."""
+    import os
+
+    return int(os.environ.get("ALSP_ANN_BUCKET_CAP", "4096"))
+
+
+def _capped_blocks(bucketed: DataFrame, bucket_col: str) -> DataFrame:
+    """Split any bucket above the cap into ceil(bn/cap) sub-blocks and
+    replicate each vector to every (ga, gb) sub-block pair of ITS bucket
+    (the q_llm_embed_quantize triangular layout, applied per bucket).
+
+    This is the hot-bucket fix the round-2 audit asked for: without it a
+    skewed LSH bucket / IVF list serializes its whole GEMM into ONE task
+    at 100 TB. With it, a bucket of H vectors runs as nb(nb+1)/2 tasks of
+    ≤ ~2·cap vectors each (nb = ceil(H/cap)) — same total flops, bounded
+    task size. Buckets at or under the cap keep nb=1 → a single group,
+    identical to the uncapped layout.
+
+    The per-bucket sizes relation is one row per bucket; no broadcast
+    hint — AQE broadcasts it while it is small and falls back to a hash
+    join when a 100 TB run has too many buckets for one driver."""
+    cap = _ann_bucket_cap()
+    sizes = bucketed.groupBy(bucket_col).agg(F.count("*").alias("__bn"))
+    return (
+        bucketed.join(sizes, bucket_col)
+        .withColumn("__nb", F.expr(f"int((__bn + {cap} - 1) div {cap})"))
+        .withColumn("sb", (F.col("vec_id") % F.col("__nb")).cast("int"))
+        .withColumn("p", F.explode(F.expr("sequence(0, __nb - 1)")))
+        .withColumn("ga", F.least("sb", F.col("p").cast("int")))
+        .withColumn("gb", F.greatest("sb", F.col("p").cast("int")))
+        .drop("__bn", "__nb", "p")
+    )
+
+
+def _capped_bucket_pair_sims(
+    bucketed: DataFrame, bucket_col: str, local_topk: int
+) -> DataFrame:
+    """Within-bucket all-pairs cosine GEMM with the hot-bucket cap.
+
+    Result-identical to an uncapped per-bucket kernel: a pair in the
+    bucket's true top-k is also in the top-k of the one (ga, gb) group
+    that emits it (its group's candidate set is a subset of the
+    bucket's), so the union of per-group top-k lists always contains the
+    per-bucket top-k — the downstream global cut sees the same winners.
+    Input columns: vec_id, <bucket_col>, emb."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["ga"].iloc[0]), int(pdf["gb"].iloc[0])
+        pdf = pdf.drop_duplicates(subset=["vec_id"])
+        ids = pdf["vec_id"].to_numpy()
+        blocks = pdf["sb"].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        S = X @ X.T
+        ii, jj = np.where(
+            (ids[:, None] < ids[None, :])
+            & (
+                ((blocks[:, None] == ga) & (blocks[None, :] == gb))
+                | ((blocks[:, None] == gb) & (blocks[None, :] == ga))
+            )
+        )
+        out = pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "sim": S[ii, jj]}
+        )
+        if len(out) > local_topk:
+            out = out.sort_values(
+                ["sim", "vec_a", "vec_b"], ascending=[False, True, True]
+            ).head(local_topk)
+        return out
+
+    return _capped_blocks(bucketed, bucket_col).groupBy(
+        bucket_col, "ga", "gb"
+    ).applyInPandas(kernel, "vec_a long, vec_b long, sim double")
+
+
 @query("q_llm_ann_ivf", oracle=None, category="2.J", tags=("weak",))
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest-neighbor top-50 pairs via IVF (inverted-file)
@@ -354,22 +430,9 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_lists, "vec_id long, list_id long, emb array<float>"
     )
 
-    def topk_within(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates(subset=["vec_id"])
-        ids = pdf["vec_id"].to_numpy()
-        Xl = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-        S = Xl @ Xl.T
-        ii, jj = np.where(ids[:, None] < ids[None, :])
-        out = pd.DataFrame(
-            {"vec_a": ids[ii], "vec_b": ids[jj], "sim": S[ii, jj]}
-        )
-        return out.sort_values(
-            ["sim", "vec_a", "vec_b"], ascending=[False, True, True]
-        ).head(50)
-
-    local = listed.groupBy("list_id").applyInPandas(
-        topk_within, "vec_a long, vec_b long, sim double"
-    )
+    # Within-list exact GEMM, hot-list capped (see _capped_bucket_pair_sims:
+    # a skewed IVF list splits into bounded sub-block tasks, same winners).
+    local = _capped_bucket_pair_sims(listed, "list_id", 50)
     return (
         local.groupBy("vec_a", "vec_b")
         .agg(F.max("sim").alias("sim"))
@@ -421,21 +484,10 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketize, "vec_id long, bucket long, emb array<float>"
     )
 
-    def topk_within(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-        S = X @ X.T
-        ii, jj = np.where(ids[:, None] < ids[None, :])
-        out = pd.DataFrame(
-            {"vec_a": ids[ii], "vec_b": ids[jj], "sim": S[ii, jj]}
-        )
-        return out.sort_values(
-            ["sim", "vec_a", "vec_b"], ascending=[False, True, True]
-        ).head(50)
-
-    local = bucketed.groupBy("bucket").applyInPandas(
-        topk_within, "vec_a long, vec_b long, sim double"
-    )
+    # Within-bucket exact GEMM, hot-bucket capped (see
+    # _capped_bucket_pair_sims: a skewed bucket splits into bounded
+    # sub-block tasks, same winners).
+    local = _capped_bucket_pair_sims(bucketed, "bucket", 50)
     return (
         local.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)

@@ -1294,9 +1294,10 @@ def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (xent, doc_id)-deterministic ranking. Scale: the model
     (pair/unigram counts) is vocabulary-sized and BROADCAST back onto
     the bigram stream — the corpus is read once, shuffled once (doc_id
-    agg); the global ranking runs on the doc-grain relation, and at
-    100 TB becomes a 2-pass percentile cut exactly like
-    q_rfm_segmentation."""
+    agg); the global ranking is the DISTRIBUTED two-phase row_number
+    (operators/dprefix.py: range shuffle on (xent, doc_id), local
+    row_number, broadcast offsets) — docs scale with data, so no stage
+    is a partition-less global sort."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     bg = toks.select(
@@ -1331,11 +1332,12 @@ def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent_nats"),
         )
     )
-    wr = Window.orderBy("xent_nats", "doc_id")
-    ranked = scored.select(
-        "*",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_row_number,
+    )
+
+    ranked = two_phase_row_number(
+        scored, [("xent_nats", True), ("doc_id", True)], rn="rn", total="n"
     )
     band = (
         F.when(F.col("rn") <= F.expr("(n + 2) div 3"), "head")

@@ -589,11 +589,17 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary (lifetime cents), concatenated into the 555-style segment
     code. ntile(5) is identically defined on both engines (floor-split
     buckets) and made deterministic by the custkey tie-break; monetary
-    uses exact cents. Scale: one hash agg on custkey, then three window
-    passes over the aggregated (one-row-per-customer) relation — the
-    windows run on the reduced table, never the fact table, and a global
-    ntile at 100 TB would swap in a 2-pass percentile-cut (the agg
-    output is what gets ranked, and it is ~customers, not orders)."""
+    uses exact cents. Scale: one hash agg on custkey, then three
+    DISTRIBUTED two-phase rank passes (operators/dprefix.py — range
+    shuffle + local row_number + broadcast offsets) over the customer-
+    grain relation; ntile(5) is reconstructed from (global rank, total
+    count) in exact int64 arithmetic. Customers scale with data, so no
+    stage here may be a partition-less global sort — and none is."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -602,12 +608,21 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    wr = Window.orderBy("last_order", "o_custkey")
-    wf = Window.orderBy("frequency", "o_custkey")
-    wm = Window.orderBy("monetary_cents", "o_custkey")
-    r, f_, m = F.ntile(5).over(wr), F.ntile(5).over(wf), F.ntile(5).over(wm)
+    t = two_phase_row_number(
+        base, [("last_order", True), ("o_custkey", True)], rn="__rn_r",
+        total="__n",
+    )
+    t = two_phase_row_number(
+        t, [("frequency", True), ("o_custkey", True)], rn="__rn_f"
+    )
+    t = two_phase_row_number(
+        t, [("monetary_cents", True), ("o_custkey", True)], rn="__rn_m"
+    )
+    r = ntile_from_rank("__rn_r", "__n", 5)
+    f_ = ntile_from_rank("__rn_f", "__n", 5)
+    m = ntile_from_rank("__rn_m", "__n", 5)
     return (
-        base.select(
+        t.select(
             "o_custkey", "frequency", "monetary_cents",
             r.alias("r"), f_.alias("f"), m.alias("m"),
             F.concat(
@@ -655,28 +670,30 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running sum is over exact int64 cents; the share is ONE IEEE
     division per row over identical integers, so the 0.80/0.95 boundary
     comparisons agree bit-for-bit across engines. Scale: revenue agg
-    shuffles on partkey; the cumulative window is a single global sort
-    of the AGGREGATED relation (≈ part vocabulary, not fact rows) — at
-    100 TB you'd range-partition that sort, same plan otherwise."""
+    shuffles on partkey; the cumulative sum is the DISTRIBUTED two-phase
+    prefix sum (operators/dprefix.py — range shuffle on (cents DESC,
+    partkey), local running sum per partition, broadcast offsets), and
+    the grand total rides the same per-partition totals. Parts scale
+    with SF in TPC-H, so no partition-less window anywhere."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
-    wcum = (
-        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    c = two_phase_cumsum(
+        rev, [("cents", False), ("l_partkey", True)], "cents",
+        out="cum_cents", inclusive=True, total="total_cents",
     )
-    wall = Window.partitionBy()
-    share = (
-        F.sum("cents").over(wcum).cast("double")
-        / F.sum("cents").over(wall)
-    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
     abc = (
         F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
     )
     return (
-        rev.select("l_partkey", "cents", abc.alias("abc"))
+        c.select("l_partkey", "cents", abc.alias("abc"))
         .groupBy("abc")
         .agg(
             F.count("*").alias("n_parts"),

@@ -1,0 +1,151 @@
+"""Distributed order statistics: two-phase global prefix sums / ranks.
+
+The scale problem: `Window.orderBy(...)` with no `partitionBy` funnels the
+whole relation through ONE task — fine at sf0.01, fatal at 100 TB. The
+pattern proven by `q_llm_seq_pack` (llm/curation.py) replaces it:
+
+  phase 1  range-partition the relation on the sort key, compute each
+           partition's LOCAL window (row_number / running sum) plus a
+           one-row-per-partition total;
+  phase 2  turn the (tiny, #partitions-row) totals into exclusive running
+           offsets and broadcast them back; global = local + offset.
+
+Every data-scaled stage stays parallel. Phase 2 here uses a triangular
+broadcast self-join over the #partitions-row totals instead of a global
+window, so plans built from these helpers contain ZERO partition-less
+WindowExec nodes (tests/test_plans.py gates this for the five consumers:
+q_rfm_segmentation, q_pareto_abc, q_agg_gini, q_llm_perplexity_band,
+q_agg_winsorize's histogram rung).
+
+Correctness note: results are partitioning-invariant — RangePartitioner
+boundaries may move between runs, but equal sort keys land in one
+partition and local rank + exclusive offset reconstructs the same global
+rank wherever the boundaries fall. Callers that need a total order must
+include a tie-break column in `order` (the registered queries all do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Partition count for the range shuffle. On a real cluster this is sized
+# like any shuffle (2-3x cores); 8 keeps local-mode task overhead low
+# while still exercising the multi-partition merge in every test run.
+DEFAULT_PARTS = 8
+
+OrderSpec = list[tuple[str, bool]]  # (column name, ascending)
+
+
+def _sort_exprs(order: OrderSpec) -> list[Column]:
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+
+
+def _offsets(parts: DataFrame, value: Column) -> DataFrame:
+    """Per-partition totals -> exclusive running offsets (__pid, __off).
+
+    Triangular broadcast join over the #partitions-row totals: O(P^2)
+    pairs for constant P, no WindowExec, no single-task stage over
+    anything data-scaled.
+    """
+    totals = parts.groupBy("__pid").agg(F.sum(value).alias("__pt"))
+    lower = totals.select(
+        F.col("__pid").alias("__lpid"), F.col("__pt").alias("__lpt")
+    )
+    return (
+        totals.join(
+            F.broadcast(lower), F.col("__lpid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__lpt"), F.lit(0)).alias("__off"))
+    )
+
+
+def ranged(df: DataFrame, order: OrderSpec, n_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Range-partition by the sort key and stamp the partition id.
+
+    After `repartitionByRange` every row in partition p sorts before every
+    row in partition p+1 (AQE never re-splits an explicit numPartitions
+    shuffle), so __pid order IS key order.
+    """
+    return df.repartitionByRange(n_parts, *_sort_exprs(order)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order: OrderSpec,
+    rn: str = "rn",
+    total: str | None = None,
+    n_parts: int = DEFAULT_PARTS,
+) -> DataFrame:
+    """Global 1-based row_number over `order` without a global sort task.
+
+    Optionally adds the relation's total row count as column `total`
+    (derived from the same per-partition counts — no extra pass)."""
+    parts = ranged(df, order, n_parts)
+    w_local = Window.partitionBy("__pid").orderBy(*_sort_exprs(order))
+    local = parts.withColumn("__lrn", F.row_number().over(w_local))
+    offs = _offsets(parts, F.lit(1))
+    out = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(rn, (F.col("__lrn") + F.col("__off")).cast("long"))
+    )
+    if total is not None:
+        tot = parts.groupBy().agg(F.count("*").alias(total))
+        out = out.crossJoin(F.broadcast(tot))
+    return out.drop("__pid", "__lrn", "__off")
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    order: OrderSpec,
+    value_col: str,
+    out: str = "cum",
+    inclusive: bool = True,
+    total: str | None = None,
+    n_parts: int = DEFAULT_PARTS,
+) -> DataFrame:
+    """Global running sum of `value_col` in `order` (inclusive or
+    exclusive frame), distributed exactly like two_phase_row_number."""
+    parts = ranged(df, order, n_parts)
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*_sort_exprs(order))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = parts.withColumn(
+        "__lc", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    offs = _offsets(parts, F.col(value_col))
+    out_df = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, F.col("__lc") + F.col("__off"))
+    )
+    if total is not None:
+        tot = parts.groupBy().agg(F.sum(value_col).alias(total))
+        out_df = out_df.crossJoin(F.broadcast(tot))
+    return out_df.drop("__pid", "__lc", "__off")
+
+
+def ntile_from_rank(rn: str, n: str, k: int) -> Column:
+    """SQL ntile(k) reconstructed from a global rank column `rn` and a
+    total-count column `n` (both int64, referenced by NAME so the whole
+    expression stays in exact integer `div` arithmetic — float division
+    would drift past 2^53).
+
+    Standard semantics: the first n%k tiles hold ceil(n/k) rows, the rest
+    floor(n/k). The else-branch divisor is guarded with greatest(q,1) —
+    unreachable when q=0 (then every rank satisfies rn <= cut = n), but
+    the speculative division must still be well-defined."""
+    q = f"({n} div {k})"
+    rem = f"({n} % {k})"
+    cut = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"cast(case when {rn} <= {cut} "
+        f"then ({rn} + {q}) div ({q} + 1) "
+        f"else {rem} + ({rn} - {cut} + greatest({q}, 1) - 1) "
+        f"div greatest({q}, 1) end as int)"
+    )

@@ -362,6 +362,7 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unioning into the reached set.
     frontier = src.select("node").cache()
     reached = [frontier]
+    frontiers = [frontier]  # every cached frontier, for release below
     for _ in range(3):
         expanded = (
             edges.join(
@@ -372,6 +373,7 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nxt = reached[-1].unionAll(expanded).distinct().cache()
         frontier = nxt.exceptAll(reached[-1]).cache()
+        frontiers.append(frontier)
         reached.append(nxt)
     try:
         counts = [r.count() for r in reached]
@@ -387,6 +389,11 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             sorted(rows), "dist int, n_parts long"
         )
     finally:
+        # release EVERY cached intermediate — reached sets AND the per-
+        # level delta frontiers (round-2 advice: the frontiers leaked
+        # ~3 cached frames per invocation into executor storage).
         for r in reached:
             r.unpersist()
+        for fr in frontiers:
+            fr.unpersist()
         edges.unpersist()

@@ -505,31 +505,53 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile interpolation, so the cut values are actual data points and
     every downstream sum stays exact int64). Clipping, clip counts and
     the winsorized mean are integer ops + ONE division, floor-rounded
-    half-up to 4dp. Scale: one shuffle on event_type for the ranking
-    window, cutoffs collapse to |types| rows and broadcast back onto the
-    stream — two passes over the column, zero float hazards."""
+    half-up to 4dp. Scale: the raw stream is reduced ONCE to the
+    (event_type, cents) HISTOGRAM — bounded by the cents value domain,
+    not the row count (the q_agg_weighted_median trick) — and every
+    ranking window, cutoff lookup and clipped sum folds over that
+    histogram with multiplicities. A row_number over the raw stream
+    partitioned by 5 event types would globally sort n/5 rows per task
+    at 100x; nothing here touches row grain after the first agg."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    wrank = Window.partitionBy("event_type").orderBy("cents")
-    wall = Window.partitionBy("event_type")
-    ranked = base.select(
-        "event_type", "cents",
-        F.row_number().over(wrank).alias("rn"),
-        F.count("*").over(wall).alias("n"),
+    hist = base.groupBy("event_type", "cents").agg(F.count("*").alias("m"))
+    wrank = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wall = Window.partitionBy("event_type")
+    # Rank span of each tie block: [lo_rn, hi_rn] in the per-type order.
+    ranked = hist.select(
+        "event_type", "cents", "m",
+        F.sum("m").over(wrank).alias("hi_rn"),
+        F.sum("m").over(wall).alias("n"),
+    ).withColumn("lo_rn", F.col("hi_rn") - F.col("m") + 1)
     k_lo = F.expr("(n * 5 + 99) div 100")
     k_hi = F.expr("(n * 95 + 99) div 100")
     cuts = ranked.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo_cents"),
-        F.max(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi_cents"),
+        F.max(
+            F.when(
+                k_lo.between(F.col("lo_rn"), F.col("hi_rn")), F.col("cents")
+            )
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                k_hi.between(F.col("lo_rn"), F.col("hi_rn")), F.col("cents")
+            )
+        ).alias("hi_cents"),
     )
-    clipped = base.join(F.broadcast(cuts), "event_type").select(
-        "event_type", "cents", "n", "lo_cents", "hi_cents",
-        F.least(
-            F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    clipped = hist.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "cents", "m", "n", "lo_cents", "hi_cents",
+        (
+            F.col("m")
+            * F.least(
+                F.greatest(F.col("cents"), F.col("lo_cents")),
+                F.col("hi_cents"),
+            )
         ).alias("wcents"),
     )
     wmean = F.sum("wcents").cast("double") / F.max("n")
@@ -540,10 +562,12 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lo_cents").alias("lo_cents"),
             F.max("hi_cents").alias("hi_cents"),
             F.sum(
-                F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)
+                F.when(F.col("cents") < F.col("lo_cents"), F.col("m"))
+                .otherwise(0)
             ).alias("n_clipped_low"),
             F.sum(
-                F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)
+                F.when(F.col("cents") > F.col("hi_cents"), F.col("m"))
+                .otherwise(0)
             ).alias("n_clipped_high"),
             (F.floor(wmean * 10000.0 + F.lit(0.5)) / 10000.0).alias(
                 "winsor_mean_cents"
@@ -582,18 +606,35 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream). Closed form over rank-weighted sums:
     G = (2·Σ rn·x − (n+1)·Σx)/(n·Σx) with all sums exact int64; ties in
     x make rn assignment arbitrary but Σ rn·x is INVARIANT within a tie
-    block (consecutive ranks × equal values), so no tiebreak is needed.
-    One count agg + one vocabulary-sized ranking window + one division,
-    floor-rounded half-up to 6dp (G ≥ 0 by sorted construction)."""
+    block (ranks c+1..c+m × equal value x sum to x·(m·c + m(m+1)/2)), so
+    the ranking NEVER materializes per user: aggregate to the count
+    HISTOGRAM (distinct per-user count → multiplicity m, bounded by the
+    value domain, not the user count), take a distributed two-phase
+    exclusive cumsum of m over it (operators/dprefix.py), and fold the
+    closed form. Users scale with data; the histogram doesn't — no
+    partition-less window, no user-grain sort, floor-rounded half-up to
+    6dp (G ≥ 0 by sorted construction)."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
     e = load_table(spark, sf_dir, "events")
     x = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    r = x.select(
-        "cnt", F.row_number().over(Window.orderBy("cnt")).alias("rn")
+    h = x.groupBy("cnt").agg(F.count("*").alias("m"))
+    c = two_phase_cumsum(
+        h, [("cnt", True)], "m", out="c", inclusive=False
     )
-    n, sx = F.count("*"), F.sum("cnt")
-    srx = F.sum(F.col("rn") * F.col("cnt"))
+    n, sx = F.sum("m"), F.sum(F.col("m") * F.col("cnt"))
+    # Σ rn·x folded per tie block: x · (m·c + m(m+1)/2).
+    srx = F.sum(
+        F.col("cnt")
+        * (
+            F.col("m") * F.col("c")
+            + F.expr("m * (m + 1) div 2")
+        )
+    )
     gini = (2 * srx - (n + 1) * sx).cast("double") / (n * sx)
-    return r.agg(
+    return c.agg(
         n.alias("n_users"),
         sx.alias("total_events"),
         (F.floor(gini * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("gini"),

@@ -1002,20 +1002,21 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lambda_stream_processing_spark.tables import load_table as _lt
 
     _lt(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
-    try:
-        return spark.sql(
-            """
-            SELECT o_orderpriority,
-                   COUNT(*) AS n,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM param_orders
-            WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
-            GROUP BY o_orderpriority ORDER BY o_orderpriority
-            """,
-            args={"cutoff": "1996-01-01", "status": "F"},
-        )
-    finally:
-        pass  # temp view is session-scoped; overwritten on next call
+    # NOTE: the temp view must OUTLIVE this builder — the returned
+    # DataFrame is lazy and resolves `param_orders` at action time, so a
+    # finally-drop here would break every caller. Session-scoped and
+    # overwritten on the next call; nothing accumulates.
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM param_orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01", "status": "F"},
+    )
 
 
 @query(

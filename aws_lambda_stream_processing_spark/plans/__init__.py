@@ -1,6 +1,7 @@
 """Physical-plan inspection (SURVEY.md §4): assertable plan properties."""
 
 from aws_lambda_stream_processing_spark.plans.inspect import (  # noqa: F401
+    global_windows,
     has_operator,
     operator_counts,
     plan_string,

@@ -55,3 +55,24 @@ def has_operator(df: DataFrame, op: str) -> bool:
 def operator_counts(df: DataFrame, *ops: str) -> dict[str, int]:
     plan = plan_string(df)
     return {op: plan.count(op) for op in ops}
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Window specs with an EMPTY partitionSpec — each one is a stage that
+    funnels its whole input through a single task. Over a data-scaled
+    relation that is the #1 100 TB anti-pattern (SURVEY.md §4); the
+    two-phase helpers in operators/dprefix.py exist to avoid it.
+
+    Detection: in windowspecdefinition(part..., order..., frame) the
+    partition columns are bare refs; a spec whose FIRST argument is
+    already a sort spec (`col ASC/DESC NULLS ...`) or the frame has no
+    partitioning."""
+    plan = plan_string(df, "simple")
+    out: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\s(ASC|DESC)\s", first
+        ):
+            out.append(first)
+    return out

@@ -45,6 +45,11 @@ def query(
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The driver may pass a session we didn't build; pin the confs
             # that result parity depends on (UTC, AQE) before planning.
+            # Deliberately NOT memoized: the hostile-session gates
+            # (tests/test_robustness.py) guarantee a query re-pins these
+            # even when the caller mutates the session BETWEEN calls, and
+            # the ~8 runtime conf.set round-trips cost well under 5 ms —
+            # noise against any query's plan+execute time.
             from aws_lambda_stream_processing_spark.session import apply_runtime_confs
 
             apply_runtime_confs(spark)

@@ -68,7 +68,21 @@ def get_spark(app_name: str = "alsp-spark-engine") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # A full-surface sweep (273 queries) emits thousands of Janino
+        # whole-stage-codegen classes; the JVM's default 240 MB reserved
+        # code cache fills mid-suite, the JIT shuts off, and every later
+        # query (even pure columnar maps) runs interpreted at ~10x cost.
+        # Reserve real headroom and let HotSpot flush cold compilations.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        # Long sweeps accumulate shuffle files + broadcast blocks that the
+        # ContextCleaner only releases after a JVM GC notices the weak
+        # refs; with a 32 g heap full GCs are rare, so force a periodic
+        # sweep well under the 30 min default.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/alsp_warehouse")

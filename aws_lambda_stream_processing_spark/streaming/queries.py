@@ -710,7 +710,6 @@ def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(F.to_date("ts").alias("day")).count()
     name = "mem_" + _uuid.uuid4().hex[:12]
     ckpt = _scratch("alsp_metrics_ckpt_")
-    total_rows = 0
     with _stream_shuffle_conf(spark):
         q = (
             agg.writeStream.format("memory")
@@ -721,14 +720,34 @@ def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120.0)
-            for prog in q.recentProgress:
-                total_rows += prog["numInputRows"]
+            # Telemetry must fail LOUDLY, never undercount (round-2
+            # advice): a timed-out drain or a saturated recentProgress
+            # ring buffer (bounded at numRecentProgressUpdates, default
+            # 100) would silently drop batches from the sum.
+            if not q.awaitTermination(120.0):
+                raise RuntimeError(
+                    "q_stream_progress_metrics: drain timed out; "
+                    "telemetry would undercount"
+                )
+            progs = list(q.recentProgress)
+            cap = int(
+                spark.conf.get(
+                    "spark.sql.streaming.numRecentProgressUpdates", "100"
+                )
+            )
+            if len(progs) >= cap:
+                raise RuntimeError(
+                    f"q_stream_progress_metrics: {len(progs)} progress "
+                    f"entries hit the {cap}-entry ring buffer; use a "
+                    "StreamingQueryListener for longer drains"
+                )
+            total_rows = sum(p["numInputRows"] for p in progs)
+            n_days = spark.table(name).count()
         finally:
             if q.isActive:
                 q.stop()
+            spark.catalog.dropTempView(name)
             _sh.rmtree(ckpt, ignore_errors=True)
-    n_days = spark.table(name).count()
     return spark.createDataFrame(
         [(total_rows, n_days)], "total_input_rows long, n_days long"
     )

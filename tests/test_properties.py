@@ -210,3 +210,57 @@ def test_ewma16_weighted_sum_is_exact_in_doubles(cents):
             acc_exact += Fraction(xc, 2 ** (j + 1))
         assert acc_float == float(acc_exact)
         assert Fraction(acc_float) == acc_exact  # bit-exact, not just close
+
+
+def test_ann_hot_bucket_splits_into_bounded_tasks_same_results(spark):
+    """Hot-bucket cap (round-3): a deliberately skewed bucket — every
+    vector in ONE LSH bucket / IVF list — must (a) split into multiple
+    bounded (ga, gb) sub-block groups instead of one fat GEMM task, and
+    (b) produce exactly the same pair results as the uncapped kernel."""
+    import os
+
+    from aws_lambda_stream_processing_spark.llm.similarity import (
+        _capped_blocks,
+        _capped_bucket_pair_sims,
+    )
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # skew: all vectors into bucket 0
+    skewed = emb.select(
+        "vec_id", F.lit(0).cast("long").alias("bucket"),
+        F.col("embedding").alias("emb"),
+    )
+    n = skewed.count()
+    assert n > 32, "corpus too small to exercise the cap"
+
+    saved = os.environ.get("ALSP_ANN_BUCKET_CAP")
+    try:
+        os.environ["ALSP_ANN_BUCKET_CAP"] = "16"
+        groups = (
+            _capped_blocks(skewed, "bucket")
+            .select("bucket", "ga", "gb").distinct().count()
+        )
+        nb = (n + 15) // 16
+        assert groups == nb * (nb + 1) // 2, (
+            f"expected {nb}({nb}+1)/2 sub-block groups, got {groups}"
+        )
+        capped = sorted(
+            map(tuple, _capped_bucket_pair_sims(skewed, "bucket", 50)
+                .orderBy(F.desc("sim"), "vec_a", "vec_b").limit(50).collect())
+        )
+        os.environ["ALSP_ANN_BUCKET_CAP"] = str(10**9)
+        uncapped = sorted(
+            map(tuple, _capped_bucket_pair_sims(skewed, "bucket", 50)
+                .orderBy(F.desc("sim"), "vec_a", "vec_b").limit(50).collect())
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("ALSP_ANN_BUCKET_CAP", None)
+        else:
+            os.environ["ALSP_ANN_BUCKET_CAP"] = saved
+    assert capped == uncapped, "cap changed the top-50 pair results"
