@@ -543,3 +543,263 @@ def q_llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(atl * 100.0 + F.lit(0.5)) / 100.0).alias("avg_token_len"),
         (ratio >= 0.05).alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_llm_gopher_rules",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) AS du,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS ds
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n, du, ds, n_chars - n + 1 AS chars_net FROM q
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           ROUND(chars_net * 1.0 / n, 4) AS mean_word_len,
+           (n BETWEEN 30 AND 80) AS r_len,
+           (7 * n <= 2 * chars_net AND 2 * chars_net <= 9 * n) AS r_mwl,
+           (20 * ds >= n) AS r_stop,
+           (5 * du >= n) AS r_uniq,
+           (n BETWEEN 30 AND 80
+            AND 7 * n <= 2 * chars_net AND 2 * chars_net <= 9 * n
+            AND 20 * ds >= n AND 5 * du >= n) AS keep
+    FROM m
+    """,
+    category="2.J",
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (round 3) — the public
+    pre-filter recipe (Rae et al. 2021, table A1 shape) every web-scale
+    pipeline runs before model-based scoring: word-count band, mean-
+    word-length band, stopword floor, lexical-diversity floor, and the
+    conjunctive keep flag. Every rule is evaluated in PURE INTEGER
+    arithmetic (e.g. mean-word-length ∈ [3.5, 4.5] is `7n ≤ 2·chars ≤
+    9n`) so the booleans cannot straddle a float threshold between
+    engines; the only float in the output is the display-rounded mean.
+    Per-row columnar math over one scan — zero shuffles, embarrassingly
+    parallel at 100 TB. Complements q_llm_quality_score (continuous
+    score) with the hard-gate semantics."""
+    from aws_lambda_stream_processing_spark.llm.text import STOPWORDS, _toks
+
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    n = F.size("t")
+    du = F.size(F.array_distinct("t"))
+    ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    chars_net = F.col("n_chars") - n + 1
+    r_len = n.between(30, 80)
+    r_mwl = (7 * n <= 2 * chars_net) & (2 * chars_net <= 9 * n)
+    r_stop = 20 * ds >= n
+    r_uniq = 5 * du >= n
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(chars_net / n, 4).alias("mean_word_len"),
+        r_len.alias("r_len"),
+        r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"),
+        r_uniq.alias("r_uniq"),
+        (r_len & r_mwl & r_stop & r_uniq).alias("keep"),
+    )
+
+
+# Per-source document cap for q_llm_domain_quota (C4's per-domain dedup
+# rung generalized to a quota): small enough to bite at every test SF.
+DOMAIN_QUOTA = 10
+
+
+@query(
+    "q_llm_domain_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+    FROM r WHERE rank_in_source <= {DOMAIN_QUOTA}
+    """,
+    category="2.J",
+)
+def q_llm_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (round 3) — the C4/RefinedWeb "don't let
+    one domain dominate the mixture" cap: keep the first K docs of each
+    source in stable doc_id order. The per-source ranking does NOT use a
+    `partitionBy(source)` window — with a handful of hot domains that is
+    the q_agg_winsorize fat-task shape — but derives per-source rank from
+    the GLOBAL two-phase rank (operators/dprefix.py) over (source,
+    doc_id): rank_in_source = global_rn − min(global_rn per source) + 1,
+    where the per-source minima are a |sources|-row broadcast. Every
+    data-scaled stage is the range-shuffled two-phase pipeline; sources
+    are the only bounded relation."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = two_phase_row_number(
+        d, [("source", True), ("doc_id", True)], rn="__rn"
+    )
+    base = ranked.groupBy("source").agg(F.min("__rn").alias("__rn0"))
+    return (
+        ranked.join(F.broadcast(base), "source")
+        .withColumn(
+            "rank_in_source", (F.col("__rn") - F.col("__rn0") + 1)
+        )
+        .where(F.col("rank_in_source") <= DOMAIN_QUOTA)
+        .select("doc_id", "source", "rank_in_source")
+    )
+
+
+# DSIR feature space: hashed word-bigram buckets (Xie et al. 2023 use
+# hashed n-grams for exactly this reason — the feature space stays a
+# fixed-width table no matter the corpus size).
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "q_llm_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             (ascii(t[i]) * 31 + ascii(t[i + 1]) * 17
+              + length(t[i]) * 7 + length(t[i + 1])) % {_DSIR_BUCKETS}
+               AS bucket
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    raw AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r FROM bg GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+      FROM bg WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT SUM(r) FROM raw) AS rtot,
+             (SELECT COALESCE(SUM(tc), 0) FROM tgt) AS ttot
+    ),
+    w AS (
+      SELECT raw.bucket,
+             ln(CAST((COALESCE(tgt.tc, 0) + 1)
+                     * (tot.rtot + {_DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((tot.ttot + {_DSIR_BUCKETS})
+                       * (raw.r + 1) AS DOUBLE)) AS wb
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, bucket
+    )
+    SELECT db.doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           floor(CAST(SUM(CAST(wb * cnt AS DECIMAL(38, 18))) AS DOUBLE)
+                 / SUM(cnt) * 100000000.0 + 0.5) / 100000000.0
+             AS dsir_score
+    FROM db JOIN w ON db.bucket = w.bucket
+    GROUP BY db.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 3) — Data Selection via Importance
+    Resampling (Xie et al. 2023, the public recipe): score every raw doc
+    by the mean log-likelihood ratio of its hashed-bigram features under
+    the TARGET distribution (here lang='en', the domain being matched)
+    vs the RAW corpus distribution, add-1 smoothed. High scores =
+    target-like docs to up-sample into the mixture.
+
+    Exactness: the per-bucket ratio ((t+1)(R+256)) / ((T+256)(r+1)) is a
+    quotient of exact int64 products (< 2^53 at every test SF, so both
+    engines build the identical double) and takes ONE transcendental ln;
+    per-doc sums run through DECIMAL(38,18) (order-independence) with
+    the floor-half-up 8dp final rounding — the q_agg_entropy law-18
+    discipline. At 100 TB the products overflow 64-bit: switch the
+    weight to ln(t+1)−ln(T+B)−ln(r+1)+ln(R+B) (the bucket table is 256
+    rows — recomputing it is free; only the ulp discipline changes).
+
+    Shape: one bigram scan feeds three hash-aggs (global bucket counts
+    for raw + target = 256-row broadcasts; per-(doc, bucket) counts =
+    the only data-scaled shuffle, on doc_id); the weight table broadcast-
+    joins back. No window, no collect, no Python."""
+    from aws_lambda_stream_processing_spark.llm.text import _toks
+
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            (
+                F.ascii("b.w1") * 31
+                + F.ascii("b.w2") * 17
+                + F.length("b.w1") * 7
+                + F.length("b.w2")
+            )
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    raw = bg.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt = (
+        bg.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = raw.agg(F.sum("r").alias("rtot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("ttot"))
+    )
+    w = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                    * (F.col("rtot") + _DSIR_BUCKETS)
+                ).cast("double")
+                / (
+                    (F.col("ttot") + _DSIR_BUCKETS) * (F.col("r") + 1)
+                ).cast("double")
+            ).alias("wb"),
+        )
+    )
+    db = bg.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    # Multiply in DOUBLES, then cast the product to decimal: a
+    # decimal(38,18) x bigint product would trip Spark's precision-loss
+    # promotion (scale truncated toward 6 digits, ~1e-7 drift vs DuckDB's
+    # 128-bit decimals — measured). The double product is the identical
+    # IEEE op on both engines; the decimal sum restores order-independence.
+    term = (F.col("wb") * F.col("cnt")).cast("decimal(38,18)")
+    return (
+        db.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(term).cast("double") / F.sum("cnt")
+                    * 100000000.0
+                    + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("dsir_score"),
+        )
+    )

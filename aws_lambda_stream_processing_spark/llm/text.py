@@ -1527,3 +1527,135 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+# Rolling-hash modulus for shingle keys: 2^55 keeps acc*131 + h < 2^63
+# (exact int64 on both engines) while making birthday collisions over any
+# test-SF shingle population negligible (~1e-6) — and a collision is
+# DETERMINISTIC and identical on both sides, so parity never breaks.
+_SHINGLE_MOD = 1 << 55
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t[i:i + 4],
+                   x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+               (acc, h) -> (acc * 131 + h) % {_SHINGLE_MOD}) AS s
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    ),
+    first AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty_ratio
+    FROM sh JOIN first f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve (round 3) — for each doc, the fraction of its
+    distinct 5-gram shingles whose FIRST corpus occurrence (min doc_id)
+    is this doc. The "how much genuinely new text does each document
+    add" statistic behind dedup-aware data valuation (the RETSim /
+    infinigram-style novelty profile): boilerplate-heavy docs score ~0,
+    fresh content ~1. Shingles travel as 8-byte rolling hashes
+    (Karp-Rabin fold mod 2^55 — exact int64 on both engines, collisions
+    deterministic AND identical cross-engine), never as strings: the
+    shuffle key is 8 bytes regardless of shingle width, the
+    q_llm_line_dedup discipline. Shape: explode → per-doc distinct →
+    one hash-agg on the shingle key (min doc_id) → join back on the
+    same key, one more doc_id agg. All hash-partitioned, no windows,
+    no collect."""
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4), i -> "
+                    "aggregate(slice(t, i, 5), CAST(0 AS LONG), "
+                    "(acc, x) -> (acc * 131 + (CAST(ascii(x) AS LONG) * 31 "
+                    f"+ length(x))) % {_SHINGLE_MOD}))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 4).alias("novelty_ratio"),
+        )
+    )
+
+
+@query(
+    "q_llm_tokenizer_fertility",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n,
+             len(regexp_extract_all(text, '[a-z]{1,4}')) AS sub,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS ws_tokens,
+           CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+           ROUND(SUM(sub) * 1.0 / SUM(n), 4) AS fertility,
+           ROUND(SUM(n_chars - n + 1) * 1.0 / SUM(sub), 4)
+             AS chars_per_subtok
+    FROM q GROUP BY lang ORDER BY lang
+    """,
+    category="2.J",
+)
+def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (round 3) — subword tokens per
+    whitespace word and chars per subword token, the standard "how well
+    does the tokenizer fit each language" diagnostic (high fertility =
+    the language pays more sequence length per word; drives mixture and
+    vocab decisions). Uses the q_llm_token_count BPE-ish regex so both
+    engines tokenize identically; ratios are single divisions of exact
+    int64 sums, display-rounded. One map + one bounded hash-agg on lang
+    — the exchange carries |langs| rows per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    sub = F.regexp_count("text", F.lit("[a-z]{1,4}"))
+    return (
+        d.select(
+            "lang",
+            n.alias("n"),
+            sub.alias("sub"),
+            (F.col("n_chars") - n + 1).alias("chars_net"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("ws_tokens"),
+            F.sum("sub").alias("subword_tokens"),
+            F.round(F.sum("sub") / F.sum("n"), 4).alias("fertility"),
+            F.round(
+                F.sum("chars_net") / F.sum("sub"), 4
+            ).alias("chars_per_subtok"),
+        )
+        .orderBy("lang")
+    )
