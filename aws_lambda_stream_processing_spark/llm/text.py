@@ -1337,7 +1337,8 @@ def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranked = two_phase_row_number(
-        scored, [("xent_nats", True), ("doc_id", True)], rn="rn", total="n"
+        scored, [("xent_nats", True), ("doc_id", True)], rn="rn", total="n",
+        materialize=True,
     )
     band = (
         F.when(F.col("rn") <= F.expr("(n + 2) div 3"), "head")

@@ -610,13 +610,15 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = two_phase_row_number(
         base, [("last_order", True), ("o_custkey", True)], rn="__rn_r",
-        total="__n",
+        total="__n", materialize=True,
     )
     t = two_phase_row_number(
-        t, [("frequency", True), ("o_custkey", True)], rn="__rn_f"
+        t, [("frequency", True), ("o_custkey", True)], rn="__rn_f",
+        materialize=True,
     )
     t = two_phase_row_number(
-        t, [("monetary_cents", True), ("o_custkey", True)], rn="__rn_m"
+        t, [("monetary_cents", True), ("o_custkey", True)], rn="__rn_m",
+        materialize=True,
     )
     r = ntile_from_rank("__rn_r", "__n", 5)
     f_ = ntile_from_rank("__rn_f", "__n", 5)

@@ -79,11 +79,23 @@ def two_phase_row_number(
     rn: str = "rn",
     total: str | None = None,
     n_parts: int = DEFAULT_PARTS,
+    materialize: bool = False,
 ) -> DataFrame:
     """Global 1-based row_number over `order` without a global sort task.
 
     Optionally adds the relation's total row count as column `total`
-    (derived from the same per-partition counts — no extra pass)."""
+    (derived from the same per-partition counts — no extra pass).
+
+    `materialize=True` lazily localCheckpoints the INPUT first: the
+    offsets branch re-executes everything below the fork (range-shuffle
+    stage reuse does not survive the broadcast boundary in practice), so
+    when `df` is itself an expensive pipeline — q_llm_perplexity_band's
+    corpus-trained LM scoring, q_rfm_segmentation's chained ranks — one
+    bounded materialization beats recomputing the chain per branch. The
+    persisted blocks are released by the ContextCleaner once the query's
+    references drop (session.py pins periodicGC to 60 s)."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     parts = ranged(df, order, n_parts)
     w_local = Window.partitionBy("__pid").orderBy(*_sort_exprs(order))
     local = parts.withColumn("__lrn", F.row_number().over(w_local))
@@ -106,9 +118,13 @@ def two_phase_cumsum(
     inclusive: bool = True,
     total: str | None = None,
     n_parts: int = DEFAULT_PARTS,
+    materialize: bool = False,
 ) -> DataFrame:
     """Global running sum of `value_col` in `order` (inclusive or
-    exclusive frame), distributed exactly like two_phase_row_number."""
+    exclusive frame), distributed exactly like two_phase_row_number —
+    including its `materialize` input-checkpoint option."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     parts = ranged(df, order, n_parts)
     end = 0 if inclusive else -1
     w_local = (
