@@ -756,6 +756,11 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
+    # Three consumers (raw counts, target counts, per-doc counts) would
+    # each re-explode the corpus; materialize the slim (doc, lang, bucket)
+    # stream once (the dprefix `materialize` rationale — measured 8.5 s →
+    # ~2 s at sf0.1).
+    bg = bg.localCheckpoint(eager=False)
     raw = bg.groupBy("bucket").agg(F.count("*").alias("r"))
     tgt = (
         bg.where(F.col("lang") == "en")
