@@ -1122,3 +1122,47 @@ def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_llm_dup_rate_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, sha256(text) AS hsh
+      FROM documents
+    ),
+    c AS (SELECT hsh, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY hsh)
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           ROUND(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS dup_ratio
+    FROM h JOIN c USING (hsh)
+    GROUP BY h.source ORDER BY h.source
+    """,
+    category="2.J",
+)
+def q_llm_dup_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass attribution by source — WHERE the duplication comes
+    from: per source, the fraction of its docs whose exact content hash
+    appears more than once CORPUS-WIDE (the report a curation run files
+    before deciding per-source sampling weights; pairs with
+    q_llm_domain_quota). 32-byte hashes shuffle, never bodies
+    (q_llm_exact_dedup discipline); corpus-wide counts join back on the
+    hash key; one bounded per-source agg. Ratios are one int division,
+    display-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", F.sha2("text", 256).alias("hsh"))
+    c = h.groupBy("hsh").agg(F.count("*").alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        h.join(c, "hsh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1103,3 +1103,99 @@ def q_ts_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+@query(
+    "q_ts_acf_lags",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.cents AS x, b.cents AS y
+      FROM hourly a CROSS JOIN lags l
+      JOIN hourly b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1000000 + CAST(0.5 AS DOUBLE))
+           / CAST(1000000 AS DOUBLE) AS acf
+    FROM m WHERE n >= 3
+    ORDER BY event_type, lag
+    """,
+    category="2.J",
+)
+def q_ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 h of each event type's hourly
+    value series — the seasonality probe before any forecast
+    (q_ts_forecast_drift) or decomposition (q_ts_seasonal_decompose)
+    is trusted. Series points are exact int64 cents per integer hour
+    index (epoch_us div 3600e6); lagged pairs come from an equi-join on
+    (type, hr+lag) — no window, no spine, sparse hours pair only where
+    both ends exist. The Pearson moments are exact int64; the final r
+    evaluates in DOUBLES (n·Sxy overflows int64 at this grain — both
+    engines cast the SAME int64 to the SAME double first, so parity is
+    bit-exact even where the double rounds), floor-rounded half-up to
+    6dp. Shape: one hourly hash-agg, a 3-row lag cross join, one
+    equi-join on (type, hr) — all map-side-combining aggs."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.hr") == F.col("a.hr") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cents").alias("x"),
+            F.col("b.cents").alias("y"),
+        )
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return (
+        m.where(F.col("n") >= 3)
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            (F.floor(r * 1000000 + F.lit(0.5)) / 1000000.0).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -915,3 +915,65 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_events_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', ts) AS month, date_trunc('day', ts) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY month
+    ),
+    mau AS (
+      SELECT date_trunc('month', ts) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT m.month, m.n_days, mau.mau, m.dau_sum,
+           ROUND(CAST(m.dau_sum AS DOUBLE) / (m.n_days * mau.mau), 4)
+             AS stickiness
+    FROM m JOIN mau USING (month) ORDER BY m.month
+    """,
+    category="2.E",
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness (avg-DAU / MAU) — the product-engagement
+    ratio next to q_events_dau_wau: how much of the monthly audience
+    shows up on an average day. Exactness: stickiness =
+    Σdau / (n_days · mau), ONE division of exact int64 counts →
+    identical IEEE double, display-rounded. Shape: two countDistinct
+    aggs (daily grain, monthly grain) + a |months|-row join — the
+    distinct-user shuffles are the only data-scaled stages and both
+    partial-aggregate map-side."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts"))
+    daily = (
+        e.groupBy(
+            month.alias("month"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    m = daily.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days")
+    )
+    mau = e.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        m.join(mau, "month")
+        .select(
+            "month", "n_days", "mau", "dau_sum",
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (F.col("n_days") * F.col("mau")),
+                4,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

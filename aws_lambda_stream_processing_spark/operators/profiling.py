@@ -796,3 +796,103 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("ks_d"),
     )
+
+
+@query(
+    "q_agg_theil",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    h AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m FROM x GROUP BY cnt),
+    tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * cnt) AS BIGINT) AS s
+      FROM h
+    )
+    SELECT t.n AS n_users, t.s AS total_events,
+           floor(CAST(SUM(CAST(
+                   m * (CAST(cnt * t.n AS DOUBLE) / t.s)
+                     * ln(CAST(cnt * t.n AS DOUBLE) / t.s)
+                 AS DECIMAL(38, 18))) AS DOUBLE) / t.n
+                 * 100000000.0 + 0.5) / 100000000.0 AS theil
+    FROM h CROSS JOIN tot t
+    GROUP BY t.n, t.s
+    """,
+    category="2.D",
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of per-user event concentration — the decomposable
+    inequality statistic next to q_agg_gini: T = (1/n)·Σ (x/μ)·ln(x/μ).
+    Same scale shape as the gini rewrite: the per-user ranking never
+    materializes — aggregate to the count HISTOGRAM (value-domain-
+    bounded), fold the closed form per tie block (m identical users
+    contribute m · (x/μ)ln(x/μ)). The ln ratio x·n/Σx is a quotient of
+    exact int64 products (identical doubles both engines); ln terms go
+    through DECIMAL(38,18) sums + 8dp floor-round (law 18). Zero
+    windows, two bounded hash-aggs, one broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    h = x.groupBy("cnt").agg(F.count("*").alias("m"))
+    tot = h.agg(
+        F.sum("m").alias("n"), F.sum(F.col("m") * F.col("cnt")).alias("s")
+    )
+    j = h.crossJoin(F.broadcast(tot))
+    ratio = (F.col("cnt") * F.col("n")).cast("double") / F.col("s")
+    term = (F.col("m") * ratio * F.log(ratio)).cast("decimal(38,18)")
+    return j.groupBy("n", "s").agg(
+        (
+            F.floor(
+                F.sum(term).cast("double") / F.col("n") * 100000000.0
+                + F.lit(0.5)
+            )
+            / 100000000.0
+        ).alias("theil")
+    ).select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_events"),
+        "theil",
+    )
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           ROUND(CAST(10000 * SUM(cnt * cnt) AS DOUBLE)
+                 / (SUM(cnt) * SUM(cnt)), 4) AS hhi
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of user activity per event
+    type — "is this event type driven by a few heavy users?" on the
+    0..10000 antitrust scale: HHI = 10⁴·Σ cntᵤ² / (Σ cntᵤ)². All
+    moments exact int64 (Σcnt² ≤ n·max²; headroom through ~3e9 events
+    per (type,user)); ONE division of identical integers → identical
+    IEEE double, display-rounded. Two hash-aggs, both map-side
+    combining; nothing scales past (types × users) and the final
+    relation is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cnt").alias("total_events"),
+            F.round(
+                (10000 * F.sum(F.col("cnt") * F.col("cnt"))).cast("double")
+                / (F.sum("cnt") * F.sum("cnt")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy("event_type")
+    )
