@@ -169,44 +169,27 @@ def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts, and assign each doc to the 512-token bin where it
     starts. Output is the bin manifest (docs per bin, tokens per bin).
 
-    The global running sum is implemented as a DISTRIBUTED two-phase
-    prefix sum, not a single-partition window: phase 1 computes each
-    range-partition's local cumsum + per-partition total; phase 2
-    broadcasts the (tiny, one row per partition) totals back as offsets.
-    A naive `Window.orderBy(doc_id)` with no partitionBy funnels 100 TB
-    through ONE task — this shape keeps every stage parallel; the only
-    single-partition step is the #partitions-row offset cumsum."""
+    The global running sum is the DISTRIBUTED two-phase prefix sum this
+    query pioneered in round 2, since extracted into
+    operators/dprefix.two_phase_cumsum (and reused by q_pareto_abc,
+    q_agg_gini, q_rfm_segmentation, q_llm_perplexity_band,
+    q_llm_domain_quota): phase 1 computes each range-partition's local
+    cumsum + per-partition total; phase 2 folds the (tiny, one row per
+    partition) totals into exclusive offsets via a triangular broadcast
+    join — zero partition-less WindowExec anywhere in the plan. A naive
+    `Window.orderBy(doc_id)` with no partitionBy funnels 100 TB through
+    ONE task; this shape keeps every stage parallel."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok_cnt")
     )
-    # Phase 0: range-partition by the pack order so partition p holds a
-    # contiguous doc_id range < partition p+1's.
-    parts = docs.repartitionByRange(8, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = parts.withColumn(
-        "local_before", F.coalesce(F.sum("tok_cnt").over(w_local), F.lit(0))
-    )
-    # Phase 2: per-partition totals → exclusive running offset (tiny).
-    w_off = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        parts.groupBy("pid")
-        .agg(F.sum("tok_cnt").alias("ptotal"))
-        .select(
-            "pid",
-            F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("offset"),
-        )
-    )
-    c = local.join(F.broadcast(offsets), "pid").withColumn(
-        "cum_before", F.col("local_before") + F.col("offset")
+    c = two_phase_cumsum(
+        docs, [("doc_id", True)], "tok_cnt", out="cum_before",
+        inclusive=False,
     )
     return (
         # floor(x / 512): power-of-two division is exact in doubles, so

@@ -290,3 +290,42 @@ def test_no_single_task_global_sort_windows(spark, registry):
         df = registry[q].fn(spark, SF_DIR)
         gw = global_windows(df)
         assert not gw, f"{q} still has partition-less windows: {gw}"
+
+
+# Queries allowed a partition-less Window because its input is provably
+# BOUNDED (does not scale with data volume) — each with the reason:
+_GLOBAL_WINDOW_OK = {
+    # cumulative CDF grid over DISTINCT cents values: bounded by the
+    # value domain, not the row count (docstring argues the bound).
+    "q_agg_ks_test",
+    # cumulative deviation over the DAILY series: calendar-bounded.
+    "q_ts_changepoint_cusum",
+    # ln(rank) over the top-100 cut (TakeOrderedAndProject first): 100 rows.
+    "q_llm_zipf_slope",
+}
+
+# Builders that execute side effects (write/stream/collect) during plan
+# construction — introspecting them here would re-run real work.
+_PLAN_AUDIT_SKIP_PREFIXES = ("q_stream_", "q_sink_")
+
+
+def test_global_window_audit_full_surface(spark, registry):
+    """Repo-wide scale gate (round 3): NO query may introduce a
+    partition-less Window over anything except the whitelisted
+    bounded-input cases above. This is the regression fence that keeps
+    the next operator from quietly re-adding a one-task global sort."""
+    from aws_lambda_stream_processing_spark.plans import global_windows
+
+    offenders = {}
+    for name, spec in sorted(registry.items()):
+        if name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
+            continue
+        if name in _GLOBAL_WINDOW_OK:
+            continue
+        gw = global_windows(spec.fn(spark, SF_DIR))
+        if gw:
+            offenders[name] = gw
+    assert not offenders, (
+        "new partition-less windows (add to whitelist ONLY with a "
+        f"boundedness argument): {offenders}"
+    )
