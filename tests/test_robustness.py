@@ -49,6 +49,13 @@ SAMPLE = [
     "q_llm_bpe_train",  # lazy 1-row broadcast merge chain, argmax ties
     "q_agg_ks_test",  # integer cumsum grid + max under any partitioning
     "q_llm_line_dedup",  # chunk frequency join-back stability
+    # round-3 hazards:
+    "q_llm_perplexity_band",  # two-phase rank + lazy localCheckpoint
+    "q_agg_gini",  # histogram tie-block fold replaces the ranking
+    "q_llm_domain_quota",  # per-source rank derived from global two-phase rank
+    "q_llm_dsir_weights",  # decimal ln sums over a checkpointed bigram stream
+    "q_ts_acf_lags",  # Pearson evaluated in doubles (int64->double rounding)
+    "q_llm_ngram_novelty",  # rolling-hash shingle keys, min-doc_id ownership
 ]
 
 
