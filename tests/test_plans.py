@@ -329,3 +329,16 @@ def test_global_window_audit_full_surface(spark, registry):
         "new partition-less windows (add to whitelist ONLY with a "
         f"boundedness argument): {offenders}"
     )
+
+
+def test_salted_agg_has_two_level_exchange(spark, registry):
+    """q_agg_salted_skew must actually run the two-level shape: a first
+    exchange keyed on (event_type, salt) and a second on event_type
+    alone — if Catalyst collapsed the salt away, the demo is a lie."""
+    df = registry["q_agg_salted_skew"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "hashpartitioning(event_type" in plan, plan
+    import re
+
+    salted = re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan)
+    assert salted, f"salted exchange missing:\n{plan}"
