@@ -75,6 +75,35 @@ def main() -> int:
             except Exception:
                 pass
 
+    # JVM telemetry for regression forensics: the round-2 driver bench
+    # showed late-suite queries 10x slower with unchanged plans — the
+    # default 240 MB code cache had filled and disabled the JIT. These
+    # counters make that failure mode (and GC pressure) visible in the
+    # recorded bench artifact instead of needing a repro run.
+    jvm: dict[str, object] = {}
+    try:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        mf = spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        jvm["heap_max_mb"] = int(rt.maxMemory() / 1048576)
+        jvm["heap_used_mb"] = int(
+            (rt.totalMemory() - rt.freeMemory()) / 1048576
+        )
+        pools = mf.getMemoryPoolMXBeans()
+        for i in range(pools.size()):
+            b = pools.get(i)
+            name = b.getName()
+            if "CodeHeap" in name or name == "Metaspace":
+                u = b.getUsage()
+                key = name.lower().replace("'", "").replace(" ", "_")
+                jvm[f"{key}_used_mb"] = int(u.getUsed() / 1048576)
+        gcs = mf.getGarbageCollectorMXBeans()
+        gc_ms = 0
+        for i in range(gcs.size()):
+            gc_ms += gcs.get(i).getCollectionTime()
+        jvm["gc_total_ms"] = int(gc_ms)
+    except Exception:  # noqa: BLE001 - telemetry must never fail the bench
+        pass
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -90,6 +119,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "failures": failures,
+                **({"jvm": jvm} if jvm else {}),
                 **(
                     {"warm_value": round(sum(warm.values()), 3),
                      "warm_queries": warm}

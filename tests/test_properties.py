@@ -264,3 +264,86 @@ def test_ann_hot_bucket_splits_into_bounded_tasks_same_results(spark):
         else:
             os.environ["ALSP_ANN_BUCKET_CAP"] = saved
     assert capped == uncapped, "cap changed the top-50 pair results"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # sort value (ties!)
+            st.integers(min_value=0, max_value=500),       # summand
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    k=st.sampled_from([2, 3, 5, 7]),
+)
+def test_dprefix_matches_global_window(spark, rows, k):
+    """Property gate for operators/dprefix.py: on random frames (with
+    heavy ties and the empty frame), two_phase_row_number /
+    two_phase_cumsum / ntile_from_rank must equal the partition-less
+    global window they replace, for every row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        ntile_from_rank,
+        two_phase_cumsum,
+        two_phase_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, x) for i, (v, x) in enumerate(rows)],
+        "id long, v long, x long",
+    ).repartition(5)
+    order = [("v", True), ("id", True)]
+    sort = [F.col("v").asc(), F.col("id").asc()]
+
+    got = two_phase_row_number(df, order, rn="rn", total="n", n_parts=4)
+    got = got.select(
+        "id", "rn", "n", ntile_from_rank("rn", "n", k).alias("t")
+    )
+    exp = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(*sort)).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.ntile(k).over(Window.orderBy(*sort)).alias("t"),
+    )
+    bad = (
+        exp.alias("e")
+        .join(got.alias("g"), "id", "full")
+        .where(
+            (F.col("e.rn") != F.col("g.rn"))
+            | (F.col("e.n") != F.col("g.n"))
+            | (F.col("e.t") != F.col("g.t"))
+            | F.col("e.rn").isNull()
+            | F.col("g.rn").isNull()
+        )
+        .count()
+    )
+    assert bad == 0
+
+    gc = two_phase_cumsum(df, order, "x", out="c", inclusive=True, n_parts=4)
+    ec = df.select(
+        "id",
+        F.sum("x")
+        .over(
+            Window.orderBy(*sort).rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("c"),
+    )
+    badc = (
+        ec.alias("e")
+        .join(gc.select("id", "c").alias("g"), "id", "full")
+        .where(
+            (F.col("e.c") != F.col("g.c"))
+            | F.col("e.c").isNull()
+            | F.col("g.c").isNull()
+        )
+        .count()
+    )
+    assert badc == 0
