@@ -47,8 +47,14 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed path + overwrite: the returned DataFrame must stay lazy (the
     # plan gate asserts PartitionFilters on it), so the sink dir can't be
     # removed here — reusing one fixed dir bounds the leak to a single copy
-    # instead of one mkdtemp per run.
-    out = os.path.join(tempfile.gettempdir(), "alsp_part_sink")
+    # instead of one mkdtemp per run. Keyed by applicationId: two Spark
+    # PROCESSES sharing one literal path race on overwrite vs _temporary
+    # (observed: concurrent pytest + driver_sim sweep → TASK_WRITE_FAILED
+    # Mkdirs); per-app dirs keep runs isolated, still one dir per session.
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_part_sink_{spark.sparkContext.applicationId}",
+    )
     (
         e.select(
             "event_id",
