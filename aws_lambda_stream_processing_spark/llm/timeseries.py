@@ -1199,3 +1199,318 @@ def q_ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@query(
+    "q_ts_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+                AS TIMESTAMP) AS bar,
+           arg_min(CAST(round(value * 100) AS BIGINT),
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+             AS open_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS high_cents,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS low_cents,
+           arg_max(CAST(round(value * 100) AS BIGINT),
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+             AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type, bar
+    ORDER BY event_type, bar
+    """,
+    category="2.J",
+)
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical downsample-for-charting
+    aggregation (every metrics/trading store ships it): per event type and
+    6-hour bucket, the first/max/min/last value plus volume. First/last
+    are min_by/max_by over a zero-padded (epoch-micros, event_id) string
+    key — lexicographic order == (ts, id) numeric order, and unlike a
+    struct ordering key it is portable to the oracle engine (DuckDB's
+    arg_min takes scalar keys only). All measures are exact int64 cents.
+    Scale: ONE map-side-combining hash-agg to |types|x|buckets| rows —
+    no window, no join, no sort beyond the bounded output."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bar = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600) * 21600
+    )
+    return (
+        e.select(
+            "event_type",
+            bar.alias("bar"),
+            cents.alias("cents"),
+            okey.alias("okey"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("cents", "okey").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "okey").alias("close_cents"),
+            F.count("*").alias("volume"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+@query(
+    "q_ts_bollinger",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, ts, cents,
+             COUNT(*)    OVER fr AS n,
+             CAST(SUM(cents) OVER fr AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) OVER fr AS BIGINT) AS s2
+      FROM c
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, cents,
+           s1 / 20.0 AS ma_cents,
+           CAST(CASE WHEN 20 * cents > s1
+                      AND (20 * cents - s1) * (20 * cents - s1)
+                          > 4 * (20 * s2 - s1 * s1)
+                THEN 1 ELSE 0 END AS INTEGER) AS above_band,
+           CAST(CASE WHEN 20 * cents < s1
+                      AND (20 * cents - s1) * (20 * cents - s1)
+                          > 4 * (20 * s2 - s1 * s1)
+                THEN 1 ELSE 0 END AS INTEGER) AS below_band
+    FROM w WHERE n = 20
+    ORDER BY user_id, ts, event_id
+    """,
+    category="2.J",
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout flags — the classic rolling mean +/- 2 sigma
+    envelope, per user over a trailing 20-event frame. The breach
+    predicate is kept in EXACT int64 by clearing denominators:
+    |x - mu| > 2 sigma  <=>  (20x - S1)^2 > 4 (20 S2 - S1^2)  over cents
+    (x <= 56k cents -> every product < 2^53, no float enters the
+    comparison); the reported moving average is ONE IEEE division of the
+    exact integer sum. Scale: the window partitions by user_id — millions
+    of small partitions, each a bounded per-user stream; one hash
+    exchange, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    w = c.select(
+        "user_id", "event_id", "ts", "cents",
+        F.count("*").over(fr).alias("n"),
+        F.sum("cents").over(fr).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(fr).alias("s2"),
+    )
+    dev = 20 * F.col("cents") - F.col("s1")
+    var20 = 4 * (20 * F.col("s2") - F.col("s1") * F.col("s1"))
+    breach = (dev * dev) > var20
+    return (
+        w.where(F.col("n") == 20)
+        .select(
+            "user_id", "event_id", "ts", "cents",
+            (F.col("s1") / 20.0).alias("ma_cents"),
+            ((F.col("s1") < 20 * F.col("cents")) & breach)
+            .cast("int").alias("above_band"),
+            ((F.col("s1") > 20 * F.col("cents")) & breach)
+            .cast("int").alias("below_band"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "q_ts_rsi",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id, ts, cents,
+             cents - lag(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS diff
+      FROM c
+    ),
+    g AS (
+      SELECT user_id, event_id, ts,
+             COUNT(diff) OVER fr AS nd,
+             CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER fr
+                  AS BIGINT) AS gain,
+             CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER fr
+                  AS BIGINT) AS loss
+      FROM d
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, gain, loss,
+           floor(CASE WHEN gain + loss = 0 THEN 50.0
+                      ELSE 100.0 * gain / (gain + loss) END
+                 * 10000.0 + 0.5) / 10000.0 AS rsi
+    FROM g WHERE nd = 14
+    ORDER BY user_id, ts, event_id
+    """,
+    category="2.J",
+)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's simple-moving-average form —
+    exactly expressible, unlike Wilder's recursive smoothing) over a
+    trailing 14-diff frame per user: RSI = 100 G / (G + L) with G/L the
+    int64 cent sums of up/down moves; a flat window (G+L=0) pins 50.
+    Law-10 discipline: the lag diff is PROJECTED in its own select before
+    the frame sums read it, so the frame never looks across the filtered
+    relation. ONE user_id exchange feeds both window passes (same
+    partition+order spec); the division is a single IEEE op on exact
+    integers, floor-rounded to 4dp."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fr = wo.rowsBetween(-13, 0)
+    c = e.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = c.select(
+        "user_id", "event_id", "ts",
+        (F.col("cents") - F.lag("cents").over(wo)).alias("diff"),
+    )
+    g = d.select(
+        "user_id", "event_id", "ts",
+        F.count("diff").over(fr).alias("nd"),
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0))
+        ).over(fr).alias("gain"),
+        F.sum(
+            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0))
+        ).over(fr).alias("loss"),
+    )
+    tot = F.col("gain") + F.col("loss")
+    rsi = F.when(tot == 0, F.lit(50.0)).otherwise(
+        100.0 * F.col("gain") / tot
+    )
+    return (
+        g.where(F.col("nd") == 14)
+        .select(
+            "user_id", "event_id", "ts", "gain", "loss",
+            (F.floor(rsi * 10000.0 + F.lit(0.5)) / 10000.0).alias("rsi"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "q_ts_seasonal_naive_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT cur.event_type,
+             cur.cents AS actual,
+             prev.cents AS predicted,
+             cur.cents - prev.cents AS err
+      FROM hourly cur
+      JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.hour = cur.hour - INTERVAL 24 HOURS
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(err)) AS BIGINT) AS abs_err_cents,
+           CAST(SUM(abs(err)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_cents,
+           CAST(SUM(err) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+             AS bias_cents,
+           sqrt(CAST(SUM(err * err) AS BIGINT)
+                / CAST(COUNT(*) AS DOUBLE)) AS rmse_cents,
+           floor(CAST(SUM(CAST(CASE WHEN actual > 0
+                        THEN 100.0 * abs(err) / actual END
+                   AS DECIMAL(38, 18))) AS DOUBLE)
+                 / nullif(SUM(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 0)
+                 * 100000000.0 + 0.5) / 100000000.0 AS mape_pct
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the standard accuracy floor
+    (Hyndman & Athanasopoulos): predict each hour's revenue with the value
+    24 hours earlier and score MAE / bias / RMSE / MAPE per event type.
+    The 24h shift is an equi-JOIN on (type, hour - 24h), not lag(24) —
+    robust to gapped hours, which row-offset lags silently mis-align.
+    Exactness: errors are int64 cents; MAE/bias are one division each;
+    RMSE is sqrt of an exact ratio (IEEE sqrt is correctly rounded on
+    both engines); MAPE's per-row ratios are identical IEEE doubles
+    summed in DECIMAL then floor-8dp (law 18 discipline). Scale: hourly
+    rollup map-side-combines to |types|x|hours| rows; everything after is
+    bounded-size."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour"),
+        F.col("cents").alias("predicted"),
+    )
+    ev = hourly.join(prev, ["event_type", "hour"]).select(
+        "event_type",
+        F.col("cents").alias("actual"),
+        "predicted",
+        (F.col("cents") - F.col("predicted")).alias("err"),
+    )
+    nd = F.count("*").cast("double")
+    ape = F.when(
+        F.col("actual") > 0,
+        100.0 * F.abs(F.col("err")) / F.col("actual"),
+    )
+    npos = F.sum(F.when(F.col("actual") > 0, 1).otherwise(0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.abs(F.col("err"))).alias("abs_err_cents"),
+            (F.sum(F.abs(F.col("err"))) / nd).alias("mae_cents"),
+            (F.sum("err") / nd).alias("bias_cents"),
+            F.sqrt(
+                F.sum(F.col("err") * F.col("err")) / nd
+            ).alias("rmse_cents"),
+            (
+                F.floor(
+                    F.sum(ape.cast("decimal(38,18)")).cast("double")
+                    / F.nullif(npos, F.lit(0))
+                    * 100000000.0
+                    + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("mape_pct"),
+        )
+        .orderBy("event_type")
+    )
