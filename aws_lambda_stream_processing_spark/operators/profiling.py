@@ -896,3 +896,232 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_skew_kurt",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x AS DECIMAL(38, 0)) * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(x * x AS DECIMAL(38, 0)) * (x * x)) AS DOUBLE)
+               AS s4
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+           floor(((s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                  / ((s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))) - 3)
+                 * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis
+    FROM m ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type — the 3rd/4th
+    standardized moments that tell a profiler whether z-score thresholds
+    are even meaningful. NOT Spark's skewness()/kurtosis() builtins (their
+    accumulation order is partition-dependent): power sums S1..S4 over
+    int64 cents, S3/S4 in DECIMAL(38,0) because cents^4 exceeds 2^63
+    (56021^4 = 9.8e18) while the decimal sum stays exact at any scale.
+    Each sum casts to double ONCE (one deterministic rounding), the
+    closed forms are identical IEEE expression trees on both engines
+    (sqrt is correctly rounded; no pow()), floor-rounded 6dp. Scale: one
+    map-side-combining hash-agg, 5-row output."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    c = e.select("event_type", x.alias("x"))
+    x2 = F.col("x") * F.col("x")
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x") * F.col("x"))
+        .cast("double").alias("s3"),
+        F.sum(x2.cast("decimal(38,0)") * x2).cast("double").alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.floor(m3 / (m2 * F.sqrt(m2)) * 1000000.0 + F.lit(0.5))
+         / 1000000.0).alias("skewness"),
+        (F.floor((m4 / (m2 * m2) - 3) * 1000000.0 + F.lit(0.5))
+         / 1000000.0).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_agg_geo_harmonic",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE round(value * 100) >= 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pos,
+           CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS arith_mean_cents,
+           floor(exp(CAST(SUM(CAST(ln(CAST(x AS DOUBLE))
+                                   AS DECIMAL(38, 18))) AS DOUBLE)
+                     / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS geo_mean_cents,
+           floor(COUNT(*) / CAST(SUM(CAST(1.0 / x AS DECIMAL(38, 18)))
+                                 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS harm_mean_cents
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_geo_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean-mean profile per event type over positive cents —
+    geometric (the right average for ratios/growth) and harmonic (the
+    right average for rates), next to the arithmetic mean so AM >= GM >=
+    HM is visible in one row. Law-18 discipline twice over: ln is
+    transcendental (JVM vs libm last-ulp drift) so ln terms sum in
+    DECIMAL(38,18) and the exp RESULT floor-rounds at 6dp; the harmonic
+    denominator sums per-row 1/x doubles (identical IEEE divisions) in
+    DECIMAL so order cannot matter. One hash-agg, bounded output."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    c = e.select("event_type", x.alias("x")).where(F.col("x") >= 1)
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pos"),
+            (F.sum("x").cast("double") / F.count("*"))
+            .alias("arith_mean_cents"),
+            (
+                F.floor(
+                    F.exp(
+                        F.sum(
+                            F.log(F.col("x").cast("double"))
+                            .cast("decimal(38,18)")
+                        ).cast("double")
+                        / F.count("*")
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("geo_mean_cents"),
+            (
+                F.floor(
+                    F.count("*")
+                    / F.sum(
+                        (F.lit(1.0) / F.col("x")).cast("decimal(38,18)")
+                    ).cast("double")
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("harm_mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_chi2_indep",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o
+          GROUP BY event_type),
+    c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY dow),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    terms AS (
+      SELECT o.obs, r.rt, c.ct, n.n,
+             CAST(r.rt * c.ct AS DOUBLE) / n.n AS e
+      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           floor(CAST(SUM(CAST((obs - e) * (obs - e) / e
+                   AS DECIMAL(38, 18))) AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS chi2,
+           CAST((SELECT COUNT(*) - 1 FROM r)
+                * (SELECT COUNT(*) - 1 FROM c) AS BIGINT) AS dof
+    FROM terms
+    """,
+    category="2.D",
+)
+def q_agg_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence, event_type x day-of-week — "does
+    activity mix shift across the week?", the categorical-drift screen
+    run before shipping a training batch. Expected counts e = r*c/n are
+    ONE IEEE division of exact int64 products; the (o-e)^2/e terms are
+    identical doubles on both engines, summed in DECIMAL(38,18) then
+    floor-8dp (law 18 applies to the SUM order, not the terms). The
+    contingency table collapses map-side to |types|x7 cells; row/col
+    marginals and the scalar n are broadcast-sized."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e", (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+        )
+    )
+    dof = (
+        r.crossJoin(c)
+        .agg(
+            (
+                (F.count_distinct("event_type") - 1)
+                * (F.count_distinct("dow") - 1)
+            ).alias("dof")
+        )
+    )
+    term = (F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e")
+    return (
+        terms.agg(
+            F.max("n").alias("n"),
+            F.count("*").alias("n_cells"),
+            (
+                F.floor(
+                    F.sum(term.cast("decimal(38,18)")).cast("double")
+                    * 100000000.0
+                    + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n", "n_cells", "chi2", F.col("dof").cast("long").alias("dof"))
+    )
