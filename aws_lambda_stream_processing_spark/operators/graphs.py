@@ -17,7 +17,7 @@ converges the same way (the quantization error is < N/SCALE per step).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
@@ -397,3 +397,203 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fr in frontiers:
             fr.unpersist()
         edges.unpersist()
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM half
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM half
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY node
+    ),
+    probes AS (
+      SELECT node AS probe FROM deg
+      ORDER BY degree DESC, node LIMIT 20
+    ),
+    pn AS (
+      SELECT p.probe, a.nbr AS z
+      FROM probes p JOIN adj a ON a.node = p.probe
+    ),
+    cand AS (
+      SELECT pn.probe, a.nbr AS cand,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM pn JOIN adj a ON a.node = pn.z
+      WHERE a.nbr <> pn.probe
+        AND NOT EXISTS (SELECT 1 FROM adj x
+                        WHERE x.node = pn.probe AND x.nbr = a.nbr)
+      GROUP BY pn.probe, a.nbr
+    ),
+    ranked AS (
+      SELECT probe, cand, cn,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY cn DESC, cand) AS rk
+      FROM cand
+    )
+    SELECT probe, cand, cn, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY probe, rk
+    """,
+    category="2.C",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg) on the
+    part co-occurrence graph: for the 20 highest-degree probe nodes
+    (deterministic ties: node id), the 5 strongest NON-adjacent
+    candidates by shared-neighbor count. The two-hop expansion joins the
+    bounded probe-neighbor set (|probes| x max-degree rows) against the
+    adjacency — never adjacency x adjacency; existing links drop via a
+    left-anti join; ranks are integer-ordered (cn desc, id) so no float
+    enters the ordering. Probe selection is a TakeOrdered top-k (per-
+    partition heads merged on the driver), not a global sort. The final
+    window partitions by probe — 20 bounded partitions by construction
+    (candidates <= probe's 2-hop ball, degree-bounded)."""
+    edges = _part_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    probes = (
+        deg.orderBy(F.desc("degree"), "node")
+        .limit(20)
+        .select(F.col("node").alias("probe"))
+    )
+    pn = adj.join(
+        F.broadcast(probes), adj.node == F.col("probe")
+    ).select("probe", F.col("nbr").alias("z"))
+    hop2 = (
+        pn.join(adj, pn.z == adj.node)
+        .where(F.col("nbr") != F.col("probe"))
+        .select("probe", F.col("nbr").alias("cand"))
+    )
+    linked = adj.select(
+        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    )
+    cand = (
+        hop2.join(linked, ["probe", "cand"], "left_anti")
+        .groupBy("probe", "cand")
+        .agg(F.count("*").alias("cn"))
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("cn"), "cand")
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("probe", "cand", "cn", "rk")
+        .orderBy("probe", "rk")
+    )
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM half
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM half
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY node
+    ),
+    probes AS (
+      SELECT node AS probe FROM deg
+      ORDER BY degree DESC, node LIMIT 10
+    ),
+    pn AS (
+      SELECT p.probe, a.nbr AS z
+      FROM probes p JOIN adj a ON a.node = p.probe
+    ),
+    cand AS (
+      SELECT pn.probe, a.nbr AS cand,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             floor(CAST(SUM(CAST(
+                 CASE WHEN d.degree >= 2
+                      THEN 1.0 / ln(CAST(d.degree AS DOUBLE)) END
+               AS DECIMAL(38, 18))) AS DOUBLE)
+               * 100000000.0 + 0.5) / 100000000.0 AS aa
+      FROM pn
+      JOIN adj a ON a.node = pn.z
+      JOIN deg d ON d.node = pn.z
+      WHERE a.nbr <> pn.probe
+        AND NOT EXISTS (SELECT 1 FROM adj x
+                        WHERE x.node = pn.probe AND x.nbr = a.nbr)
+      GROUP BY pn.probe, a.nbr
+    ),
+    ranked AS (
+      SELECT probe, cand, cn, aa,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY cn DESC, cand) AS rk
+      FROM cand
+    )
+    SELECT probe, cand, cn, aa, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY probe, rk
+    """,
+    category="2.C",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link score over the same probe-based candidate set as
+    q_graph_common_neighbors: AA(p,x) = sum over shared neighbors z of
+    1/ln(deg z) — rare shared neighbors weigh more. deg(z) attaches to
+    the bounded probe-neighbor set BEFORE the two-hop join (broadcasting
+    the data-scaled degree table would not survive 100x). ln is
+    transcendental, so ranking stays on exact integers (cn desc, id) and
+    AA is reported as a DECIMAL-summed, floor-8dp VALUE only — a 1-ulp
+    ln drift can never reorder rows (law 18). Degree-1 neighbors are
+    excluded from AA (ln 1 = 0), counted in cn."""
+    edges = _part_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    probes = (
+        deg.orderBy(F.desc("degree"), "node")
+        .limit(10)
+        .select(F.col("node").alias("probe"))
+    )
+    pn = (
+        adj.join(F.broadcast(probes), adj.node == F.col("probe"))
+        .select("probe", F.col("nbr").alias("z"))
+        .join(deg, F.col("z") == deg.node)
+        .select("probe", "z", "degree")
+    )
+    aa_term = F.when(
+        F.col("degree") >= 2,
+        F.lit(1.0) / F.log(F.col("degree").cast("double")),
+    )
+    hop2 = (
+        pn.join(adj, pn.z == adj.node)
+        .where(F.col("nbr") != F.col("probe"))
+        .select("probe", F.col("nbr").alias("cand"), aa_term.alias("t"))
+    )
+    linked = adj.select(
+        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    )
+    cand = (
+        hop2.join(linked, ["probe", "cand"], "left_anti")
+        .groupBy("probe", "cand")
+        .agg(
+            F.count("*").alias("cn"),
+            (
+                F.floor(
+                    F.sum(F.col("t").cast("decimal(38,18)")).cast("double")
+                    * 100000000.0
+                    + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("aa"),
+        )
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("cn"), "cand")
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("probe", "cand", "cn", "aa", "rk")
+        .orderBy("probe", "rk")
+    )
