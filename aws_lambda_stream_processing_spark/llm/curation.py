@@ -791,3 +791,125 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_score"),
         )
     )
+
+
+# Per-source TOKEN budget for q_llm_token_budget_quota — the data-mixture
+# cap measured in what actually costs training compute (tokens), not doc
+# count. Small enough to bite at every test SF.
+TOKEN_BUDGET = 300
+
+
+@query(
+    "q_llm_token_budget_quota",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, tok_cnt,
+             CAST(SUM(tok_cnt) OVER (
+               PARTITION BY source
+               ORDER BY tok_cnt DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, tok_cnt, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY source, cum_tokens
+    """,
+    category="2.J",
+)
+def q_llm_token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget quota (round-4 candidate landed early) —
+    the mixture cap that matters for training cost: greedily keep each
+    source's longest documents until the source's token budget is spent.
+    Like q_llm_domain_quota, the per-source running sum is NOT a
+    partitionBy(source) window (hot-domain fat task): ONE global
+    two-phase cumsum (operators/dprefix.py) over (source, tok_cnt desc,
+    doc_id) — sources are contiguous in that order, so
+    within-source cumsum = global cumsum − source base, where the bases
+    (min of exclusive cum per source) are a |sources|-row broadcast.
+    Every data-scaled stage stays range-parallel; the budget filter is
+    exact int64."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("tok_cnt"),
+    )
+    order = [("source", True), ("tok_cnt", False), ("doc_id", True)]
+    c = two_phase_cumsum(d, order, "tok_cnt", out="__gcum", inclusive=True)
+    base = c.groupBy("source").agg(
+        F.min(F.col("__gcum") - F.col("tok_cnt")).alias("__base")
+    )
+    return (
+        c.join(F.broadcast(base), "source")
+        .withColumn("cum_tokens", F.col("__gcum") - F.col("__base"))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "tok_cnt", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+# Per-language sample size for q_llm_reservoir_sample.
+RESERVOIR_K = 20
+
+
+@query(
+    "q_llm_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, skey,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {RESERVOIR_K}
+    ORDER BY lang, rk
+    """,
+    category="2.J",
+)
+def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-language sample — the distributed
+    stand-in for reservoir sampling: rank docs by a uniform hash key
+    (md5 of the id — identical hex on both engines) and keep the first K
+    per language. Statistically this IS a uniform k-sample, but unlike a
+    sequential reservoir it is order-insensitive, mergeable, and
+    reproducible across runs/engines — the property a 1000-executor
+    ingest needs. Per-language rank derives from the GLOBAL two-phase
+    rank over (lang, key) minus a |langs|-row broadcast base (the
+    q_llm_domain_quota shape) — no bounded-key window, no single-task
+    sort; at 100 TB you'd add a per-partition pre-filter to its local
+    top-K before the range shuffle (same winners by a subset argument)."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    ranked = two_phase_row_number(
+        d, [("lang", True), ("skey", True), ("doc_id", True)], rn="__rn"
+    )
+    base = ranked.groupBy("lang").agg(F.min("__rn").alias("__rn0"))
+    return (
+        ranked.join(F.broadcast(base), "lang")
+        .withColumn("rk", F.col("__rn") - F.col("__rn0") + 1)
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
