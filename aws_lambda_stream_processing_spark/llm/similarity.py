@@ -1072,3 +1072,118 @@ def q_llm_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id")
     )
     return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
+@query(
+    "q_llm_semdedup_medoid",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, qv,
+             list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)
+               AS nn
+      FROM q
+    ),
+    t AS (
+      SELECT a.label, a.vec_id,
+             CAST(SUM(list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                                 s -> s[1] * s[2]),
+                                  (x, y) -> x + y)) AS BIGINT) AS tot
+      FROM n a JOIN n b ON a.label = b.label
+      GROUP BY a.label, a.vec_id
+    ),
+    med AS (
+      SELECT label, vec_id AS medoid_id
+      FROM (SELECT label, vec_id,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY tot DESC, vec_id) AS rk
+            FROM t)
+      WHERE rk = 1
+    ),
+    scored AS (
+      SELECT i.label, i.vec_id,
+             CASE WHEN i.vec_id <> m.medoid_id
+                   AND list_reduce(list_transform(list_zip(i.qv, j.qv),
+                                                  s -> s[1] * s[2]),
+                                   (x, y) -> x + y) > 0
+                   AND 100 * list_reduce(list_transform(list_zip(i.qv, j.qv),
+                                                        s -> s[1] * s[2]),
+                                         (x, y) -> x + y)
+                       * list_reduce(list_transform(list_zip(i.qv, j.qv),
+                                                    s -> s[1] * s[2]),
+                                     (x, y) -> x + y)
+                       >= 9 * i.nn * j.nn
+                  THEN 1 ELSE 0 END AS dropped
+      FROM n i
+      JOIN med m ON m.label = i.label
+      JOIN n j ON j.label = i.label AND j.vec_id = m.medoid_id
+    )
+    SELECT s.label, m.medoid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped
+    FROM scored s JOIN med m ON m.label = s.label
+    GROUP BY s.label, m.medoid_id
+    ORDER BY s.label
+    """,
+    category="2.J",
+)
+def q_llm_semdedup_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid-anchored SemDedup (the Abbas et al. 2023 "keep the example
+    closest to the cluster center" policy, done exactly): per cluster,
+    elect the medoid = argmax of total inner product to cluster-mates
+    (int8 codes -> every S_ij and row sum is exact int64; vectors are
+    L2-normalized so dot ranks like cosine; ties break to min id —
+    argmax over id-sorted rows), then drop every OTHER member whose
+    cosine to the medoid clears tau=0.30 via the integer predicate
+    dot>0 AND 100 dot^2 >= 9 |i|^2|m|^2. Unlike min-id survivorship
+    (q_llm_semdedup), the survivor is the most REPRESENTATIVE member —
+    the policy that preserves cluster semantics when downsampling.
+    Scale: one label shuffle, per-cluster GEMM + one matrix-vector row;
+    output is one row per cluster. O(k^2) per cluster is the same budget
+    SemDedup already spends; nothing leaves the executor at row grain."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        Q = np.floor(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            * 127.0 + 0.5
+        ).astype(np.int64)
+        S = Q @ Q.T
+        nn = np.diag(S)
+        tot = S.sum(axis=1)
+        m = int(np.argmax(tot))  # first max == min vec_id (rows id-sorted)
+        sim = S[:, m]
+        cond = (sim > 0) & (100 * sim * sim >= 9 * nn * nn[m])
+        cond[m] = False
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "medoid_id": [int(pdf["vec_id"].iloc[m])],
+                "n_vecs": [len(pdf)],
+                "n_dropped": [int(cond.sum())],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", F.col("embedding").alias("emb"))
+        .groupBy("label")
+        .applyInPandas(
+            kernel, "label int, medoid_id long, n_vecs long, n_dropped long"
+        )
+        .select(
+            "label",
+            "medoid_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+        .orderBy("label")
+    )

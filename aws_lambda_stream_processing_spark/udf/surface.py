@@ -444,3 +444,38 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TABLE(udtf_events) PARTITION BY user_id ORDER BY user_id) "
         "ORDER BY user_id"
     )
+
+
+@query(
+    "q_udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           CAST(((CAST(round(value * 100) AS BIGINT) % 97)
+                 * 2654435761 % 1000)
+                + CAST(round(value * 100) AS BIGINT) AS BIGINT) AS score
+    FROM events
+    """,
+    category="2.K",
+)
+def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): the per-task
+    expensive-initialization pattern — the lookup table builds ONCE per
+    task, then streams every Arrow batch through it, exactly how a 100 TB
+    scoring pass amortizes loading a model/tokenizer per executor instead
+    of per batch (the plain scalar form re-enters Python with no shared
+    state hook). The "model" here is a deterministic 97-entry Knuth-hash
+    table so the oracle can replay it in closed form; all arithmetic is
+    exact int64."""
+
+    @pandas_udf("long")
+    def score_batches(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # once per task: the stand-in for an expensive model load
+        table = np.array(
+            [(i * 2654435761) % 1000 for i in range(97)], dtype=np.int64
+        )
+        for v in batches:
+            cents = np.round(v.to_numpy() * 100).astype(np.int64)
+            yield pd.Series(table[cents % 97] + cents)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", score_batches("value").alias("score"))
