@@ -1514,3 +1514,130 @@ def q_ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_paa_sax",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    idx AS (
+      SELECT event_type, day, cents,
+             row_number() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, day) AS n,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY cents, ts, event_id) AS vrank
+      FROM c
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+    ),
+    cuts AS (
+      SELECT event_type, day, MAX(n) AS n,
+             MAX(CASE WHEN vrank = (n + 3) // 4 THEN cents END) AS q1,
+             MAX(CASE WHEN vrank = (n + 1) // 2 THEN cents END) AS q2,
+             MAX(CASE WHEN vrank = (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM idx WHERE n >= 4 GROUP BY event_type, day
+    ),
+    seg AS (
+      SELECT i.event_type, i.day,
+             ((i.rn - 1) * 4) // i.n AS seg,
+             CAST(SUM(i.cents) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS scnt
+      FROM idx i WHERE i.n >= 4
+      GROUP BY i.event_type, i.day, ((i.rn - 1) * 4) // i.n
+    ),
+    sym AS (
+      SELECT s.event_type, s.day, s.seg, c.n,
+             CASE WHEN s.ssum < c.q1 * s.scnt THEN 'a'
+                  WHEN s.ssum < c.q2 * s.scnt THEN 'b'
+                  WHEN s.ssum < c.q3 * s.scnt THEN 'c'
+                  ELSE 'd' END AS sy
+      FROM seg s JOIN cuts c USING (event_type, day)
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, MAX(n) AS n_events,
+           string_agg(sy, '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    category="2.J",
+)
+def q_ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization (Lin/Keogh's Symbolic Aggregate
+    approXimation, made engine-exact): each (event_type, day) series
+    compresses to a 4-symbol word — 4 equal PAA segments by integer index
+    math (seg = (rn-1)*4 div n), each symbolized a-d against the SERIES'
+    OWN positional quartiles instead of the textbook Gaussian
+    breakpoints. That swap is what makes it bit-portable: segment-mean
+    vs quartile compares as  ssum < q * scnt  — pure int64, no
+    z-normalization floats anywhere. SAX words feed motif mining,
+    similarity hashing, and anomaly grammars downstream. Scale: windows
+    partition by (type, day) — calendar-sharded tasks; per-day density
+    is the task bound (the standard hypertable chunk grain), and
+    everything after the first two windows is segment-grain."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wts = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wval = Window.partitionBy("event_type", "day").orderBy(
+        "cents", "ts", "event_id"
+    )
+    wall = Window.partitionBy("event_type", "day")
+    idx = c.select(
+        "event_type", "day", "cents",
+        F.row_number().over(wts).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+        F.row_number().over(wval).alias("vrank"),
+    ).where(F.col("n") >= 4)
+    cuts = idx.groupBy("event_type", "day").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("vrank") == F.expr("(n + 3) div 4"), F.col("cents"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("vrank") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("q2"),
+        F.max(
+            F.when(
+                F.col("vrank") == F.expr("(3 * n + 3) div 4"), F.col("cents")
+            )
+        ).alias("q3"),
+    )
+    seg = idx.groupBy(
+        "event_type", "day",
+        F.expr("((rn - 1) * 4) div n").alias("seg"),
+    ).agg(F.sum("cents").alias("ssum"), F.count("*").alias("scnt"))
+    sym = seg.join(cuts, ["event_type", "day"]).select(
+        "event_type", "day", "seg", "n",
+        F.when(F.col("ssum") < F.col("q1") * F.col("scnt"), F.lit("a"))
+        .when(F.col("ssum") < F.col("q2") * F.col("scnt"), F.lit("b"))
+        .when(F.col("ssum") < F.col("q3") * F.col("scnt"), F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("sy"),
+    )
+    return (
+        sym.groupBy("event_type", "day")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sy"))),
+                    lambda s: s.sy,
+                ),
+            ).alias("sax_word"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n_events",
+            "sax_word",
+        )
+        .orderBy("event_type", "day")
+    )

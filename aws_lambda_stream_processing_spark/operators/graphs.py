@@ -597,3 +597,76 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe", "cand", "cn", "aa", "rk")
         .orderBy("probe", "rk")
     )
+
+
+@query(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node
+    ),
+    w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) AS BIGINT) // 2 AS n_edges,
+             CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+      FROM deg
+    )
+    SELECT w.n_nodes, w.n_edges, w.n_wedges, t.n_triangles,
+           floor(3.0 * t.n_triangles / w.n_wedges * 100000000.0 + 0.5)
+             / 100000000.0 AS global_cc
+    FROM w CROSS JOIN tri t
+    """,
+    category="2.C",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-occurrence graph: C = 3 x triangles / wedges — "how often do two
+    co-purchased parts also co-purchase each other?". Triangles reuse the
+    ordered-enumeration join (each counted once, u<v<w); wedges fold in
+    closed form from the degree table (sum d(d-1)/2 — exact int64, no
+    path enumeration). ONE division of exact integers, floor-8dp.
+    Scale: the same two equi-join + hash-agg budget as
+    q_graph_triangles over the SHARED cached edge relation; the wedge
+    side is a single degree agg."""
+    e = _part_edges(spark, sf_dir).coalesce(4)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("d"))
+    w = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    return w.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        (
+            F.floor(
+                3.0 * F.col("n_triangles") / F.col("n_wedges") * 100000000.0
+                + F.lit(0.5)
+            )
+            / 100000000.0
+        ).alias("global_cc"),
+    )

@@ -1125,3 +1125,203 @@ def q_agg_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n", "n_cells", "chi2", F.col("dof").cast("long").alias("dof"))
     )
+
+
+@query(
+    "q_agg_tukey_fences",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS m
+      FROM c GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, cents, m,
+             CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS hi_rn,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN (n + 3) // 4
+                      BETWEEN hi_rn - m + 1 AND hi_rn
+                      THEN cents END) AS q1,
+             MAX(CASE WHEN (3 * n + 3) // 4
+                      BETWEEN hi_rn - m + 1 AND hi_rn
+                      THEN cents END) AS q3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT h.event_type, MAX(c.n) AS n,
+           MAX(c.q1) AS q1_cents, MAX(c.q3) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * h.cents < 5 * c.q1 - 3 * c.q3
+                         THEN h.m ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * h.cents > 5 * c.q3 - 3 * c.q1
+                         THEN h.m ELSE 0 END) AS BIGINT) AS n_high
+    FROM hist h JOIN cuts c USING (event_type)
+    GROUP BY h.event_type ORDER BY h.event_type
+    """,
+    category="2.D",
+)
+def q_agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's 1.5-IQR outlier fences per event type — the box-plot rule
+    every data-quality report starts from. Quartiles are POSITION-based
+    order statistics (rank ceil(n/4), ceil(3n/4)) picked from the
+    (type, cents) HISTOGRAM — bounded by the value domain, never row
+    grain (the q_agg_winsorize shape); the fences stay EXACT integers by
+    doubling: x < q1 - 1.5 IQR  <=>  2x < 5 q1 - 3 q3. No float enters
+    any comparison; outlier mass folds over histogram multiplicities."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    hist = base.groupBy("event_type", "cents").agg(F.count("*").alias("m"))
+    wrank = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = hist.select(
+        "event_type", "cents", "m",
+        F.sum("m").over(wrank).alias("hi_rn"),
+        F.sum("m").over(wall).alias("n"),
+    )
+    k1 = F.expr("(n + 3) div 4")
+    k3 = F.expr("(3 * n + 3) div 4")
+    lo_rn = F.col("hi_rn") - F.col("m") + 1
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(k1.between(lo_rn, F.col("hi_rn")), F.col("cents"))
+        ).alias("q1"),
+        F.max(
+            F.when(k3.between(lo_rn, F.col("hi_rn")), F.col("cents"))
+        ).alias("q3"),
+    )
+    j = hist.join(F.broadcast(cuts), "event_type")
+    low = 2 * F.col("cents") < 5 * F.col("q1") - 3 * F.col("q3")
+    high = 2 * F.col("cents") > 5 * F.col("q3") - 3 * F.col("q1")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1").alias("q1_cents"),
+            F.max("q3").alias("q3_cents"),
+            F.sum(F.when(low, F.col("m")).otherwise(0)).alias("n_low"),
+            F.sum(F.when(high, F.col("m")).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_mann_whitney",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    hist AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS m1,
+             CAST(SUM(g2) AS BIGINT) AS m2,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM c GROUP BY cents
+    ),
+    ranked AS (
+      SELECT m1, m2, t,
+             CAST(SUM(t) OVER (ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(SUM(m1) AS BIGINT) AS n1,
+             CAST(SUM(m2) AS BIGINT) AS n2,
+             CAST(SUM(m1 + m2) AS BIGINT) AS nn,
+             CAST(SUM(m1 * (2 * cum - t + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT n1, n2,
+           (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+           (2 * n1 * n2 - r1x2 + n1 * (n1 + 1)) / 2.0 AS u2,
+           floor(((r1x2 - n1 * (n1 + 1)) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((nn + 1) - CAST(ties AS DOUBLE)
+                                      / (CAST(nn AS DOUBLE) * (nn - 1))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM s
+    """,
+    category="2.D",
+)
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, purchase vs click values — the
+    nonparametric two-sample drift test (the one to run when
+    q_agg_skew_kurt says the distribution is nowhere near normal). Rank
+    sums fold over the DISTINCT-cents histogram with tie-block midranks
+    kept integral by doubling (2R1 = sum m1 (2 cum - t + 1)); U1/U2 are
+    half-integer-exact; the tie-corrected normal z computes from exact
+    int64 moments through one identical IEEE expression tree (sqrt is
+    correctly rounded), floor-6dp. The running rank window is
+    partition-less but runs over the DISTINCT VALUE GRID — bounded by
+    the cents domain (<= 56k rows) regardless of data volume, the same
+    boundedness argument as q_agg_ks_test (whitelisted in the plan
+    audit)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.where(F.col("event_type").isin("purchase", "click")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("g1"),
+        (F.col("event_type") == "click").cast("long").alias("g2"),
+    )
+    hist = c.groupBy("cents").agg(
+        F.sum("g1").alias("m1"),
+        F.sum("g2").alias("m2"),
+        F.count("*").alias("t"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.select(
+        "m1", "m2", "t", F.sum("t").over(wcum).alias("cum")
+    )
+    s = ranked.agg(
+        F.sum("m1").alias("n1"),
+        F.sum("m2").alias("n2"),
+        F.sum(F.col("m1") + F.col("m2")).alias("nn"),
+        F.sum(
+            F.col("m1") * (2 * F.col("cum") - F.col("t") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2
+    sig2 = (
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * (
+            (F.col("nn") + 1)
+            - F.col("ties").cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") - 1))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (
+            (2 * F.col("n1") * F.col("n2") - F.col("r1x2")
+             + F.col("n1") * (F.col("n1") + 1)) / 2.0
+        ).alias("u2"),
+        (
+            F.floor((u1 - mu) / F.sqrt(sig2) * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("z"),
+    )

@@ -302,6 +302,9 @@ _GLOBAL_WINDOW_OK = {
     "q_ts_changepoint_cusum",
     # ln(rank) over the top-100 cut (TakeOrderedAndProject first): 100 rows.
     "q_llm_zipf_slope",
+    # running rank over the DISTINCT-cents grid: bounded by the value
+    # domain (<= 56k rows), same argument as q_agg_ks_test.
+    "q_agg_mann_whitney",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
