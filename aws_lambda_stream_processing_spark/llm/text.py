@@ -1660,3 +1660,89 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_llm_entropy_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT lang, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    pair AS (
+      SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+      FROM pair GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(c12) AS BIGINT) AS nb,
+             CAST(COUNT(DISTINCT w1) AS BIGINT) AS ctx
+      FROM pair GROUP BY lang
+    )
+    SELECT p.lang, t.nb AS n_bigrams, t.ctx AS n_contexts,
+           floor(-CAST(SUM(CAST(
+                    c12 * ln(CAST(c12 AS DOUBLE) / u.c1)
+                  AS DECIMAL(38, 18))) AS DOUBLE) / t.nb
+                 * 100000000.0 + 0.5) / 100000000.0 AS entropy_rate_nats
+    FROM pair p
+    JOIN uni u USING (lang, w1)
+    JOIN tot t USING (lang)
+    GROUP BY p.lang, t.nb, t.ctx
+    ORDER BY p.lang
+    """,
+    category="2.J",
+)
+def q_llm_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy rate per language, H(w2|w1) =
+    -sum p(w1,w2) ln p(w2|w1) — the corpus "predictability" statistic
+    (Shannon's entropy-of-English measurement): low rate = repetitive /
+    templated text, high = diverse. The number a curation pipeline
+    tracks per source/lang to spot boilerplate floods that simple
+    dup-rate misses. Counts are exact ints; each ln argument is ONE
+    division of identical ints; ln terms weight by c12 and sum in
+    DECIMAL(38,18), one /N, floor-8dp (law 18). Scale: pairs collapse
+    map-side to the bigram table; the marginal re-agg reuses the same
+    (lang, w1) exchange; output is |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "lang", F.posexplode("t").alias("i", "w1"), F.col("t")
+    ).where(F.col("i") < F.size("t") - 1).select(
+        "lang", "w1", F.expr("t[i + 1]").alias("w2")
+    )
+    pair = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pair.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    tot = pair.groupBy("lang").agg(
+        F.sum("c12").alias("nb"), F.countDistinct("w1").alias("ctx")
+    )
+    term = (
+        F.col("c12") * F.log(F.col("c12").cast("double") / F.col("c1"))
+    ).cast("decimal(38,18)")
+    return (
+        pair.join(uni, ["lang", "w1"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("lang", "nb", "ctx")
+        .agg(
+            (
+                F.floor(
+                    -F.sum(term).cast("double") / F.col("nb")
+                    * 100000000.0
+                    + F.lit(0.5)
+                )
+                / 100000000.0
+            ).alias("entropy_rate_nats")
+        )
+        .select(
+            "lang",
+            F.col("nb").alias("n_bigrams"),
+            F.col("ctx").alias("n_contexts"),
+            "entropy_rate_nats",
+        )
+        .orderBy("lang")
+    )

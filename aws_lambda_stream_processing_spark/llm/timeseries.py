@@ -1641,3 +1641,104 @@ def q_ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+      FROM (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY event_type
+    )
+    SELECT s.event_type, t.n AS n_days, s.s,
+           floor(CASE WHEN s.s > 0 THEN (s.s - 1) /
+                        sqrt((CAST(t.n AS DOUBLE) * (t.n - 1)
+                              * (2 * t.n + 5) - t.tcorr) / 18)
+                      WHEN s.s < 0 THEN (s.s + 1) /
+                        sqrt((CAST(t.n AS DOUBLE) * (t.n - 1)
+                              * (2 * t.n + 5) - t.tcorr) / 18)
+                      ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM s JOIN ties t USING (event_type)
+    ORDER BY s.event_type
+    """,
+    category="2.J",
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily revenue
+    series — the standard nonparametric "is this metric drifting?"
+    monitor (no linearity or normality assumed; pairs with
+    q_ts_forecast_drift's slope the way q_agg_mann_whitney pairs with
+    the t-test). S sums pairwise signs over the CALENDAR-BOUNDED daily
+    rollup (~30 rows/type — the all-pairs join is days², not data²);
+    the tie-corrected variance and continuity-corrected z evaluate as
+    one identical IEEE tree over exact int64 moments, floor-6dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tcorr"),
+        )
+    )
+    var = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tcorr")
+    ) / 18
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s",
+            (F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("z"),
+        )
+        .orderBy("event_type")
+    )

@@ -1325,3 +1325,101 @@ def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("z"),
     )
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events
+    ),
+    hx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY x
+    ),
+    rx AS (
+      SELECT x, 2 * CAST(SUM(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - t + 1 AS r2
+      FROM hx
+    ),
+    hy AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY y
+    ),
+    ry AS (
+      SELECT y, 2 * CAST(SUM(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - t + 1 AS r2
+      FROM hy
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx.r2) AS BIGINT) AS sa,
+             CAST(SUM(ry.r2) AS BIGINT) AS sb,
+             CAST(SUM(rx.r2 * rx.r2) AS BIGINT) AS saa,
+             CAST(SUM(ry.r2 * ry.r2) AS BIGINT) AS sbb,
+             CAST(SUM(rx.r2 * ry.r2) AS BIGINT) AS sab
+      FROM c JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n,
+           floor((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                 / sqrt((CAST(n AS DOUBLE) * saa
+                         - CAST(sa AS DOUBLE) * sa)
+                        * (CAST(n AS DOUBLE) * sbb
+                           - CAST(sb AS DOUBLE) * sb))
+                 * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+    FROM s
+    """,
+    category="2.D",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day —
+    the monotone-association twin of q_agg_corr_exact's Pearson (robust
+    to the value tail, exactly what a diurnal-pattern screen wants).
+    Ranks never materialize at row grain: midranks come from the two
+    VALUE-DOMAIN histograms (cents grid <= 56k rows, hour grid = 24) as
+    2*midrank = 2 cum - t + 1 (integral under ties), re-attached to rows
+    by bounded hash joins; Pearson-on-ranks folds from five exact int64
+    moments (every sum < 2^62 at any tested SF) through one IEEE tree,
+    floor-6dp. The two rank windows run on bounded grids (whitelisted
+    like q_agg_ks_test)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    rx = (
+        c.groupBy("x").agg(F.count("*").alias("t"))
+        .select("x", (2 * F.sum("t").over(wx) - F.col("t") + 1).alias("r2"))
+    )
+    ry = (
+        c.groupBy("y").agg(F.count("*").alias("t"))
+        .select("y", (2 * F.sum("t").over(wy) - F.col("t") + 1).alias("r2"))
+    )
+    j = (
+        c.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry.withColumnRenamed("r2", "r2y")), "y")
+    )
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum("r2").alias("sa"),
+        F.sum("r2y").alias("sb"),
+        F.sum(F.col("r2") * F.col("r2")).alias("saa"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("sbb"),
+        F.sum(F.col("r2") * F.col("r2y")).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    rho = (nd * F.col("sab") - sad * F.col("sb")) / F.sqrt(
+        (nd * F.col("saa") - sad * F.col("sa"))
+        * (nd * F.col("sbb") - sbd * F.col("sb"))
+    )
+    return s.select(
+        "n",
+        (F.floor(rho * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "spearman_rho"
+        ),
+    )

@@ -305,6 +305,8 @@ _GLOBAL_WINDOW_OK = {
     # running rank over the DISTINCT-cents grid: bounded by the value
     # domain (<= 56k rows), same argument as q_agg_ks_test.
     "q_agg_mann_whitney",
+    # two midrank windows over the cents grid (<= 56k) and hour grid (24).
+    "q_agg_spearman",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
