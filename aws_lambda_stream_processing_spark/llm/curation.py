@@ -913,3 +913,167 @@ def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "q_llm_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    piece AS (
+      SELECT doc_id, i,
+             len(t) AS n_tokens,
+             CASE WHEN ((doc_id + (i - 1) // 3) * 2654435761) % 97 >= 20
+                  THEN t[i]
+                  WHEN (i - 1) % 3 = 0 THEN '<X>'
+                  END AS keep,
+             CASE WHEN ((doc_id + (i - 1) // 3) * 2654435761) % 97 < 20
+                  THEN t[i] END AS dropped
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(COUNT(dropped) AS BIGINT) AS n_masked,
+           string_agg(keep, ' ' ORDER BY i) AS masked_text,
+           string_agg(dropped, ' ' ORDER BY i) AS targets
+    FROM piece GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020) as a deterministic
+    batch transform: tokens partition into aligned 3-token spans, ~20%
+    of spans (a Knuth multiplicative hash of (doc_id, span) — the same
+    selection on every engine and every run, unlike RNG masking) are
+    replaced by ONE '<X>' sentinel, and the dropped tokens become the
+    target sequence. This is the map that turns a curated corpus into
+    denoising training pairs. Pure per-row array expressions — zero
+    shuffles, embarrassingly parallel; the oracle rebuilds it through
+    unnest + ordered string_agg."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    sel = (
+        "((doc_id + (i div 3)) * 2654435761) % 97 < 20"
+    )
+    pieces = F.expr(
+        f"transform(t, (x, i) -> CASE WHEN NOT ({sel}) THEN x "
+        f"WHEN i % 3 = 0 THEN '<X>' ELSE NULL END)"
+    )
+    dropped = F.expr(
+        f"filter(transform(t, (x, i) -> CASE WHEN {sel} THEN x END), "
+        "x -> x IS NOT NULL)"
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            pieces.alias("pieces"),
+            dropped.alias("drops"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("drops").cast("long").alias("n_masked"),
+            F.concat_ws(
+                " ", F.expr("filter(pieces, x -> x IS NOT NULL)")
+            ).alias("masked_text"),
+            F.when(F.size("drops") > 0, F.concat_ws(" ", "drops")).alias(
+                "targets"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from aws_lambda_stream_processing_spark.llm.text import SQL_QUALITY
+
+
+@query(
+    "q_llm_quality_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, {SQL_QUALITY} AS quality,
+             sha256(text) AS h
+      FROM documents
+    ),
+    dup AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS copies FROM q GROUP BY h
+    ),
+    deciled AS (
+      SELECT q.doc_id, q.quality,
+             CASE WHEN d.copies > 1 THEN 1 ELSE 0 END AS is_dup,
+             ntile(10) OVER (ORDER BY q.quality, q.doc_id) AS decile
+      FROM q JOIN dup d USING (h)
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           floor(CAST(SUM(is_dup) AS BIGINT) * 1.0 / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+           floor(CAST(SUM(CAST(quality AS DECIMAL(38, 18))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
+    FROM deciled GROUP BY decile ORDER BY decile
+    """,
+    category="2.J",
+)
+def q_llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration against duplication — "do low-quality
+    deciles carry the duplicate mass?", the sanity check run before
+    trusting a quality filter to also thin duplicates (they correlate in
+    web corpora; if they don't here, the pipeline needs both stages).
+    Composition of three proven pieces: the exact-integer quality blend
+    (quality_expr), SHA-256 exact-dup detection (32-byte keys on the
+    shuffle), and decile assignment via the distributed two-phase rank +
+    integer ntile reconstruction (operators/dprefix.py — ntile over a
+    data-scaled relation never runs partition-less). Per-decile dup rate
+    is one int division 4dp; mean quality is DECIMAL-summed 6dp."""
+    from aws_lambda_stream_processing_spark.llm.text import (
+        _toks, quality_expr,
+    )
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        ntile_from_rank, two_phase_row_number,
+    )
+
+    d = _toks(load_table(spark, sf_dir, "documents"))
+    q = d.select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        F.sha2("text", 256).alias("h"),
+    )
+    dup = q.groupBy("h").agg(F.count("*").alias("copies"))
+    flagged = q.join(dup, "h").select(
+        "doc_id", "quality",
+        (F.col("copies") > 1).cast("long").alias("is_dup"),
+    )
+    ranked = two_phase_row_number(
+        flagged, [("quality", True), ("doc_id", True)], rn="__rn", total="__n"
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank("__rn", "__n", 10)
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("n_dups"),
+            (
+                F.floor(
+                    F.sum("is_dup") * 1.0 / F.count("*") * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("dup_rate"),
+            (
+                F.floor(
+                    F.sum(F.col("quality").cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.count("*")
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("avg_quality"),
+        )
+        .orderBy("decile")
+    )
