@@ -658,3 +658,55 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_sink_parquet_codecs",
+    oracle="""
+    SELECT 'gzip' AS codec, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    UNION ALL
+    SELECT 'snappy', COUNT(*),
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'zstd', COUNT(*),
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events
+    ORDER BY codec
+    """,
+    category="2.A",
+)
+def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix: the same projection written with
+    snappy (the scan-speed default), gzip (the cold-archive ratio), and
+    zstd (the modern both-worlds choice a 100 TB lake standardizes on) —
+    then each read back and aggregated, proving every codec path
+    round-trips values exactly. One row per codec; the oracle recomputes
+    the aggregate from the base table per codec, so a decode bug in any
+    single path breaks that row's hash. Sink dirs are materialized-then-
+    removed (q_sink_parquet pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    proj = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = tempfile.mkdtemp(prefix="alsp_codec_")
+    try:
+        frames = []
+        for codec in ["gzip", "snappy", "zstd"]:
+            path = os.path.join(out, codec)
+            proj.write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(path)
+            back = spark.read.parquet(path)
+            frames.append(
+                back.agg(
+                    F.count("*").alias("n"), F.sum("cents").alias("cents")
+                ).select(F.lit(codec).alias("codec"), "n", "cents")
+            )
+        result = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        rows = result.orderBy("codec").collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
