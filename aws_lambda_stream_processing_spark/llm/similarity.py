@@ -1187,3 +1187,131 @@ def q_llm_semdedup_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_llm_cluster_purity",
+    oracle="""
+    WITH sk AS (
+      SELECT vec_id, label,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS cl
+      FROM embeddings
+    ),
+    ct AS (
+      SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS m
+      FROM sk GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM ct),
+    pc AS (SELECT cl, CAST(SUM(m) AS BIGINT) AS mc FROM ct GROUP BY cl),
+    pl AS (SELECT label, CAST(SUM(m) AS BIGINT) AS ml FROM ct GROUP BY label),
+    mi AS (
+      SELECT CAST(SUM(CAST(
+               ct.m * ln(CAST(ct.m AS DOUBLE) * n.n
+                         / (CAST(pc.mc AS DOUBLE) * pl.ml))
+             AS DECIMAL(38, 18))) AS DOUBLE) AS minfo
+      FROM ct JOIN pc USING (cl) JOIN pl USING (label) CROSS JOIN n
+    ),
+    hc AS (
+      SELECT -CAST(SUM(CAST(
+                mc * ln(CAST(mc AS DOUBLE) / n.n)
+              AS DECIMAL(38, 18))) AS DOUBLE) AS h
+      FROM pc CROSS JOIN n
+    ),
+    hl AS (
+      SELECT -CAST(SUM(CAST(
+                ml * ln(CAST(ml AS DOUBLE) / n.n)
+              AS DECIMAL(38, 18))) AS DOUBLE) AS h
+      FROM pl CROSS JOIN n
+    ),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS agree
+      FROM (SELECT cl, MAX(m) AS mx FROM ct GROUP BY cl)
+    )
+    SELECT n.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pc) AS n_clusters,
+           CAST(pur.agree AS DOUBLE) / n.n AS purity,
+           floor(mi.minfo / sqrt(hc.h * hl.h) * 1000000.0 + 0.5)
+             / 1000000.0 AS nmi
+    FROM n CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """,
+    category="2.J",
+)
+def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-evaluation metrics — purity and normalized mutual
+    information of a deterministic 8-bit sign-sketch clustering (the
+    first 8 embedding dims' signs, the LSH cell every ANN rung already
+    trusts) against the ground-truth label column. This is the EVAL step
+    of the clustering ladder (centroids -> assign -> evaluate): purity =
+    sum of per-cluster majority mass / n (exact int ratio); NMI =
+    I(C;L)/sqrt(H(C) H(L)) with every ln taking a ratio of exact ints,
+    DECIMAL term sums, floor-6dp (law 18). Scale: one hash-agg to the
+    (cluster x label) contingency table — 256 x |labels| cells — then
+    bounded folds; the sketch itself is a zero-shuffle projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = sum(
+        (F.element_at("embedding", j + 1) > 0).cast("int") * (2 ** j)
+        for j in range(8)
+    )
+    sk = emb.select("vec_id", "label", bits.alias("cl"))
+    ct = sk.groupBy("cl", "label").agg(F.count("*").alias("m"))
+    n = ct.agg(F.sum("m").alias("n"))
+    pc = ct.groupBy("cl").agg(F.sum("m").alias("mc"))
+    pl = ct.groupBy("label").agg(F.sum("m").alias("ml"))
+    mi = (
+        ct.join(F.broadcast(pc), "cl")
+        .join(F.broadcast(pl), "label")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (
+                    F.col("m")
+                    * F.log(
+                        F.col("m").cast("double") * F.col("n")
+                        / (F.col("mc").cast("double") * F.col("ml"))
+                    )
+                ).cast("decimal(38,18)")
+            ).cast("double").alias("minfo")
+        )
+    )
+    hc = pc.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(
+            (F.col("mc") * F.log(F.col("mc").cast("double") / F.col("n")))
+            .cast("decimal(38,18)")
+        ).cast("double")).alias("h_c")
+    )
+    hl = pl.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(
+            (F.col("ml") * F.log(F.col("ml").cast("double") / F.col("n")))
+            .cast("decimal(38,18)")
+        ).cast("double")).alias("h_l")
+    )
+    pur = (
+        ct.groupBy("cl").agg(F.max("m").alias("mx"))
+        .agg(F.sum("mx").alias("agree"), F.count("*").alias("n_clusters"))
+    )
+    return (
+        n.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "n",
+            "n_clusters",
+            (F.col("agree").cast("double") / F.col("n")).alias("purity"),
+            (
+                F.floor(
+                    F.col("minfo") / F.sqrt(F.col("h_c") * F.col("h_l"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("nmi"),
+        )
+    )

@@ -670,3 +670,76 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100000000.0
         ).alias("global_cc"),
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM half
+            UNION ALL SELECT v AS node FROM half)
+      GROUP BY node
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM half e JOIN deg du ON du.node = e.u
+                  JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS x, du.d AS y
+      FROM half e JOIN deg du ON du.node = e.u
+                  JOIN deg dv ON dv.node = e.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT m, floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                    / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+    FROM m
+    """,
+    category="2.C",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    degrees across edge endpoints — "do popular parts co-occur with
+    popular parts?" (positive: social-network-like hubs-with-hubs;
+    negative: hub-and-spoke). Each undirected edge contributes BOTH
+    orientations, making the pair set symmetric, so r collapses to
+    (m Sxy - Sx^2)/(m Sxx - Sx^2) over three exact int64 moments — one
+    IEEE tree, floor-6dp. Scale: two equi-joins attach endpoint degrees
+    (node-keyed, same co-partitioning as every other op on this graph),
+    one agg; no window, no all-pairs."""
+    e = _part_edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
+    j = e.join(du, "u").join(dv, "v")
+    pairs = j.select(
+        F.col("xu").alias("x"), F.col("xv").alias("y")
+    ).unionAll(j.select(F.col("xv").alias("x"), F.col("xu").alias("y")))
+    m = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    r = (md * F.col("sxy") - sxd * F.col("sx")) / (
+        md * F.col("sxx") - sxd * F.col("sx")
+    )
+    return m.select(
+        "m",
+        (F.floor(r * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "assortativity"
+        ),
+    )

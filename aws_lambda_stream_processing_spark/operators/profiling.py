@@ -1423,3 +1423,117 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+@query(
+    "q_agg_welch_t",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS ss1,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END)
+             AS BIGINT) AS ss2
+      FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT n1, n2,
+           floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt((CAST(ss1 AS DOUBLE) / n1
+                         - (CAST(s1 AS DOUBLE) / n1)
+                           * (CAST(s1 AS DOUBLE) / n1))
+                        * n1 / (n1 - 1) / n1
+                        + (CAST(ss2 AS DOUBLE) / n2
+                           - (CAST(s2 AS DOUBLE) / n2)
+                             * (CAST(s2 AS DOUBLE) / n2))
+                          * n2 / (n2 - 1) / n2)
+                 * 1000000.0 + 0.5) / 1000000.0 AS t,
+           floor((((CAST(ss1 AS DOUBLE) / n1
+                    - (CAST(s1 AS DOUBLE) / n1)
+                      * (CAST(s1 AS DOUBLE) / n1)) * n1 / (n1 - 1) / n1)
+                  + ((CAST(ss2 AS DOUBLE) / n2
+                      - (CAST(s2 AS DOUBLE) / n2)
+                        * (CAST(s2 AS DOUBLE) / n2)) * n2 / (n2 - 1) / n2))
+                 * (((CAST(ss1 AS DOUBLE) / n1
+                      - (CAST(s1 AS DOUBLE) / n1)
+                        * (CAST(s1 AS DOUBLE) / n1)) * n1 / (n1 - 1) / n1)
+                    + ((CAST(ss2 AS DOUBLE) / n2
+                        - (CAST(s2 AS DOUBLE) / n2)
+                          * (CAST(s2 AS DOUBLE) / n2)) * n2 / (n2 - 1) / n2))
+                 / (((CAST(ss1 AS DOUBLE) / n1
+                      - (CAST(s1 AS DOUBLE) / n1)
+                        * (CAST(s1 AS DOUBLE) / n1)) * n1 / (n1 - 1) / n1)
+                    * ((CAST(ss1 AS DOUBLE) / n1
+                        - (CAST(s1 AS DOUBLE) / n1)
+                          * (CAST(s1 AS DOUBLE) / n1)) * n1 / (n1 - 1) / n1)
+                    / (n1 - 1)
+                    + ((CAST(ss2 AS DOUBLE) / n2
+                        - (CAST(s2 AS DOUBLE) / n2)
+                          * (CAST(s2 AS DOUBLE) / n2)) * n2 / (n2 - 1) / n2)
+                      * ((CAST(ss2 AS DOUBLE) / n2
+                          - (CAST(s2 AS DOUBLE) / n2)
+                            * (CAST(s2 AS DOUBLE) / n2)) * n2 / (n2 - 1)
+                         / n2)
+                      / (n2 - 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+    FROM s
+    """,
+    category="2.D",
+)
+def q_agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, purchase vs click — the
+    parametric twin of q_agg_mann_whitney (run both; agreement is the
+    robustness signal). Six exact int64 moments come from ONE
+    conditional-aggregation pass (no second scan, no join); the t
+    statistic and Welch-Satterthwaite df evaluate as identical IEEE
+    expression trees over those moments (sample variance written
+    (ss/n - mean^2) * n/(n-1) to keep every intermediate a ratio of
+    exact ints), floor-6dp. Scale: one map-side-combining agg, 1-row
+    output — nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "click"
+    s = e.where(F.col("event_type").isin("purchase", "click")).agg(
+        F.sum(is1.cast("long")).alias("n1"),
+        F.sum(is2.cast("long")).alias("n2"),
+        F.sum(F.when(is1, cents)).alias("s1"),
+        F.sum(F.when(is2, cents)).alias("s2"),
+        F.sum(F.when(is1, cents * cents)).alias("ss1"),
+        F.sum(F.when(is2, cents * cents)).alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1n = (
+        (F.col("ss1").cast("double") / F.col("n1") - m1 * m1)
+        * F.col("n1") / (F.col("n1") - 1) / F.col("n1")
+    )
+    v2n = (
+        (F.col("ss2").cast("double") / F.col("n2") - m2 * m2)
+        * F.col("n2") / (F.col("n2") - 1) / F.col("n2")
+    )
+    t = (m1 - m2) / F.sqrt(v1n + v2n)
+    df = (v1n + v2n) * (v1n + v2n) / (
+        v1n * v1n / (F.col("n1") - 1) + v2n * v2n / (F.col("n2") - 1)
+    )
+    return s.select(
+        "n1",
+        "n2",
+        (F.floor(t * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("t"),
+        (F.floor(df * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "welch_df"
+        ),
+    )
