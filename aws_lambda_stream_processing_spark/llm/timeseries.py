@@ -1742,3 +1742,106 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_anova_hod",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT)
+               AS hod,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(c) AS BIGINT) AS sg
+      FROM hourly GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(sg) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(sg AS DECIMAL(38, 6)) * sg / ng) AS DOUBLE)
+               AS sgg
+      FROM g GROUP BY event_type
+    ),
+    ss AS (
+      SELECT h.event_type,
+             CAST(SUM(CAST(h.c AS BIGINT) * h.c) AS BIGINT) AS sq
+      FROM hourly h GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_hours, t.k AS n_groups,
+           floor((t.sgg - CAST(t.s AS DOUBLE) * t.s / t.n)
+                 / (CAST(ss.sq AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal_strength,
+           floor(((t.sgg - CAST(t.s AS DOUBLE) * t.s / t.n) / (t.k - 1))
+                 / ((CAST(ss.sq AS DOUBLE) - t.sgg) / (t.n - t.k))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+    FROM tot t JOIN ss USING (event_type)
+    ORDER BY t.event_type
+    """,
+    category="2.J",
+)
+def q_ts_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of hourly revenue across hour-of-day, per event
+    type — the significance rung above q_ts_seasonal_decompose: eta^2 =
+    SSB/SST IS the Wang-Hyndman seasonal-strength statistic for the
+    additive hour-of-day model (ANOVA identity: Var(resid) = Var(total)
+    - Var(between)), and F = (SSB/(k-1))/(SSW/(n-k)) says whether the
+    seasonality is real. SST folds from exact int64 moments; SSB's 24
+    per-group terms sg^2/ng accumulate in DECIMAL(38,6) BEFORE the one
+    double cast (24 identical rationals, order-proofed), then one IEEE
+    tree per statistic, floor-6dp. Scale: hourly rollup map-side, then
+    two bounded aggs — nothing beyond (type, hour) ever shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).withColumn("hod", F.hour("h").cast("long"))
+    g = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("ng"), F.sum("c").alias("sg")
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.count("*").alias("k"),
+        F.sum(
+            F.col("sg").cast("decimal(38,6)") * F.col("sg") / F.col("ng")
+        ).cast("double").alias("sgg"),
+    )
+    ss = hourly.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    ssb = F.col("sgg") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    sst = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    ssw_over_df = (F.col("sq").cast("double") - F.col("sgg")) / (
+        F.col("n") - F.col("k")
+    )
+    return (
+        tot.join(ss, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("k").alias("n_groups"),
+            (
+                F.floor(ssb / sst * 1000000.0 + F.lit(0.5)) / 1000000.0
+            ).alias("seasonal_strength"),
+            (
+                F.floor(
+                    (ssb / (F.col("k") - 1)) / ssw_over_df * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("f_stat"),
+        )
+        .orderBy("event_type")
+    )
