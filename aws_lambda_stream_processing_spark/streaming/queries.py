@@ -751,3 +751,176 @@ def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(total_rows, n_days)], "total_input_rows long, n_days long"
     )
+
+
+@query(
+    "q_stream_scd2_foreachbatch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+    category="2.I",
+)
+def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance via foreachBatch — the CDC
+    MERGE pattern: each micro-batch computes its LOCAL type-2 runs (the
+    q_scd2_intervals pipeline on just that batch), then merges against
+    the prior state's OPEN versions: same type → the open interval
+    extends (version/valid_from inherited, event counts added);
+    different type → the open interval CLOSES at the batch's first
+    change and new versions continue the numbering. Three time-ordered
+    micro-batches prove the merge carries state across restarts (the
+    versioned-parquet idempotence of q_stream_upsert_foreachbatch).
+    The invariant the exact oracle pins: the final incremental state is
+    ROW-IDENTICAL to the batch SCD2 over the whole history, regardless
+    of batch boundaries. At 100 TB the state write is a keyed MERGE
+    INTO; the merge math is unchanged."""
+    import os
+
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-11 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-11 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-21 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-21 00:00:00'",
+        ],
+    )
+    state_base = _scratch("alsp_scd2_state_")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def local_runs(df: DataFrame) -> DataFrame:
+        chg = (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("int")
+        runs = df.select(
+            "user_id", "ts", "event_type",
+            F.sum(chg).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("lv"),
+        )
+        return runs.groupBy(
+            "user_id", F.col("lv").cast("long").alias("lv"), "event_type"
+        ).agg(
+            F.min("ts").alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        runs = local_runs(batch_df)
+        prev = f"{state_base}/v{batch_id - 1}"
+        if os.path.isdir(prev):
+            prior = ss.read.parquet(prev)
+        else:
+            prior = ss.createDataFrame(
+                [],
+                "user_id long, version long, event_type string, "
+                "valid_from timestamp, valid_to timestamp, n_events long",
+            )
+        open_v = prior.where(F.col("valid_to").isNull()).select(
+            "user_id",
+            F.col("version").alias("o_version"),
+            F.col("event_type").alias("o_type"),
+            F.col("valid_from").alias("o_from"),
+            F.col("n_events").alias("o_n"),
+        )
+        closed = prior.where(F.col("valid_to").isNotNull())
+        first = runs.where(F.col("lv") == 1).select(
+            "user_id",
+            F.col("event_type").alias("f_type"),
+            F.col("valid_from").alias("f_from"),
+        )
+        j = runs.join(open_v, "user_id", "left").join(first, "user_id")
+        extend = F.col("o_type").isNotNull() & (
+            F.col("o_type") == F.col("f_type")
+        )
+        adj = j.select(
+            "user_id",
+            "event_type",
+            F.when(
+                extend, F.col("o_version") + F.col("lv") - 1
+            ).when(
+                F.col("o_version").isNotNull(),
+                F.col("o_version") + F.col("lv"),
+            ).otherwise(F.col("lv")).alias("version"),
+            F.when(
+                extend & (F.col("lv") == 1), F.col("o_from")
+            ).otherwise(F.col("valid_from")).alias("valid_from"),
+            (
+                F.col("n_events")
+                + F.when(
+                    extend & (F.col("lv") == 1), F.col("o_n")
+                ).otherwise(F.lit(0))
+            ).alias("n_events"),
+        )
+        wv = Window.partitionBy("user_id").orderBy("version")
+        adj = adj.withColumn("valid_to", F.lead("valid_from").over(wv))
+        newly_closed = (
+            open_v.join(first, "user_id")
+            .where(F.col("o_type") != F.col("f_type"))
+            .select(
+                "user_id",
+                F.col("o_version").alias("version"),
+                F.col("o_type").alias("event_type"),
+                F.col("o_from").alias("valid_from"),
+                F.col("f_from").alias("valid_to"),
+                F.col("o_n").alias("n_events"),
+            )
+        )
+        untouched_open = open_v.join(
+            first, "user_id", "left_anti"
+        ).select(
+            "user_id",
+            F.col("o_version").alias("version"),
+            F.col("o_type").alias("event_type"),
+            F.col("o_from").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.col("o_n").alias("n_events"),
+        )
+        cols = ["user_id", "version", "event_type",
+                "valid_from", "valid_to", "n_events"]
+        state = (
+            closed.select(*cols)
+            .unionByName(newly_closed.select(*cols))
+            .unionByName(untouched_open.select(*cols))
+            .unionByName(adj.select(*cols))
+        )
+        state.write.mode("overwrite").parquet(f"{state_base}/v{batch_id}")
+
+    try:
+        run_foreach_batch(stream, handler)
+        versions = sorted(
+            int(p[1:]) for p in os.listdir(state_base) if p.startswith("v")
+        )
+        final = spark.read.parquet(f"{state_base}/v{versions[-1]}")
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(state_base, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
