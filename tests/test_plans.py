@@ -347,3 +347,55 @@ def test_salted_agg_has_two_level_exchange(spark, registry):
 
     salted = re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan)
     assert salted, f"salted exchange missing:\n{plan}"
+
+
+def test_link_prediction_broadcasts_probes_no_cartesian(spark, registry):
+    """q_graph_common_neighbors: the probe set must broadcast into the
+    adjacency (the 2-hop expansion is probe-bounded, never adj x adj)
+    and the anti-join must stay a hash join."""
+    df = registry["q_graph_common_neighbors"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_bars_is_one_agg_exchange(spark, registry):
+    """q_ts_ohlc_bars: one partial+final agg exchange plus the output
+    range sort — a second hash exchange would mean the min_by/max_by
+    keys broke map-side combine. (Formatted plans put the partitioning
+    on an Arguments: line, so count the expression, not the node.)"""
+    plan = plan_string(registry["q_ts_ohlc_bars"].fn(spark, SF_DIR))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "partial" in plan.lower()
+
+
+def test_spearman_rank_tables_broadcast(spark, registry):
+    """q_agg_spearman: both midrank tables are value-domain-bounded and
+    must re-attach by BROADCAST joins — a shuffle join on the raw rows
+    would dominate at 100x."""
+    plan = plan_string(registry["q_agg_spearman"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rsi_bollinger_single_user_exchange(spark, registry):
+    """q_ts_rsi / q_ts_bollinger: the lag pass and the frame sums share
+    ONE user_id exchange (same partition+order spec) — a second
+    hashpartitioning(user_id) exchange means the window specs diverged."""
+    for name in ["q_ts_rsi", "q_ts_bollinger"]:
+        plan = plan_string(registry[name].fn(spark, SF_DIR))
+        import re
+
+        n = len(re.findall(r"hashpartitioning\(user_id", plan))
+        assert n == 1, f"{name}: {n} user_id exchanges\n{plan}"
+
+
+def test_quality_calibration_offsets_broadcast(spark, registry):
+    """q_llm_quality_calibration: decile assignment goes through the
+    dprefix two-phase rank — its offsets and the dup-count table must
+    broadcast; no partition-less window (covered by the audit) and no
+    nested-loop join."""
+    plan = plan_string(registry["q_llm_quality_calibration"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
