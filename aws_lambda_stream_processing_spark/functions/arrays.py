@@ -112,3 +112,66 @@ def q_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "tok"),
     )
+
+
+@query(
+    "q_array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    halves AS (
+      SELECT doc_id,
+             list_distinct(toks[1 : n // 2]) AS a,
+             list_distinct(toks[n // 2 + 1 : n]) AS b
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(list_concat(a, b))) AS INTEGER)
+             AS n_union,
+           CAST(len(list_filter(a, x -> list_contains(b, x))) AS INTEGER)
+             AS n_intersect,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x)))
+                AS INTEGER) AS n_except,
+           list_aggregate(list_sort(list_filter(a,
+               x -> list_contains(b, x))), 'string_agg', ',')
+             AS shared_sorted
+    FROM halves ORDER BY doc_id
+    """,
+    category="2.H",
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET algebra — array_union / array_intersect / array_except
+    between each document's first-half and second-half vocabularies (a
+    per-row "does the doc change topic?" probe). Both engines produce
+    set results in engine-specific order, so everything leaving the row
+    is either a SIZE (int) or a SORTED joined string — the only portable
+    serializations of a set. Pure per-row columnar lambdas, zero
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    halves = t.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("slice(toks, 1, n div 2)")
+        ).alias("a"),
+        F.array_distinct(
+            F.expr("slice(toks, n div 2 + 1, n - n div 2)")
+        ).alias("b"),
+    )
+    return halves.select(
+        "doc_id",
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_intersect("a", "b")).alias("n_intersect"),
+        F.size(F.array_except("a", "b")).alias("n_except"),
+        F.when(
+            F.size(F.array_intersect("a", "b")) > 0,
+            F.array_join(F.array_sort(F.array_intersect("a", "b")), ","),
+        ).alias("shared_sorted"),
+    ).orderBy("doc_id")
