@@ -1537,3 +1537,94 @@ def q_agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             "welch_df"
         ),
     )
+
+
+@query(
+    "q_agg_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 100)) AS r),
+    w AS (
+      SELECT reps.r,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             CASE WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 3679 THEN 0
+                  WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 7358 THEN 1
+                  WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 9197 THEN 2
+                  WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 9810 THEN 3
+                  WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 9963 THEN 4
+                  WHEN (e.event_id * 2654435761 + reps.r * 40503)
+                       % 1000003 % 10000 < 9994 THEN 5
+                  ELSE 6 END AS wt
+      FROM events e CROSS JOIN reps
+    ),
+    means AS (
+      SELECT r,
+             CAST(SUM(wt * cents) AS BIGINT) * 1.0
+               / CAST(SUM(wt) AS BIGINT) AS m
+      FROM w GROUP BY r
+    ),
+    pick AS (SELECT list_sort(list(m)) AS ms FROM means)
+    SELECT (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   * 1.0 / COUNT(*) FROM events) AS mean_cents,
+           CAST(100 AS BIGINT) AS n_replicates,
+           floor(ms[3] * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+           floor(ms[98] * 10000.0 + 0.5) / 10000.0 AS ci_hi
+    FROM pick
+    """,
+    category="2.D",
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value — the
+    resampling machinery production pipelines use when no closed form
+    exists, made ENGINE-DETERMINISTIC: each (row, replicate) draws its
+    Poisson(1) weight by pushing a Knuth hash through the fixed inverse-
+    CDF thresholds (3679/7358/9197/9810/9963/9994 out of 10000 — Poisson
+    masses as integer constants, so no RNG and no transcendentals at
+    run time). This is exactly how a 100 TB bootstrap runs: the 100x
+    replication happens in the MAP stage and collapses to 100 (replicate,
+    sum, count) partials before any shuffle — never a materialized 100x
+    copy. The 100 replicate means sort inside ONE array (bounded,
+    sort_array + element_at picks ranks 3/98), so no window exists
+    anywhere. Replicate means are exact int ratios; CI bounds floor-4dp."""
+    e = load_table(spark, sf_dir, "events")
+    reps = spark.range(0, 100).select(F.col("id").alias("r"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        (F.col("event_id") * F.lit(2654435761) + F.col("r") * F.lit(40503))
+        % 1000003 % 10000
+    )
+    wt = (
+        F.when(u < 3679, 0)
+        .when(u < 7358, 1)
+        .when(u < 9197, 2)
+        .when(u < 9810, 3)
+        .when(u < 9963, 4)
+        .when(u < 9994, 5)
+        .otherwise(6)
+    )
+    w = e.select("event_id", cents.alias("cents")).crossJoin(
+        F.broadcast(reps)
+    ).select("r", "cents", wt.alias("wt"))
+    means = w.groupBy("r").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents")) * 1.0 / F.sum("wt")
+        ).alias("m")
+    )
+    pick = means.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    base = e.agg(
+        (F.sum(cents) * 1.0 / F.count("*")).alias("mean_cents")
+    )
+    return base.crossJoin(F.broadcast(pick)).select(
+        "mean_cents",
+        F.lit(100).cast("long").alias("n_replicates"),
+        (
+            F.floor(F.element_at("ms", 3) * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("ci_lo"),
+        (
+            F.floor(F.element_at("ms", 98) * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("ci_hi"),
+    )
