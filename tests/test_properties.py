@@ -347,3 +347,87 @@ def test_dprefix_matches_global_window(spark, rows, k):
         .count()
     )
     assert badc == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group key
+            st.integers(min_value=-50, max_value=50),   # order value (ties)
+            st.integers(min_value=0, max_value=100),    # summand
+        ),
+        min_size=0,
+        max_size=100,
+    ),
+)
+def test_grouped_base_subtraction_matches_partition_window(spark, rows):
+    """Property gate for the r3 grouped two-phase pattern
+    (q_llm_domain_quota / q_llm_token_budget_quota /
+    q_llm_reservoir_sample): a GLOBAL two-phase rank/cumsum over
+    (group, order) minus the per-group broadcast base must equal the
+    partitionBy(group) window it replaces — on random frames with
+    heavy ties, skewed groups, and the empty frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+        two_phase_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v, x) for i, (g, v, x) in enumerate(rows)],
+        "id long, g long, v long, x long",
+    ).repartition(5)
+    order = [("g", True), ("v", True), ("id", True)]
+
+    ranked = two_phase_row_number(df, order, rn="grn", n_parts=4)
+    base = ranked.groupBy("g").agg(F.min("grn").alias("g0"))
+    got_rn = ranked.join(F.broadcast(base), "g").select(
+        "id", (F.col("grn") - F.col("g0") + 1).alias("rk")
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    exp_rn = df.select(
+        "id", F.row_number().over(w).alias("rk")
+    )
+    bad = (
+        exp_rn.alias("e")
+        .join(got_rn.alias("g"), "id", "full")
+        .where(
+            (F.col("e.rk") != F.col("g.rk"))
+            | F.col("e.rk").isNull()
+            | F.col("g.rk").isNull()
+        )
+        .count()
+    )
+    assert bad == 0
+
+    c = two_phase_cumsum(df, order, "x", out="gc", inclusive=True, n_parts=4)
+    cbase = c.groupBy("g").agg(
+        F.min(F.col("gc") - F.col("x")).alias("b0")
+    )
+    got_c = c.join(F.broadcast(cbase), "g").select(
+        "id", (F.col("gc") - F.col("b0")).alias("cum")
+    )
+    exp_c = df.select(
+        "id",
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    badc = (
+        exp_c.alias("e")
+        .join(got_c.alias("g"), "id", "full")
+        .where(
+            (F.col("e.cum") != F.col("g.cum"))
+            | F.col("e.cum").isNull()
+            | F.col("g.cum").isNull()
+        )
+        .count()
+    )
+    assert badc == 0
