@@ -243,3 +243,52 @@ def q_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("text").alias("bl"),
         F.octet_length("text").alias("ol"),
     )
+
+
+@query(
+    "q_math_trig",
+    oracle="""
+    SELECT event_id,
+           floor(sin(radians(CAST(event_id % 89 + 1 AS DOUBLE)))
+                 * 100000000.0 + 0.5) / 100000000.0 AS sin_v,
+           floor(cos(radians(CAST(event_id % 89 + 1 AS DOUBLE)))
+                 * 100000000.0 + 0.5) / 100000000.0 AS cos_v,
+           floor(atan2(CAST(event_id % 7 + 1 AS DOUBLE),
+                       CAST(event_id % 5 + 1 AS DOUBLE))
+                 * 100000000.0 + 0.5) / 100000000.0 AS atan2_v,
+           floor(degrees(atan(CAST(event_id % 10 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS deg_atan
+    FROM events ORDER BY event_id
+    """,
+    category="2.H",
+)
+def q_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric function family — sin/cos/atan2/atan plus the
+    radians/degrees converters, over deterministic integer-derived
+    angles (1..89 degrees keeps every input far from the poles). Trig
+    is transcendental: JVM Math and libm disagree in the last ulp for
+    some inputs, so every value floor-rounds at 8dp (outputs are
+    O(1)-magnitude, law-18 scale) before leaving the row. Pure columnar
+    map, zero shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    deg = (F.col("event_id") % 89 + 1).cast("double")
+    r8 = lambda c: F.floor(c * 100000000.0 + F.lit(0.5)) / 100000000.0
+    return e.select(
+        "event_id",
+        r8(F.sin(F.radians(deg))).alias("sin_v"),
+        r8(F.cos(F.radians(deg))).alias("cos_v"),
+        r8(
+            F.atan2(
+                (F.col("event_id") % 7 + 1).cast("double"),
+                (F.col("event_id") % 5 + 1).cast("double"),
+            )
+        ).alias("atan2_v"),
+        (
+            F.floor(
+                F.degrees(F.atan((F.col("event_id") % 10).cast("double")))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("deg_atan"),
+    ).orderBy("event_id")

@@ -1845,3 +1845,61 @@ def q_ts_anova_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_fano_burstiness",
+    oracle="""
+    WITH per_min AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(MAX(minute) - MIN(minute) + 1 AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS active_minutes,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM per_min GROUP BY event_type
+    )
+    SELECT event_type, m AS span_minutes, active_minutes, s AS n_events,
+           floor((CAST(m AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
+                 / (CAST(m AS DOUBLE) * s)
+                 * 1000000.0 + 0.5) / 1000000.0 AS fano
+    FROM agg ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of per-minute arrival counts
+    per event type — the burstiness statistic: 1 = Poisson arrivals,
+    >1 = bursty (capacity planning / bot screening both start here).
+    Empty minutes enter the variance ONLY through the span M = last −
+    first + 1 minute (their zero counts contribute nothing to Σc, Σc²),
+    so no calendar spine is ever materialized: Fano = var/mean =
+    (M·Σc² − S²)/(M·S) — one identical IEEE tree over exact int64
+    moments, floor-6dp. Scale: minute rollup collapses map-side;
+    everything after is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("minute"),
+    ).agg(F.count("*").alias("c"))
+    agg = per_min.groupBy("event_type").agg(
+        (F.max("minute") - F.min("minute") + 1).alias("m"),
+        F.count("*").alias("active_minutes"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    md = F.col("m").cast("double")
+    sd = F.col("s").cast("double")
+    fano = (md * F.col("sq") - sd * F.col("s")) / (md * F.col("s"))
+    return agg.select(
+        "event_type",
+        F.col("m").alias("span_minutes"),
+        "active_minutes",
+        F.col("s").alias("n_events"),
+        (F.floor(fano * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("fano"),
+    ).orderBy("event_type")
