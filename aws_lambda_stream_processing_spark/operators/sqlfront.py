@@ -1073,3 +1073,48 @@ def q_sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT COUNT(*) FROM sub WHERE k IS NULL) AS n_nulls
         """
     )
+
+
+_DS67_BODY = """
+    WITH sales AS (
+      SELECT p.p_brand, p.p_type,
+             CAST(GROUPING(p.p_brand) AS INTEGER) AS g_brand,
+             CAST(GROUPING(p.p_type) AS INTEGER) AS g_type,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY ROLLUP(p.p_brand, p.p_type)
+    ),
+    ranked AS (
+      SELECT p_brand, p_type, g_brand, g_type, rev_cents,
+             rank() OVER (PARTITION BY p_brand
+                          ORDER BY rev_cents DESC,
+                                   p_type ASC NULLS FIRST) AS rk
+      FROM sales
+    )
+    SELECT p_brand, p_type, g_brand, g_type, rev_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY p_brand ASC NULLS FIRST, rk, p_type ASC NULLS FIRST
+"""
+
+
+@query(
+    "q_sql_tpcds_q67_shape",
+    oracle=_DS67_BODY,
+    category="2.A",
+)
+def q_sql_tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape — the rank-over-ROLLUP pattern TPC-H never
+    exercises: hierarchical revenue subtotals (brand, type) via ROLLUP,
+    then a windowed rank WITHIN each brand partition keeping the top 5
+    rows (subtotal rows rank alongside detail rows, exactly as in the
+    DS spec). GROUPING() flags disambiguate NULL-as-subtotal from
+    NULL-as-value; every ORDER BY spells out NULLS FIRST because the
+    engines' defaults differ (Spark: asc=NULLS FIRST, DuckDB: NULLS
+    LAST). Revenue is exact integer cents. Scale: one join + rollup agg
+    (rollup = map-side expansion over the grouping sets), window
+    partitioned by the bounded brand domain over the agg output —
+    aggregate grain, not fact grain."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_DS67_BODY)
