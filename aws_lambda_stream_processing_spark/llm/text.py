@@ -1746,3 +1746,85 @@ def q_llm_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_llm_rare_token_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, u.tok
+      FROM toks, unnest(t) AS u(tok)
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+    per_doc AS (
+      SELECT o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN d.df * 10 < nd.n_docs
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM occ o JOIN df d USING (tok) CROSS JOIN nd
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           floor(CAST(n_rare AS DOUBLE) / n_tokens * 10000.0 + 0.5)
+             / 10000.0 AS rare_frac
+    FROM per_doc WHERE n_rare > 0
+    ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary risk screen: per document, the count and
+    fraction of tokens whose corpus document-frequency is below
+    10% of the corpus —
+    the docs a tokenizer/embedding trained on this corpus will handle
+    worst (and the first place OCR noise, code, or mojibake shows up).
+    Token occurrences join the (bounded-vocabulary) df table back by
+    token — at 100 TB that join broadcasts the df table's rare slice
+    (relative-df filter first) rather than shuffling occurrences; here the
+    vocabulary is 63 tokens so either plan is broadcast-sized. Exact
+    counts, one division, floor-4dp."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    df = occ.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        occ.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("df") * 10 < F.col("n_docs"), 1
+                ).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return (
+        per_doc.where(F.col("n_rare") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (
+                F.floor(
+                    F.col("n_rare").cast("double") / F.col("n_tokens")
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1628,3 +1628,73 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.element_at("ms", 98) * 10000.0 + F.lit(0.5)) / 10000.0
         ).alias("ci_hi"),
     )
+
+
+@query(
+    "q_agg_median_of_means",
+    oracle="""
+    WITH b AS (
+      SELECT (event_id * 2654435761) % 1000003 % 16 AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    means AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) * 1.0 / COUNT(*) AS m
+      FROM b GROUP BY bucket
+    ),
+    pick AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_sort(list(m)) AS ms,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM means
+    )
+    SELECT n_total, k AS n_buckets,
+           floor((ms[CAST((k + 1) // 2 AS INTEGER)]
+                  + ms[CAST(k // 2 + 1 AS INTEGER)]) / 2.0
+                 * 10000.0 + 0.5) / 10000.0 AS mom_cents,
+           (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   * 1.0 / COUNT(*) FROM events) AS plain_mean_cents
+    FROM pick
+    """,
+    category="2.D",
+)
+def q_agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means estimator — the heavy-tail-robust mean (the
+    estimator of choice when a metric's variance is unbounded and a
+    handful of outliers poison the plain mean): rows scatter into 16
+    DETERMINISTIC hash buckets (Knuth hash of event_id — reproducible,
+    unlike round-robin), each bucket's exact-int mean is computed
+    map-side, and the median of the 16 means is a positional pick from
+    ONE sorted bounded array (even-k: average the two central means).
+    No window, no row-grain sort; the plain mean rides along for the
+    robustness diff. Floor-4dp."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = e.select(
+        ((F.col("event_id") * 2654435761) % 1000003 % 16).alias("bucket"),
+        cents.alias("cents"),
+    )
+    means = b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents") * 1.0 / F.count("*")).alias("m"),
+    )
+    pick = means.agg(
+        F.count("*").alias("k"),
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.sum("n").alias("n_total"),
+    )
+    plain = e.agg(
+        (F.sum(cents) * 1.0 / F.count("*")).alias("plain_mean_cents")
+    )
+    lo = F.element_at("ms", F.expr("cast((k + 1) div 2 as int)"))
+    hi = F.element_at("ms", F.expr("cast(k div 2 + 1 as int)"))
+    return pick.crossJoin(F.broadcast(plain)).select(
+        "n_total",
+        F.col("k").alias("n_buckets"),
+        (
+            F.floor((lo + hi) / 2.0 * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("mom_cents"),
+        "plain_mean_cents",
+    )

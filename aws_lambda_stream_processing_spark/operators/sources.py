@@ -710,3 +710,47 @@ def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_text_lines",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="2.A",
+)
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source (spark.read.text — the rawest corpus landing
+    format: one line, one record, a single `value` column): write each
+    document as one '<lang>\\t<text>' line, read the directory back as
+    text, re-split, and aggregate per language. Line counts, token
+    counts, and char sums must survive the round-trip exactly — tabs
+    and token spacing are the only separators, mirroring how a 100 TB
+    text corpus actually lands before any schema exists. Materialize +
+    rmtree (q_sink_parquet pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="alsp_text_")
+    try:
+        d.select(
+            F.concat_ws("\t", "lang", "text").alias("value")
+        ).write.mode("overwrite").text(out)
+        back = spark.read.text(out)
+        parsed = back.select(
+            F.substring_index("value", "\t", 1).alias("lang"),
+            F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        )
+        result = parsed.groupBy("lang").agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+        ).orderBy("lang")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

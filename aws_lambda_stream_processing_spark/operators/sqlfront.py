@@ -1118,3 +1118,52 @@ def q_sql_tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate grain, not fact grain."""
     _register(spark, sf_dir, "lineitem", "part")
     return spark.sql(_DS67_BODY)
+
+
+@query(
+    "q_sql_pivot_syntax",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN round(value * 100) ELSE 0 END) AS BIGINT)
+             AS click_cents,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN round(value * 100) ELSE 0 END) AS BIGINT)
+             AS view_cents,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN round(value * 100) ELSE 0 END) AS BIGINT)
+             AS purchase_cents
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY cohort
+    """,
+    category="2.A",
+)
+def q_sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the ANSI-ish syntax, distinct from the
+    DataFrame .pivot() covered by q_pivot): revenue cents per user
+    cohort pivoted across three event types with an explicit IN list —
+    the explicit list is what keeps the plan a single deterministic-
+    schema hash agg (an open-ended pivot needs a distinct-values
+    pre-pass). The oracle is the conditional-aggregation desugaring,
+    which is also exactly what Catalyst lowers PIVOT to. Exact int64
+    cents; one map-side-combining agg."""
+    _register(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT user_id % 10 AS cohort, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        PIVOT (
+          SUM(cents) FOR event_type IN
+            ('click' AS click_cents, 'view' AS view_cents,
+             'purchase' AS purchase_cents)
+        )
+        ORDER BY cohort
+    """).select(
+        "cohort",
+        F.coalesce("click_cents", F.lit(0)).alias("click_cents"),
+        F.coalesce("view_cents", F.lit(0)).alias("view_cents"),
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
+    )
