@@ -1315,3 +1315,164 @@ def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "q_llm_ann_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, bucket,
+             list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)
+               AS nn
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS probe, b.vec_id AS cand,
+             a.bucket AS pb, b.bucket AS cb,
+             CAST(floor(
+               CASE WHEN list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                                    s -> s[1] * s[2]),
+                                     (x, y) -> x + y) >= 0
+                    THEN 1.0 ELSE -1.0 END
+               * CAST(list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                                 s -> s[1] * s[2]),
+                                  (x, y) -> x + y) AS DOUBLE)
+               * list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                            s -> s[1] * s[2]),
+                             (x, y) -> x + y)
+               / b.nn * 1000000.0) AS BIGINT) AS skey
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    exact AS (
+      SELECT probe, cand,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY skey DESC, cand) AS rk
+      FROM pairs
+    ),
+    ann AS (
+      SELECT probe, cand,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY skey DESC, cand) AS rk
+      FROM pairs WHERE cb = pb
+    )
+    SELECT e.probe,
+           CAST(COUNT(a.cand) AS BIGINT) AS n_hit,
+           floor(COUNT(a.cand) / 10.0 * 10000.0 + 0.5) / 10000.0
+             AS recall_at_10
+    FROM exact e
+    LEFT JOIN ann a ON a.probe = e.probe AND a.cand = e.cand
+                    AND a.rk <= 10
+    WHERE e.rk <= 10
+    GROUP BY e.probe
+    ORDER BY e.probe
+    """,
+    category="2.J",
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 evaluation — the missing EVAL rung of the ANN
+    ladder (what q_llm_dedup_eval is to MinHash-LSH): for 10 fixed
+    probes, compare the 4-bit sign-bucket ANN's top-10 against the
+    exact top-10 and report per-probe recall. Ranking is DETERMINISTIC
+    across engines: int8 codes give exact int64 dots S and norms; the
+    sort key floor(sign * S^2 / nn * 1e6) is one IEEE division +
+    floor of exact ints (monotone in cosine for fixed probe), ties by
+    id — so both rankings replay bit-identically in SQL. Scale: the
+    exact side is the brute-force baseline CONFINED to 10 probes (one
+    broadcast GEMM row per probe); the ANN side reuses the same scored
+    pairs filtered to the probe's bucket. Per-probe windows have
+    |corpus| rows max — the probe set bounds the partition count."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes_pd = (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Praw = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in probes_pd["embedding"]]
+    )
+    P = np.floor(Praw * 127.0 + 0.5).astype(np.int64)
+    p_ids = probes_pd["vec_id"].to_numpy()
+    # bucket on the RAW sign: the quantizer maps tiny positives to code
+    # 0, which would flip the bucket bit vs the oracle's embedding[j]>0
+    p_buckets = (
+        (Praw[:, :4] > 0) * (1 << np.arange(4))
+    ).sum(axis=1).astype(np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            Xraw = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Q = np.floor(Xraw * 127.0 + 0.5).astype(np.int64)
+            nn = (Q * Q).sum(axis=1)
+            cb = ((Xraw[:, :4] > 0) * (1 << np.arange(4))).sum(axis=1)
+            S = Q @ P.T  # (batch, probes) exact int64
+            for j in range(len(p_ids)):
+                s = S[:, j]
+                key = np.floor(
+                    np.sign(s) * (s.astype(np.float64) * s) / nn * 1e6
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "probe": np.full(len(s), p_ids[j]),
+                        "cand": pdf["vec_id"].to_numpy(),
+                        "pb": np.full(len(s), p_buckets[j]),
+                        "cb": cb,
+                        "skey": key,
+                    }
+                )
+
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            score, "probe long, cand long, pb long, cb long, skey long"
+        )
+        .where(F.col("cand") != F.col("probe"))
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("skey"), "cand")
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("probe", "cand")
+    )
+    ann = (
+        pairs.where(F.col("cb") == F.col("pb"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("probe").alias("aprobe"), F.col("cand").alias("acand")
+        )
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("probe") == F.col("aprobe"))
+            & (F.col("cand") == F.col("acand")),
+            "left",
+        )
+        .groupBy("probe")
+        .agg(
+            F.count("acand").alias("n_hit"),
+            (
+                F.floor(F.count("acand") / 10.0 * 10000.0 + F.lit(0.5))
+                / 10000.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("probe")
+    )
