@@ -1698,3 +1698,122 @@ def q_agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mom_cents"),
         "plain_mean_cents",
     )
+
+
+@query(
+    "q_anon_tcloseness",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    support AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM c GROUP BY cents
+    ),
+    gcum AS (
+      SELECT cents,
+             CAST(SUM(cg) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c_cum
+      FROM support
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(cg) AS BIGINT) AS n
+      FROM support
+    ),
+    segs AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS ng FROM c GROUP BY seg
+    ),
+    gcnt AS (
+      SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS k
+      FROM c GROUP BY seg, cents
+    ),
+    grid AS (
+      SELECT s.seg, g.cents, g.c_cum, s.ng,
+             CAST(SUM(COALESCE(gc.k, 0)) OVER (
+               PARTITION BY s.seg ORDER BY g.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS g_cum
+      FROM segs s
+      CROSS JOIN gcum g
+      LEFT JOIN gcnt gc ON gc.seg = s.seg AND gc.cents = g.cents
+    )
+    SELECT grid.seg, MAX(grid.ng) AS n_rows,
+           floor(CAST(SUM(CAST(
+                   abs(g_cum * t.n - c_cum * ng)
+                   * 1.0 / (ng * t.n)
+                 AS DECIMAL(38, 18))) AS DOUBLE) / (MAX(t.m) - 1)
+                 * 1000000.0 + 0.5) / 1000000.0 AS t_closeness
+    FROM grid CROSS JOIN tot t
+    GROUP BY grid.seg ORDER BY grid.seg
+    """,
+    category="2.D",
+)
+def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li et al. 2007) — the third rung of the anonymity
+    ladder after q_anon_kanonymity and q_anon_ldiversity: per market
+    segment, the Earth Mover's Distance between the group's account-
+    balance distribution and the global one (ordered numeric ground
+    distance, so 1-D EMD = mean |cumulative difference| over the
+    support). Every cumulative is an exact int64 count on the
+    VALUE-DOMAIN support grid (bounded by distinct cents, not rows);
+    the per-support term |g_cum*N - C_cum*ng|/(ng*N) is one identical
+    IEEE expression, DECIMAL-summed, /(m-1), floor-6dp. The global
+    cum window runs on the bounded support grid (whitelisted like
+    ks_test); the per-group cum partitions by the 5 segments over that
+    same grid."""
+    cst = load_table(spark, sf_dir, "customer")
+    c = cst.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    support = c.groupBy("cents").agg(F.count("*").alias("cg"))
+    wglob = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    glob = support.select(
+        "cents", F.sum("cg").over(wglob).alias("c_cum")
+    )
+    tot = support.agg(
+        F.count("*").alias("m"), F.sum("cg").alias("n")
+    )
+    segs = c.groupBy("seg").agg(F.count("*").alias("ng"))
+    gcnt = c.groupBy("seg", "cents").agg(F.count("*").alias("k"))
+    wseg = Window.partitionBy("seg").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = (
+        F.broadcast(segs)
+        .crossJoin(glob)
+        .join(gcnt, ["seg", "cents"], "left")
+        .select(
+            "seg", "cents", "c_cum", "ng",
+            F.sum(F.coalesce(F.col("k"), F.lit(0)))
+            .over(wseg).alias("g_cum"),
+        )
+    )
+    term = (
+        F.abs(F.col("g_cum") * F.col("n") - F.col("c_cum") * F.col("ng"))
+        * F.lit(1.0)
+        / (F.col("ng") * F.col("n"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("seg")
+        .agg(
+            F.max("ng").alias("n_rows"),
+            (
+                F.floor(
+                    F.sum(term.cast("decimal(38,18)")).cast("double")
+                    / (F.max("m") - 1)
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("t_closeness"),
+        )
+        .orderBy("seg")
+    )

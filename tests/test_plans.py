@@ -307,6 +307,9 @@ _GLOBAL_WINDOW_OK = {
     "q_agg_mann_whitney",
     # two midrank windows over the cents grid (<= 56k) and hour grid (24).
     "q_agg_spearman",
+    # global cumulative over the acctbal-cents support grid: bounded by
+    # the value domain (~15k distinct cents), same argument as ks_test.
+    "q_anon_tcloseness",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
