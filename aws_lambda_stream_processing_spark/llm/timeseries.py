@@ -1903,3 +1903,80 @@ def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("n_events"),
         (F.floor(fano * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("fano"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_rolling_slope",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, ts,
+             COUNT(*) OVER fr AS n,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
+      FROM c
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 3600.0 * 1000000.0 + 0.5) / 1000000.0
+             AS slope_cents_per_hour
+    FROM w WHERE n = 20
+    ORDER BY user_id, ts, event_id
+    """,
+    category="2.J",
+)
+def q_ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend — the per-entity "is this metric
+    locally rising?" regression over a trailing 20-event frame: slope =
+    (n Sxy - Sx Sy)/(n Sxx - Sx^2), reported in cents/hour. The time
+    axis re-bases to the series origin (epoch - 2024-01-01) so every
+    frame moment stays exact int64 (raw epoch^2 sums would overflow);
+    the slope is one identical IEEE tree over those moments, floor-6dp.
+    Pairs with q_ts_bollinger on the SAME user_id window exchange
+    pattern: one shuffle, millions of small per-user partitions at
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id", "event_id", "ts",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    w = c.select(
+        "user_id", "event_id", "ts",
+        F.count("*").over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return (
+        w.where(F.col("n") == 20)
+        .select(
+            "user_id", "event_id", "ts",
+            (
+                F.floor(slope * 3600.0 * 1000000.0 + F.lit(0.5))
+                / 1000000.0
+            ).alias("slope_cents_per_hour"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -1099,3 +1099,114 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("pi_prob"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    flags AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ud
+    ),
+    clas AS (
+      SELECT day,
+             CASE WHEN rn = 1 THEN 'new'
+                  WHEN prev_day = day - INTERVAL 1 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS cls
+      FROM flags
+    ),
+    counts AS (
+      SELECT CAST(day AS TIMESTAMP) AS day,
+             CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected,
+             CAST(COUNT(*) AS BIGINT) AS dau
+      FROM clas GROUP BY day
+    ),
+    churn AS (
+      SELECT CAST(day + INTERVAL 1 DAY AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS churned
+      FROM (
+        SELECT user_id, day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        FROM ud
+      )
+      WHERE nxt IS NULL OR nxt > day + INTERVAL 1 DAY
+      GROUP BY day
+    )
+    SELECT c.day, c.dau, c.new_users, c.retained, c.resurrected,
+           COALESCE(ch.churned, 0) AS churned_from_prev
+    FROM counts c LEFT JOIN churn ch USING (day)
+    ORDER BY c.day
+    """,
+    category="2.E",
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team
+    reports: each active (user, day) classifies as NEW (first day ever),
+    RETAINED (also active yesterday), or RESURRECTED (returning after a
+    gap), and each day also counts users CHURNED out of the previous
+    day (active then, not the next day). The identity
+    dau(t) = new + retained + resurrected and
+    retained(t) = dau(t-1) - churned(t) holds exactly — integer counts
+    all the way, no rates to round. Scale: one distinct (user, day)
+    collapse, then lag/lead on the SAME user_id exchange; day-grain
+    aggregates are calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flags = ud.select(
+        "user_id", "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.row_number().over(w).alias("rn"),
+        F.lead("day").over(w).alias("nxt"),
+    )
+    clas = flags.select(
+        "day",
+        F.when(F.col("rn") == 1, "new")
+        .when(
+            F.col("prev_day") == F.date_sub(F.col("day"), 1), "retained"
+        )
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    counts = clas.groupBy("day").agg(
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias(
+            "new_users"
+        ),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(
+            F.when(F.col("cls") == "resurrected", 1).otherwise(0)
+        ).alias("resurrected"),
+        F.count("*").alias("dau"),
+    )
+    churn = (
+        flags.where(
+            F.col("nxt").isNull()
+            | (F.col("nxt") > F.date_add(F.col("day"), 1))
+        )
+        .groupBy(F.date_add(F.col("day"), 1).alias("day"))
+        .agg(F.count("*").alias("churned"))
+    )
+    return (
+        counts.join(churn, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).alias("churned_from_prev"),
+        )
+        .orderBy("day")
+    )
