@@ -1077,3 +1077,62 @@ def q_llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_llm_shard_balance",
+    oracle="""
+    WITH sh AS (
+      SELECT (doc_id * 2654435761) % 1000003 % 32 AS shard,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM sh GROUP BY shard
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_shard_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_shard_tokens,
+           floor(CAST(MAX(n_tokens) AS DOUBLE) * COUNT(*)
+                 / SUM(n_tokens) * 10000.0 + 0.5) / 10000.0
+             AS max_over_mean
+    FROM per
+    """,
+    category="2.J",
+)
+def q_llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the hash-sharded corpus layout every
+    100 TB training job writes: docs scatter into 32 Knuth-hash shards
+    and the audit reports the token-mass imbalance (max/mean ratio —
+    the straggler predictor: the slowest shard IS the epoch time).
+    Deterministic hash → the same layout every run and engine; exact
+    integer masses, one rounded ratio. One map-side agg to 32 rows —
+    the audit costs one scan no matter the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        ((F.col("doc_id") * 2654435761) % 1000003 % 32).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    per = sh.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens")
+    )
+    return per.agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n_docs").alias("total_docs"),
+        F.min("n_tokens").alias("min_shard_tokens"),
+        F.max("n_tokens").alias("max_shard_tokens"),
+        (
+            F.floor(
+                F.max("n_tokens").cast("double")
+                * F.count("*")
+                / F.sum("n_tokens")
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("max_over_mean"),
+    )

@@ -1980,3 +1980,103 @@ def q_ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "q_ts_peak_detect",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS m
+      FROM hourly GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, cents, m,
+             CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hi_rn,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ),
+    p90 AS (
+      SELECT event_type,
+             MAX(CASE WHEN (9 * n + 9) // 10
+                      BETWEEN hi_rn - m + 1 AND hi_rn
+                      THEN cents END) AS p90_cents
+      FROM ranked GROUP BY event_type
+    ),
+    nbr AS (
+      SELECT event_type, hour, cents,
+             lag(cents)  OVER w AS prev_c,
+             lead(cents) OVER w AS next_c
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT n.event_type, n.hour, n.cents, p.p90_cents
+    FROM nbr n JOIN p90 p USING (event_type)
+    WHERE n.prev_c IS NOT NULL AND n.next_c IS NOT NULL
+      AND n.cents > n.prev_c AND n.cents > n.next_c
+      AND n.cents > p.p90_cents
+    ORDER BY n.event_type, n.hour
+    """,
+    category="2.J",
+)
+def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the hourly revenue series per type: strict
+    local maxima (greater than BOTH neighbors — plateau edges excluded
+    by design) that also clear the series' own positional P90 — the
+    prominence guard that keeps noise wiggles out (scipy find_peaks'
+    height parameter, engine-exact). The P90 is a position-based pick
+    from the (type, cents) histogram — the q_agg_winsorize discipline,
+    no float quantiles; neighbor comparisons are lag/lead on the
+    calendar-bounded hourly rollup. Exact integers end to end; output
+    is the peak rows themselves."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    hist = hourly.groupBy("event_type", "cents").agg(
+        F.count("*").alias("m")
+    )
+    wrank = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = hist.select(
+        "event_type", "cents", "m",
+        F.sum("m").over(wrank).alias("hi_rn"),
+        F.sum("m").over(wall).alias("n"),
+    )
+    k90 = F.expr("(9 * n + 9) div 10")
+    lo_rn = F.col("hi_rn") - F.col("m") + 1
+    p90 = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(k90.between(lo_rn, F.col("hi_rn")), F.col("cents"))
+        ).alias("p90_cents")
+    )
+    wh = Window.partitionBy("event_type").orderBy("hour")
+    nbr = hourly.select(
+        "event_type", "hour", "cents",
+        F.lag("cents").over(wh).alias("prev_c"),
+        F.lead("cents").over(wh).alias("next_c"),
+    )
+    return (
+        nbr.join(F.broadcast(p90), "event_type")
+        .where(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("cents") > F.col("prev_c"))
+            & (F.col("cents") > F.col("next_c"))
+            & (F.col("cents") > F.col("p90_cents"))
+        )
+        .select("event_type", "hour", "cents", "p90_cents")
+        .orderBy("event_type", "hour")
+    )
