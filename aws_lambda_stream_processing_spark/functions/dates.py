@@ -147,3 +147,59 @@ def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("millis"),
         F.from_unixtime(F.unix_timestamp("ts")).alias("rendered"),
     )
+
+
+@query(
+    "q_date_business_days",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             date_diff('day', DATE '1990-01-01', CAST(o.o_orderdate AS DATE))
+               AS a,
+             date_diff('day', DATE '1990-01-01', CAST(l.l_shipdate AS DATE))
+               AS b
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_linenumber = 1
+    )
+    SELECT l_orderkey,
+           CAST(b - a AS BIGINT) AS calendar_days,
+           CAST((5 * (b // 7) + LEAST(b % 7, 5))
+                - (5 * (a // 7) + LEAST(a % 7, 5)) AS BIGINT)
+             AS business_days
+    FROM d ORDER BY l_orderkey
+    """,
+    category="2.H",
+)
+def q_date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic — weekdays between order and first-line
+    ship date, in CLOSED FORM: with x = days since a Monday origin
+    (1990-01-01, before the whole date domain), W(x) = 5*(x div 7) + least(x mod 7, 5) counts the
+    weekdays before x, so busdays(a,b) = W(b) - W(a) — O(1) integer
+    math per row. The naive form (explode a per-row date `sequence` and
+    filter weekends) multiplies the fact table by the interval length —
+    a 30x row explosion this formula avoids entirely. Both dates are
+    non-negative offsets from the origin, so div/mod agree across
+    engines (no negative-modulo hazard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.where(F.col("l_linenumber") == 1)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).alias("a"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1990-01-01").cast("date")
+            ).alias("b"),
+        )
+    )
+    w = lambda c: 5 * F.expr(f"{c} div 7") + F.least(
+        F.expr(f"{c} % 7"), F.lit(5)
+    )
+    return d.select(
+        "l_orderkey",
+        (F.col("b") - F.col("a")).cast("long").alias("calendar_days"),
+        (w("b") - w("a")).cast("long").alias("business_days"),
+    ).orderBy("l_orderkey")
