@@ -78,3 +78,85 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    category="2.F",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of 20 by price): only
+    deterministic under a TOTAL order, so the sort key carries the
+    unique orderkey tie-break — pagination without it returns
+    different pages on different partitionings, the classic API bug.
+    Spark executes this as a global sort + offset-limit; at depth
+    OFFSET+LIMIT the driver merge holds only 60 rows (deep pagination
+    at 100 TB should switch to keyset/seek predicates instead — the
+    offset cost grows linearly with page depth)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .orderBy(F.desc("cents"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "q_sort_within_partitions",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS order_violations
+    FROM lineitem
+    """,
+    category="2.F",
+)
+def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions — the NO-EXCHANGE local sort (what a
+    write-sorted-parquet / merge-join preparation step uses: each
+    partition sorts independently, no range shuffle, no global order).
+    The contract is verified IN the query: a mapInPandas pass counts
+    adjacent out-of-order pairs per partition (Arrow batches arrive in
+    partition order) — the oracle pins that count to ZERO plus the
+    row-count, so a silently dropped local sort fails the hash. The
+    plan gate (test_plans) separately asserts no Exchange is present."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    local = li.sortWithinPartitions("l_orderkey", "l_linenumber")
+
+    def check(batches):
+        n = 0
+        bad = 0
+        prev = None
+        for pdf in batches:
+            keys = list(
+                zip(pdf["l_orderkey"].tolist(), pdf["l_linenumber"].tolist())
+            )
+            n += len(keys)
+            for k in keys:
+                if prev is not None and k < prev:
+                    bad += 1
+                prev = k
+        yield pd.DataFrame({"n_rows": [n], "order_violations": [bad]})
+
+    per_part = local.mapInPandas(
+        check, "n_rows long, order_violations long"
+    )
+    return per_part.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("order_violations").alias("order_violations"),
+    )

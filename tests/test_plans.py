@@ -402,3 +402,15 @@ def test_quality_calibration_offsets_broadcast(spark, registry):
     plan = plan_string(registry["q_llm_quality_calibration"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sort_within_partitions_has_no_exchange(spark, registry):
+    """q_sort_within_partitions: the local sort must not shuffle — an
+    Exchange before the Sort means Catalyst promoted it to a global
+    sort and the demo is a lie."""
+    plan = plan_string(registry["q_sort_within_partitions"].fn(spark, SF_DIR))
+    import re
+
+    assert re.search(r"\bSort\b", plan), plan
+    head = plan.split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" not in head, head
