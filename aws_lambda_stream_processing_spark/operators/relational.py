@@ -241,3 +241,74 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(F.col("o_orderkey") % 20 == 7).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "q_filter_ts_pushdown",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type <> 'error'
+    ORDER BY event_id
+    """,
+    category="2.B",
+)
+def q_filter_ts_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range predicate on the event stream — the filter shape
+    EVERY time-partitioned 100 TB table lives or dies by (with a date-
+    partitioned layout this same predicate prunes partitions; here it
+    must at least reach the parquet row-group statistics). The engine
+    reads naive parquet micros as LTZ verbatim (session pins UTC +
+    inferTimestampNTZ off — §9 law 17), so the literal bounds mean the
+    same instant on both engines. A plan gate asserts the pushdown."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") != "error")
+        )
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_proj_masking",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN length(c_name) > 4
+                THEN repeat('*', length(c_name) - 4)
+                     || substring(c_name, length(c_name) - 3, 4)
+                ELSE c_name END AS masked_name,
+           CAST(c_acctbal > 0 AS INTEGER) AS has_balance,
+           c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """,
+    category="2.B",
+)
+def q_proj_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking projection — the PII-safe view every warehouse
+    publishes: names keep only their last 4 characters behind '*'
+    padding, balances collapse to a sign flag, segment passes through.
+    Masking as a PROJECTION (not a UDF) stays in whole-stage codegen
+    and costs nothing at scale; the same expressions drop into a
+    column-level access policy. Exact string/int outputs."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.length("c_name")
+    return c.select(
+        "c_custkey",
+        F.when(
+            n > 4,
+            F.concat(
+                F.expr("repeat('*', length(c_name) - 4)"),
+                F.substring(F.col("c_name"), -4, 4),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("masked_name"),
+        (F.col("c_acctbal") > 0).cast("int").alias("has_balance"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")

@@ -414,3 +414,12 @@ def test_sort_within_partitions_has_no_exchange(spark, registry):
     assert re.search(r"\bSort\b", plan), plan
     head = plan.split("== Physical Plan ==")[-1]
     assert "rangepartitioning" not in head, head
+
+
+def test_ts_filter_reaches_parquet_scan(spark, registry):
+    """q_filter_ts_pushdown: the timestamp range must appear in the
+    scan's PushedFilters — if the NTZ/LTZ cast wraps the column, the
+    predicate silently stops pushing and every row-group is read."""
+    df = registry["q_filter_ts_pushdown"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert pf and any("ts" in f for f in pf), pf
