@@ -2080,3 +2080,94 @@ def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "cents", "p90_cents")
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "q_ts_spectral_power",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT event_type,
+             hidx - MIN(hidx) OVER (PARTITION BY event_type) AS t,
+             cents
+      FROM hourly
+    ),
+    terms AS (
+      SELECT b.event_type, p.period, b.t, b.cents,
+             cos(2 * pi() * (b.t % p.period) / p.period) AS cv,
+             sin(2 * pi() * (b.t % p.period) / p.period) AS sv
+      FROM based b
+      CROSS JOIN (SELECT unnest([24, 12, 6]) AS period) p
+    )
+    SELECT event_type, CAST(period AS BIGINT) AS period_hours,
+           CAST(floor((CAST(SUM(CAST(cents * cv AS DECIMAL(38, 12))) AS DOUBLE)
+                  * CAST(SUM(CAST(cents * cv AS DECIMAL(38, 12))) AS DOUBLE)
+                  + CAST(SUM(CAST(cents * sv AS DECIMAL(38, 12))) AS DOUBLE)
+                    * CAST(SUM(CAST(cents * sv AS DECIMAL(38, 12))) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))
+                 + 0.5) AS BIGINT) AS power_cents2
+    FROM terms GROUP BY event_type, period
+    ORDER BY event_type, period_hours
+    """,
+    category="2.J",
+)
+def q_ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power at the three candidate seasonal frequencies (24 h /
+    12 h / 6 h periods) per event type — the Goertzel-style single-bin
+    DFT probe that answers "WHICH period dominates?" before any
+    decomposition commits to one: power_P = ((Σ c·cos θ)² + (Σ c·sin θ)²)
+    / n², θ = 2π(t mod P)/P. The hour index re-bases per series and
+    REDUCES mod P before the trig call, so both engines evaluate
+    cos/sin on the same small grid of arguments (P distinct values — the
+    1-ulp hazard is bounded to identical inputs, law 18); term sums
+    accumulate in DECIMAL and the final power floors to whole cents².
+    Scale: hourly rollup map-side, 3× replication of the BOUNDED hourly
+    relation, one agg."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long").alias("hidx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    wmin = Window.partitionBy("event_type")
+    based = hourly.select(
+        "event_type",
+        (F.col("hidx") - F.min("hidx").over(wmin)).alias("t"),
+        "cents",
+    )
+    periods = spark.createDataFrame([(24,), (12,), (6,)], "period long")
+    theta = (
+        2 * F.lit(3.141592653589793) * (F.col("t") % F.col("period"))
+        / F.col("period")
+    )
+    terms = based.crossJoin(F.broadcast(periods)).select(
+        "event_type", "period", "cents",
+        F.cos(theta).alias("cv"),
+        F.sin(theta).alias("sv"),
+    )
+    sc = F.sum((F.col("cents") * F.col("cv")).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    ss = F.sum((F.col("cents") * F.col("sv")).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    nd = F.count("*").cast("double")
+    return (
+        terms.groupBy("event_type", "period")
+        .agg(
+            F.floor((sc * sc + ss * ss) / (nd * F.count("*")) + F.lit(0.5))
+            .alias("power_cents2")
+        )
+        .select(
+            "event_type",
+            F.col("period").alias("period_hours"),
+            "power_cents2",
+        )
+        .orderBy("event_type", "period_hours")
+    )

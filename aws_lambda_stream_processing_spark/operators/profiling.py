@@ -1817,3 +1817,74 @@ def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "q_anon_dp_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, true_count,
+             (ascii(substring(event_type, 1, 1)) * 31
+              + length(event_type)) * 2654435761 % 1000003 % 10000 AS h
+      FROM c
+    )
+    SELECT event_type, true_count,
+           CAST(CASE WHEN h < 4624 THEN 0
+                WHEN h < 6325 THEN 1   WHEN h < 8026 THEN -1
+                WHEN h < 8652 THEN 2   WHEN h < 9278 THEN -2
+                WHEN h < 9508 THEN 3   WHEN h < 9738 THEN -3
+                WHEN h < 9823 THEN 4   WHEN h < 9908 THEN -4
+                WHEN h < 9939 THEN 5   WHEN h < 9970 THEN -5
+                WHEN h < 9985 THEN 6   ELSE -6 END AS BIGINT) AS noise,
+           CAST(true_count + CASE WHEN h < 4624 THEN 0
+                WHEN h < 6325 THEN 1   WHEN h < 8026 THEN -1
+                WHEN h < 8652 THEN 2   WHEN h < 9278 THEN -2
+                WHEN h < 9508 THEN 3   WHEN h < 9738 THEN -3
+                WHEN h < 9823 THEN 4   WHEN h < 9908 THEN -4
+                WHEN h < 9939 THEN 5   WHEN h < 9970 THEN -5
+                WHEN h < 9985 THEN 6   ELSE -6 END AS BIGINT)
+             AS noisy_count
+    FROM u ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_anon_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the discrete Laplace (two-sided
+    geometric) mechanism at epsilon=1 — the fourth rung of the privacy
+    ladder (k-anon -> l-div -> t-close -> DP release). The noise draw is
+    a hash of the group key pushed through FIXED inverse-CDF thresholds
+    (the geometric masses of e^-1, precomputed to 4dp as integer
+    constants — the q_agg_bootstrap_ci trick), making the release
+    REPLAYABLE for this verification harness; a production release
+    swaps the hash for a real RNG, everything else unchanged. Counts
+    exact; the mechanism is one map over the |types|-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count("*").alias("true_count"))
+    h = (
+        (
+            F.ascii(F.substring("event_type", 1, 1)) * 31
+            + F.length("event_type")
+        ).cast("long")
+        * 2654435761
+        % 1000003
+        % 10000
+    )
+    noise = (
+        F.when(h < 4624, 0)
+        .when(h < 6325, 1).when(h < 8026, -1)
+        .when(h < 8652, 2).when(h < 9278, -2)
+        .when(h < 9508, 3).when(h < 9738, -3)
+        .when(h < 9823, 4).when(h < 9908, -4)
+        .when(h < 9939, 5).when(h < 9970, -5)
+        .when(h < 9985, 6).otherwise(-6)
+    ).cast("long")
+    return c.select(
+        "event_type",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("noisy_count"),
+    ).orderBy("event_type")
