@@ -1828,3 +1828,101 @@ def q_llm_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_llm_winnowing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i,
+             (ascii(toks[i]) * 961 + ascii(toks[i + 1]) * 31
+              + ascii(toks[i + 2])
+              + length(toks[i]) * 7 + length(toks[i + 2])) % 8191 AS h
+      FROM t, unnest(range(1, n - 1)) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+      FROM kg
+    )
+    SELECT doc_id,
+           CAST(MAX(kn) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(wmin) AS BIGINT) AS min_fp
+    FROM (SELECT doc_id, wmin,
+                 MAX(wn) OVER (PARTITION BY doc_id) AS _m,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS kn
+          FROM win WHERE wn = 4)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    category="2.J",
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    MOSS algorithm): 3-gram rolling hashes, then the MINIMUM of each
+    4-hash window becomes a fingerprint — guaranteeing any sufficiently
+    long match between documents shares a fingerprint, with far fewer
+    stored hashes than q_llm_fingerprint's full set. Per-doc summary:
+    k-gram count, distinct-fingerprint count, min fingerprint. The
+    window partitions by doc_id (millions of small partitions; per-doc
+    length bounds every frame) and the hash is pure integer ascii
+    arithmetic — identical on both engines. Selecting the window-MIN
+    (not position) keeps the distinct set order-free and
+    engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    kg = (
+        t.select(
+            "doc_id",
+            F.posexplode("toks").alias("i0", "w"),
+            F.col("toks"),
+            F.col("n"),
+        )
+        .where(F.col("i0") < F.col("n") - 2)
+        .select(
+            "doc_id",
+            F.col("i0").alias("i"),
+            (
+                (
+                    F.ascii(F.expr("toks[i0]")) * 961
+                    + F.ascii(F.expr("toks[i0 + 1]")) * 31
+                    + F.ascii(F.expr("toks[i0 + 2]"))
+                    + F.length(F.expr("toks[i0]")) * 7
+                    + F.length(F.expr("toks[i0 + 2]"))
+                )
+                % 8191
+            ).alias("h"),
+        )
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-3, 0)
+    )
+    win = kg.select(
+        "doc_id",
+        F.min("h").over(wf).alias("wmin"),
+        F.count("*").over(wf).alias("wn"),
+    ).where(F.col("wn") == 4)
+    return (
+        win.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kgrams"),
+            F.countDistinct("wmin").alias("n_fingerprints"),
+            F.min("wmin").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )

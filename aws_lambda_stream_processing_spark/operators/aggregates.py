@@ -791,3 +791,63 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_agg_topn_other",
+    oracle="""
+    WITH rev AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    top5 AS (
+      SELECT user_id FROM rev ORDER BY cents DESC, user_id LIMIT 5
+    )
+    SELECT CASE WHEN r.user_id IN (SELECT user_id FROM top5)
+                THEN CAST(r.user_id AS VARCHAR) ELSE 'OTHER' END
+             AS bucket,
+           CAST(SUM(r.cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM rev r
+    GROUP BY 1
+    ORDER BY cents DESC, bucket
+    """,
+    category="2.D",
+)
+def q_agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-plus-OTHER — the reporting rollup every dashboard draws
+    (five named leaders, the long tail folded into one bar): leaders
+    come from a TakeOrdered top-5 (per-partition heads merged on the
+    driver, never a global sort), broadcast back as the bucket
+    predicate, then one re-aggregation. Deterministic leaders via the
+    (cents desc, user_id) total order; exact int64 throughout. At
+    100 TB this is two map-side-combining aggs + one 5-row broadcast —
+    the tail never moves."""
+    e = load_table(spark, sf_dir, "events")
+    rev = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    top5 = (
+        rev.orderBy(F.desc("cents"), "user_id")
+        .limit(5)
+        .select(F.col("user_id").alias("tu"))
+    )
+    return (
+        rev.join(F.broadcast(top5), rev.user_id == F.col("tu"), "left")
+        .select(
+            F.when(
+                F.col("tu").isNotNull(), F.col("user_id").cast("string")
+            )
+            .otherwise(F.lit("OTHER"))
+            .alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count("*").alias("n_users"),
+        )
+        .orderBy(F.desc("cents"), "bucket")
+    )
