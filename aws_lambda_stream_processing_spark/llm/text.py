@@ -1926,3 +1926,80 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_llm_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, u.c
+      FROM (SELECT doc_id, string_split(replace(text, ' ', ''), '') AS cs
+            FROM documents), unnest(cs) AS u(c)
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS alphabet
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT c.doc_id, t.n AS n_chars_net, t.alphabet,
+           floor(-CAST(SUM(CAST(
+                    k * ln(CAST(k AS DOUBLE) / t.n)
+                  AS DECIMAL(38, 18))) AS DOUBLE) / t.n / ln(2.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS char_entropy_bits
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n, t.alphabet
+    ORDER BY c.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (bits/char, whitespace stripped) —
+    the compressibility proxy every gibberish/mojibake/binary-blob
+    filter thresholds on: natural language sits ~3-4.2 bits, base64
+    and random bytes push toward log2(alphabet), 'aaaa...' floods
+    collapse near 0. Characters explode to a bounded-alphabet count
+    table per doc; each ln argument is a ratio of exact ints; terms
+    DECIMAL-sum, one /n and /ln 2, floor-6dp (law 18). Scale: the
+    char-grain explosion is the only big relation and collapses
+    map-side to (doc, char) before shuffling."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace("text", " ", ""), "")
+        ).alias("c"),
+    ).where(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"), F.count("*").alias("alphabet")
+    )
+    term = (
+        F.col("k") * F.log(F.col("k").cast("double") / F.col("n"))
+    ).cast("decimal(38,18)")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "alphabet")
+        .agg(
+            (
+                F.floor(
+                    -F.sum(term).cast("double")
+                    / F.col("n")
+                    / F.log(F.lit(2.0))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("char_entropy_bits")
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_net"),
+            "alphabet",
+            "char_entropy_bits",
+        )
+        .orderBy("doc_id")
+    )

@@ -587,3 +587,101 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(gap_prev)
         .alias("gap_us"),
     )
+
+
+@query(
+    "q_join_temporal_dim",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    dim AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, version, event_type
+    ),
+    hits AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             MAX(d.version) AS dim_version
+      FROM events e
+      JOIN dim d ON d.user_id = e.user_id AND d.valid_from <= e.ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.event_id, e.user_id, e.ts
+    )
+    SELECT h.event_id, h.user_id, h.ts, h.dim_version,
+           d.event_type AS dim_state
+    FROM hits h
+    JOIN dim d ON d.user_id = h.user_id AND d.version = h.dim_version
+    ORDER BY h.event_id
+    """,
+    category="2.C",
+)
+def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the warehouse staple:
+    each purchase event joins the SCD2 version of its user that was
+    VALID AT the event's timestamp (valid_from <= ts < next
+    valid_from). Executed as the AS-OF argmax formulation — equi-join
+    on user_id with the half-open lower bound, then max(version) per
+    event — so the matcher is a hash join + hash agg, never an
+    interval nested-loop; fan-out is bounded by versions-per-user.
+    The dimension here derives from the same stream (q_scd2_intervals'
+    pipeline), making the oracle self-contained. At 100 TB both sides
+    partition by user_id — one co-located shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = e.select(
+        "user_id", "ts", "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version"),
+    )
+    dim = runs.groupBy(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+    ).agg(F.min("ts").alias("valid_from"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    hits = (
+        purchases.join(
+            dim,
+            (dim.user_id == F.col("pu"))
+            & (dim.valid_from <= F.col("pts")),
+        )
+        .groupBy("event_id", "pu", "pts")
+        .agg(F.max("version").alias("dim_version"))
+    )
+    state = dim.select(
+        F.col("user_id").alias("du"),
+        F.col("version").alias("dv"),
+        F.col("event_type").alias("dim_state"),
+    )
+    return (
+        hits.join(
+            state,
+            (F.col("pu") == F.col("du"))
+            & (F.col("dim_version") == F.col("dv")),
+        )
+        .select(
+            "event_id",
+            F.col("pu").alias("user_id"),
+            F.col("pts").alias("ts"),
+            "dim_version",
+            "dim_state",
+        )
+        .orderBy("event_id")
+    )

@@ -1888,3 +1888,126 @@ def q_anon_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("true_count") + noise).alias("noisy_count"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_agg_runs_test",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS m
+      FROM c GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, cents, m,
+             CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hi_rn,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN (n + 1) // 2
+                      BETWEEN hi_rn - m + 1 AND hi_rn
+                      THEN cents END) AS median_cents
+      FROM ranked GROUP BY event_type
+    ),
+    signs AS (
+      SELECT c.event_type,
+             CASE WHEN c.cents > md.median_cents THEN 1 ELSE 0 END AS s,
+             lag(CASE WHEN c.cents > md.median_cents THEN 1 ELSE 0 END)
+               OVER (PARTITION BY c.event_type ORDER BY c.ts, c.event_id)
+               AS prev_s
+      FROM c JOIN med md USING (event_type)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN prev_s IS NULL
+                           OR s <> prev_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM signs GROUP BY event_type
+    )
+    SELECT event_type, runs, n1, n2,
+           floor((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM agg ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type — "are above/below-median
+    values randomly interleaved in time, or do they clump?" (the
+    randomness check that catches serial correlation a mean/variance
+    profile never sees). The median is a positional histogram pick
+    (winsorize discipline); run boundaries count via lag on the
+    time-ordered stream; the normal z evaluates one identical IEEE
+    tree over exact int64 (runs, n1, n2), floor-6dp. One value-domain
+    histogram + one (type)-keyed window + bounded agg."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hist = c.groupBy("event_type", "cents").agg(F.count("*").alias("m"))
+    wrank = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = hist.select(
+        "event_type", "cents", "m",
+        F.sum("m").over(wrank).alias("hi_rn"),
+        F.sum("m").over(wall).alias("n"),
+    )
+    kmed = F.expr("(n + 1) div 2")
+    lo_rn = F.col("hi_rn") - F.col("m") + 1
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(kmed.between(lo_rn, F.col("hi_rn")), F.col("cents"))
+        ).alias("median_cents")
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (F.col("cents") > F.col("median_cents")).cast("int")
+    signs = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        s.alias("s"),
+        F.lag(s).over(wt).alias("prev_s"),
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull()
+                | (F.col("s") != F.col("prev_s")),
+                1,
+            ).otherwise(0)
+        ).alias("runs"),
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1
+    var = (
+        2.0 * F.col("n1") * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (n1d + F.col("n2"))
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        "event_type", "runs", "n1", "n2",
+        (F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("z"),
+    ).orderBy("event_type")
