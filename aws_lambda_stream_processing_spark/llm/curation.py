@@ -1136,3 +1136,99 @@ def q_llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("max_over_mean"),
     )
+
+
+@query(
+    "q_llm_pack_efficiency",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(SUM(toks) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - toks AS cum_before
+      FROM d
+    ),
+    bins AS (
+      SELECT cum_before // 512 AS bin_id,
+             CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY 1
+    ),
+    closed AS (SELECT * FROM bins WHERE bin_id < (SELECT MAX(bin_id) FROM bins))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_bins,
+           CAST(MIN(bin_tokens) AS BIGINT) AS min_fill,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_fill,
+           floor(CAST(SUM(CASE WHEN bin_tokens >= 512 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+             AS frac_full,
+           floor(CAST(SUM(LEAST(bin_tokens, 512)) AS DOUBLE)
+                 / (512.0 * COUNT(*)) * 10000.0 + 0.5) / 10000.0
+             AS utilization
+    FROM closed
+    """,
+    category="2.J",
+)
+def q_llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for the q_llm_seq_pack layout — the
+    number that decides whether concat-and-chunk is good enough or a
+    bin-packing pass is worth its shuffle: per closed 512-token bin
+    (the open tail bin excluded — it is legitimately unfull), the fill
+    distribution, the fraction that reached capacity, and overall
+    utilization = usable/(capacity*bins). Reuses the dprefix two-phase
+    cumsum for the global token offsets (zero partition-less windows);
+    bin aggregates are exact int64, ratios floor-4dp."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    c = two_phase_cumsum(
+        d, [("doc_id", True)], "toks", out="cum_before", inclusive=False
+    )
+    bins = (
+        c.select(
+            F.floor(F.col("cum_before") / 512).alias("bin_id"), "toks"
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.sum("toks").alias("bin_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    last = bins.agg(F.max("bin_id").alias("last_bin"))
+    closed = bins.crossJoin(F.broadcast(last)).where(
+        F.col("bin_id") < F.col("last_bin")
+    )
+    return closed.agg(
+        F.count("*").alias("n_closed_bins"),
+        F.min("bin_tokens").alias("min_fill"),
+        F.max("bin_tokens").alias("max_fill"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("bin_tokens") >= 512, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_full"),
+        (
+            F.floor(
+                F.sum(F.least(F.col("bin_tokens"), F.lit(512)))
+                .cast("double")
+                / (512.0 * F.count("*"))
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("utilization"),
+    )
