@@ -2171,3 +2171,100 @@ def q_ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "period_hours")
     )
+
+
+@query(
+    "q_ts_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ),
+    m AS (
+      SELECT d.event_type, d.day,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(SUM(d.cents) OVER (PARTITION BY d.event_type
+                  ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) * st.n
+             - CAST(row_number() OVER w AS BIGINT) * st.s AS mn
+      FROM daily d JOIN stats st USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+    ),
+    ph AS (
+      SELECT event_type, day, t, mn,
+             CAST(MIN(mn) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_min
+      FROM m
+    )
+    SELECT p.event_type, CAST(p.day AS TIMESTAMP) AS day,
+           floor(CAST(p.mn - p.run_min AS DOUBLE) / st.n / 100
+                 * 10000.0 + 0.5) / 10000.0 AS ph_dollars,
+           CAST(CASE WHEN (p.mn - p.run_min) > 50000 * st.n
+                THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM ph p JOIN stats st USING (event_type)
+    ORDER BY p.event_type, p.day
+    """,
+    category="2.J",
+)
+def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-changepoint monitor per event type — the
+    sequential twin of q_ts_changepoint_cusum (CUSUM localizes one
+    retrospective break; PH is the streaming alarm form: PH_t = m_t -
+    min_{s<=t} m_s with m_t = sum(x_s - mean)). Kept EXACT by clearing
+    the mean's denominator: m_t * n = n*cumsum_t - t*S is pure int64,
+    the running min preserves integrality, and the reported statistic
+    divides back once (floor-4dp dollars; alarm at $500 * n, also
+    integer). Both cumulative windows partition by type over the
+    CALENDAR-BOUNDED daily rollup. The two-pass mean is the batch
+    formulation; the streaming form maintains (running mean, min)
+    state per key in q_stream_running_state's pattern."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).cast("long").alias("t"),
+        (
+            F.sum("cents").over(wcum) * F.col("n")
+            - F.row_number().over(wd).cast("long") * F.col("s")
+        ).alias("mn"),
+        "n",
+    )
+    ph = m.select(
+        "event_type", "day", "mn", "n",
+        F.min("mn").over(wcum).alias("run_min"),
+    )
+    return ph.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        (
+            F.floor(
+                (F.col("mn") - F.col("run_min")).cast("double")
+                / F.col("n")
+                / 100
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("ph_dollars"),
+        (
+            (F.col("mn") - F.col("run_min")) > 50000 * F.col("n")
+        ).cast("int").alias("alarm"),
+    ).orderBy("event_type", "day")

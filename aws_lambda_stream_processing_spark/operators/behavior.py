@@ -1210,3 +1210,89 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
+             CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN firstd f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    size_ AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM firstd GROUP BY cohort
+    )
+    SELECT CAST(r.cohort AS TIMESTAMP) AS cohort,
+           CAST(r.age AS BIGINT) AS age_days,
+           s.cohort_users,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_cents,
+           floor(CAST(SUM(r.cents) OVER (PARTITION BY r.cohort
+                      ORDER BY r.age
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / s.cohort_users * 10000.0 + 0.5) / 10000.0
+             AS ltv_cents_per_user
+    FROM rev r JOIN size_ s USING (cohort)
+    ORDER BY cohort, age_days
+    """,
+    category="2.E",
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative revenue per signup cohort by
+    cohort age, per-user normalized: the curve whose asymptote IS the
+    lifetime value and whose day-k reads give payback periods. Pairs
+    with q_retention_cohort (who stays) by adding what they spend.
+    Revenue folds to (cohort, age) grain before any window; the
+    cumulative runs per cohort over age — both axes calendar-bounded,
+    so every partition is tiny forever. Exact cents; the per-user
+    normalization is one division floor-4dp."""
+    e = load_table(spark, sf_dir, "events")
+    firstd = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    rev = (
+        e.join(firstd, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    size = firstd.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users")
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("cents").over(wc)
+    return (
+        rev.join(F.broadcast(size), "cohort")
+        .select(
+            F.col("cohort").cast("timestamp").alias("cohort"),
+            F.col("age").cast("long").alias("age_days"),
+            "cohort_users",
+            cum.alias("cum_cents"),
+            (
+                F.floor(
+                    cum.cast("double") / F.col("cohort_users") * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort", "age_days")
+    )
