@@ -2011,3 +2011,128 @@ def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "runs", "n1", "n2",
         (F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("z"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_agg_quantile_normalization",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    th AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS m
+      FROM c GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, cents, m,
+             CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hi_rn,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+      FROM th
+    ),
+    ph AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS m FROM c GROUP BY cents
+    ),
+    pr AS (
+      SELECT cents AS pcents,
+             CAST(SUM(m) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - m + 1 AS lo_rn
+      FROM ph
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    u AS (
+      SELECT lo_rn AS key, 1 AS is_block, pcents,
+             NULL::VARCHAR AS event_type, NULL::BIGINT AS cents,
+             NULL::BIGINT AS m
+      FROM pr
+      UNION ALL
+      SELECT (tr.hi_rn * n.n + tr.nt - 1) // tr.nt AS key, 0, NULL,
+             tr.event_type, tr.cents, tr.m
+      FROM tr CROSS JOIN n
+    ),
+    f AS (
+      SELECT event_type, cents, m, is_block,
+             last_value(pcents IGNORE NULLS) OVER (
+               ORDER BY key, is_block DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS norm_cents
+      FROM u
+    )
+    SELECT event_type, cents, CAST(m AS BIGINT) AS m,
+           CAST(norm_cents AS BIGINT) AS norm_cents
+    FROM f WHERE is_block = 0
+    ORDER BY event_type, cents
+    """,
+    category="2.D",
+)
+def q_agg_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — map every event value to the POOLED
+    distribution's value at the same within-type quantile (the
+    bioinformatics/feature-prep transform that makes heterogeneous
+    channels comparable without assuming any parametric form). Entirely
+    on value-domain histograms: within-type tie-block rank r maps to
+    pooled rank k = ceil(r*N/n_t) (exact int ceiling division), and the
+    pooled VALUE at rank k resolves by a LOCF merge — pooled block
+    starts and lookup keys union into ONE bounded sorted stream
+    (blocks sort first at equal key) and last_value(ignore nulls)
+    carries the covering block's value. No per-row join, no range
+    join, no data-scaled sort: every relation is bounded by the cents
+    domain (whitelisted windows, ks_test argument). Output at
+    (type, cents) grain with multiplicities."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    th = c.groupBy("event_type", "cents").agg(F.count("*").alias("m"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    tr = th.select(
+        "event_type", "cents", "m",
+        F.sum("m").over(wtr).alias("hi_rn"),
+        F.sum("m").over(wall).alias("nt"),
+    )
+    ph = c.groupBy("cents").agg(F.count("*").alias("m"))
+    wpr = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pr = ph.select(
+        F.col("cents").alias("pcents"),
+        (F.sum("m").over(wpr) - F.col("m") + 1).alias("lo_rn"),
+    )
+    n = c.agg(F.count("*").alias("n"))
+    blocks = pr.select(
+        F.col("lo_rn").alias("key"),
+        F.lit(1).alias("is_block"),
+        "pcents",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    lookups = tr.crossJoin(F.broadcast(n)).select(
+        F.expr("(hi_rn * n + nt - 1) div nt").alias("key"),
+        F.lit(0).alias("is_block"),
+        F.lit(None).cast("long").alias("pcents"),
+        "event_type",
+        "cents",
+        "m",
+    )
+    u = blocks.unionByName(lookups)
+    wl = Window.orderBy("key", F.desc("is_block")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    f = u.select(
+        "event_type", "cents", "m", "is_block",
+        F.last("pcents", ignorenulls=True).over(wl).alias("norm_cents"),
+    )
+    return (
+        f.where(F.col("is_block") == 0)
+        .select("event_type", "cents", "m", "norm_cents")
+        .orderBy("event_type", "cents")
+    )

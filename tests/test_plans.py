@@ -310,6 +310,9 @@ _GLOBAL_WINDOW_OK = {
     # global cumulative over the acctbal-cents support grid: bounded by
     # the value domain (~15k distinct cents), same argument as ks_test.
     "q_anon_tcloseness",
+    # pooled-rank window + LOCF merge stream: both bounded by the cents
+    # domain (blocks + lookups <= 6x distinct cents).
+    "q_agg_quantile_normalization",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
