@@ -2136,3 +2136,75 @@ def q_agg_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "cents", "m", "norm_cents")
         .orderBy("event_type", "cents")
     )
+
+
+@query(
+    "q_agg_pchart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(errs) AS BIGINT) AS terr
+      FROM daily
+    )
+    SELECT d.day, d.n, d.errs,
+           floor(CAST(d.errs AS DOUBLE) / d.n * 1000000.0 + 0.5)
+             / 1000000.0 AS p,
+           floor((CAST(p.terr AS DOUBLE) / p.tot
+                  + 3 * sqrt(CAST(p.terr AS DOUBLE) / p.tot
+                             * (1 - CAST(p.terr AS DOUBLE) / p.tot)
+                             / d.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ucl,
+           CAST(CASE WHEN CAST(d.errs AS DOUBLE) / d.n
+                     > CAST(p.terr AS DOUBLE) / p.tot
+                       + 3 * sqrt(CAST(p.terr AS DOUBLE) / p.tot
+                                  * (1 - CAST(p.terr AS DOUBLE) / p.tot)
+                                  / d.n)
+                THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+    FROM daily d CROSS JOIN pooled p
+    ORDER BY d.day
+    """,
+    category="2.D",
+)
+def q_agg_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (attribute control chart, Shewhart SPC): daily error
+    PROPORTION against the 3-sigma binomial upper control limit
+    p-bar + 3 sqrt(p-bar (1-p-bar)/n_t) — the ops-dashboard primitive
+    that separates common-cause noise from a real incident, with
+    per-day limits that correctly widen on low-traffic days. All
+    inputs exact int64; the limit and the flag evaluate the same IEEE
+    tree on both engines (sqrt correctly rounded); displayed ratios
+    floor-6dp. One daily rollup + one broadcast pooled scalar."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("event_type") == "error").cast("long")
+        ).alias("errs"),
+    )
+    pooled = daily.agg(
+        F.sum("n").alias("tot"), F.sum("errs").alias("terr")
+    )
+    pbar = F.col("terr").cast("double") / F.col("tot")
+    ucl = pbar + 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    pt = F.col("errs").cast("double") / F.col("n")
+    return (
+        daily.crossJoin(F.broadcast(pooled))
+        .select(
+            "day", "n", "errs",
+            (F.floor(pt * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("p"),
+            (F.floor(ucl * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "ucl"
+            ),
+            (pt > ucl).cast("int").alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
