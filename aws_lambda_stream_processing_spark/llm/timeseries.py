@@ -2268,3 +2268,117 @@ def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mn") - F.col("run_min")) > 50000 * F.col("n")
         ).cast("int").alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q_ts_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+             ts
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT s AS t, 1 AS delta, user_id, sid FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta, user_id, sid FROM iv
+    ),
+    sweep AS (
+      SELECT t, delta,
+             CAST(SUM(delta) OVER (ORDER BY t, delta, user_id, sid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT CAST(CAST(t AS DATE) AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY 1 ORDER BY day
+    """,
+    category="2.J",
+)
+def q_ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity question ("how
+    many users were on AT ONCE?") answered by the classic sweep line:
+    sessionize per user (30-min gap rule, q_ts_sessionize_batch
+    semantics), emit +1/-1 at session bounds, and running-sum the
+    deltas in global time order. End-at-same-instant counts BEFORE the
+    next start (delta asc in the tie-break) — end-exclusive overlap,
+    deterministic via the (t, delta, user, sid) total order. The
+    global running sum is the dprefix TWO-PHASE cumsum — the sweep
+    line is exactly the pattern's home turf: a naive
+    Window.orderBy(t) funnels every boundary through one task at
+    100 TB. Day-grain maxima are calendar-bounded."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1800000000
+        )
+    ).cast("int")
+    # law 10: project the lag-derived flag BEFORE the cumulative sum
+    # reads it — a nested window-in-window expression silently
+    # mis-frames at multi-partition scale (bit us here at sf0.01).
+    flagged = e.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            "user_id", "sid",
+        )
+    )
+    # materialize=True: the offsets branch re-executes the fork's
+    # subtree; with the session's cached base tables in play the two
+    # range-shuffle executions can sample DIFFERENT boundaries, and the
+    # local/offset pid mapping silently misaligns (caught by driver_sim
+    # at sf0.01 — nondeterministic per-day maxima). One bounded
+    # localCheckpoint pins both branches to identical input.
+    sweep = two_phase_cumsum(
+        pts,
+        [("t", True), ("delta", True), ("user_id", True), ("sid", True)],
+        "delta",
+        out="conc",
+        inclusive=True,
+        materialize=True,
+    )
+    return (
+        sweep.groupBy(
+            F.to_date("t").cast("timestamp").alias("day")
+        )
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .orderBy("day")
+    )
