@@ -1296,3 +1296,102 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_days")
     )
+
+
+@query(
+    "q_agg_survival_km",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_day) AS h FROM life),
+    obs AS (
+      SELECT date_diff('day', l.first_day, l.last_day) AS t,
+             CASE WHEN date_diff('day', l.last_day, hz.h) >= 1
+                  THEN 1 ELSE 0 END AS died
+      FROM life l CROSS JOIN horizon hz
+    ),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM obs),
+    ev AS (
+      SELECT t,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             n0 - COALESCE(CAST(SUM(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS n_at_risk
+      FROM ev CROSS JOIN n_tot
+    ),
+    km AS (
+      SELECT t, d, n_at_risk,
+             CAST(SUM(CAST(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)
+                  AS DECIMAL(38, 18))) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS lsum
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS n_churned, n_at_risk,
+           floor(exp(lsum) * 1000000.0 + 0.5) / 1000000.0 AS survival
+    FROM km ORDER BY t_days
+    """,
+    category="2.D",
+)
+def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes — THE churn
+    statistic (time from first to last activity, right-censored for
+    users still active ON the horizon day — their lifetimes are lower
+    bounds, exactly what KM handles and a naive churn-rate ignores): S(t) = prod over death times (1 - d_i/n_i). The product
+    evaluates in LOG space — each ln takes a ratio of exact int64
+    counts, terms sum in DECIMAL (order-proof), one exp, floor-6dp
+    (law 18 twice). The at-risk counts fold from one cumulative over
+    the CALENDAR-BOUNDED lifetime grid (<= observed days). Scale: one
+    user collapse + bounded-grid windows; the curve is |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").alias("h"))
+    obs = life.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        (F.datediff(F.col("h"), F.col("last_day")) >= 1)
+        .cast("long").alias("died"),
+    )
+    n_tot = obs.agg(F.count("*").alias("n0"))
+    ev = obs.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count("*").alias("leaving")
+    )
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = ev.crossJoin(F.broadcast(n_tot)).select(
+        "t", "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.where(F.col("d") > 0).select(
+        "t", "d", "n_at_risk",
+        F.sum(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            ).cast("decimal(38,18)")
+        ).over(wcum).cast("double").alias("lsum"),
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        (
+            F.floor(F.exp("lsum") * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).alias("survival"),
+    ).orderBy("t_days")

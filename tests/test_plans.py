@@ -313,6 +313,9 @@ _GLOBAL_WINDOW_OK = {
     # pooled-rank window + LOCF merge stream: both bounded by the cents
     # domain (blocks + lookups <= 6x distinct cents).
     "q_agg_quantile_normalization",
+    # cumulative at-risk / log-survival over the lifetime-days grid:
+    # calendar-bounded (<= observed days).
+    "q_agg_survival_km",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
