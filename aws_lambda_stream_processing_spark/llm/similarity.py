@@ -1476,3 +1476,81 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+@query(
+    "q_llm_embed_norm_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             len(embedding) AS dim,
+             list_reduce(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5)
+                      AS BIGINT)),
+               (a, b) -> a + b) AS nn,
+             len(list_filter(embedding, x -> x = 0)) AS n_zero_dims
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_dim,
+           CAST(SUM(CASE WHEN abs(nn - 16129) > 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_off_unit,
+           CAST(SUM(CASE WHEN n_zero_dims * 2 > dim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mostly_zero,
+           CAST(MIN(nn) AS BIGINT) AS min_nn,
+           CAST(MAX(nn) AS BIGINT) AS max_nn
+    FROM q GROUP BY label ORDER BY label
+    """,
+    category="2.J",
+)
+def q_llm_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit — the checks run BEFORE trusting any
+    similarity number: per label, vectors with the wrong dimensionality,
+    vectors far off unit norm, and mostly-zero vectors (a dead encoder
+    head / failed batch shows up here first). Norms are audited in the
+    int8-quantized space the whole ANN ladder operates in (nn =
+    sum of q_i^2; unit vectors land near 127^2 = 16129), so every
+    predicate is EXACT integer comparison — a float-norm threshold
+    would sit one summation-order ulp from flipping (the hazard this
+    engine never takes). One zero-shuffle projection + one bounded
+    agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127.0 + 0.5).cast("long"),
+    )
+    q = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            F.zip_with(qv, qv, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+        F.size(F.filter("embedding", lambda x: x == 0)).alias(
+            "n_zero_dims"
+        ),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("dim") != 64, 1).otherwise(0)
+            ).alias("n_bad_dim"),
+            F.sum(
+                F.when(F.abs(F.col("nn") - 16129) > 300, 1).otherwise(0)
+            ).alias("n_off_unit"),
+            F.sum(
+                F.when(
+                    F.col("n_zero_dims") * 2 > F.col("dim"), 1
+                ).otherwise(0)
+            ).alias("n_mostly_zero"),
+            F.min("nn").alias("min_nn"),
+            F.max("nn").alias("max_nn"),
+        )
+        .orderBy("label")
+    )
