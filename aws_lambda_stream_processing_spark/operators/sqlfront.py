@@ -1167,3 +1167,82 @@ def q_sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("view_cents", F.lit(0)).alias("view_cents"),
         F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
     )
+
+
+_DS88_BODY = """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+        AS b1,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+        AS b2,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+        AS b3,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+        AS b4,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+        AS b5,
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_quantity > 25 AND l_discount > 0.05) AS b6,
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_quantity <= 25 AND l_discount <= 0.05) AS b7,
+      (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS b8
+"""
+
+
+@query(
+    "q_sql_tpcds_q88_shape",
+    oracle=_DS88_BODY,
+    category="2.A",
+)
+def q_sql_tpcds_q88_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape — the scalar-subquery BATTERY: eight
+    independent filtered counts of the same fact table cross-joined
+    into one dashboard row. The interesting planner behavior: each
+    subquery becomes its own scan+agg subtree (Catalyst does NOT fuse
+    them — at 100 TB you'd rewrite to ONE pass of conditional sums,
+    exactly q_agg_conditional's shape, trading 8 scans for 1; this
+    query preserves the DS formulation to pin the multi-subquery
+    surface itself). All counts exact."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(_DS88_BODY)
+
+
+_DS97_BODY = """
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    relaxed AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT
+      CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL
+                     AND r.o_custkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+      CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL
+                     AND r.o_custkey IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+      CAST(SUM(CASE WHEN u.o_custkey IS NULL
+                     AND r.o_custkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS relaxed_only
+    FROM urgent u
+    FULL OUTER JOIN relaxed r ON u.o_custkey = r.o_custkey
+"""
+
+
+@query(
+    "q_sql_tpcds_q97_shape",
+    oracle=_DS97_BODY,
+    category="2.A",
+)
+def q_sql_tpcds_q97_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 shape — channel-overlap accounting: two DISTINCT
+    customer sets (urgent-priority vs relaxed-priority buyers standing
+    in for store vs catalog) FULL OUTER joined to count
+    both/left-only/right-only in one pass. The full outer join over
+    two pre-deduplicated key sets is the canonical audience-overlap
+    plan: both sides shuffle once on the same key, null-side flags do
+    the set algebra. Exact counts."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(_DS97_BODY)
