@@ -404,6 +404,53 @@ _SIMHASH_BITS = 16
 _SIMHASH_MOD = 1 << _SIMHASH_BITS
 
 
+def _simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via the char-fold polynomial + bit votes —
+    shared by q_llm_simhash (the fingerprints) and q_llm_simhash_bands
+    (the banded near-dup join over them)."""
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    th = tf.select("tok").distinct().withColumn(
+        "h",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok")),
+                lambda i: F.ascii(
+                    F.substring(F.col("tok"), i, F.lit(1))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + c) % _SIMHASH_MOD,
+        ),
+    )
+    votes = (
+        tf.join(F.broadcast(th), "tok")
+        .select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+            ).alias("k"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (F.expr("(shiftright(h, k) & 1) * 2 - 1"))
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
 @query(
     "q_llm_simhash",
     oracle=f"""
@@ -448,47 +495,7 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-linear state and it is tiny; the bit-vote aggregation is two
     map-side-combining hash-aggs on (doc, bit) then (doc)."""
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    th = tf.select("tok").distinct().withColumn(
-        "h",
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length("tok")),
-                lambda i: F.ascii(
-                    F.substring(F.col("tok"), i, F.lit(1))
-                ).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * 31 + c) % _SIMHASH_MOD,
-        ),
-    )
-    votes = (
-        tf.join(F.broadcast(th), "tok")
-        .select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
-            ).alias("k"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(
-            F.sum(
-                F.col("cnt")
-                * (F.expr("(shiftright(h, k) & 1) * 2 - 1"))
-            ).alias("v")
-        )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return _simhash_fingerprints(d)
 
 
 @query(
@@ -1207,4 +1214,92 @@ def q_llm_dup_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
         )
         .orderBy("source")
+    )
+
+
+# Banded near-dup join over the SimHash fingerprints: the oracle reuses
+# q_llm_simhash's registered oracle verbatim as its fingerprint CTE, so
+# the two can never drift apart.
+from aws_lambda_stream_processing_spark.registry import REGISTRY as _REG
+
+_SIMHASH_FP_SQL = _REG["q_llm_simhash"].oracle
+
+
+@query(
+    "q_llm_simhash_bands",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_FP_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, b.b,
+             (simhash // CASE b.b WHEN 0 THEN 1 ELSE 256 END) % 256 AS bv
+      FROM fp CROSS JOIN (SELECT unnest([0, 1]) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, a.simhash AS ha,
+                      c.doc_id AS db, c.simhash AS hb
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    ),
+    hits AS (
+      SELECT da, db,
+             CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER)
+               AS hamming
+      FROM cand
+      WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 1
+    )
+    SELECT hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(da) AS BIGINT) AS min_doc_a,
+           CAST(MIN(db) AS BIGINT) AS min_doc_b
+    FROM hits GROUP BY hamming ORDER BY hamming
+    """,
+    category="2.J",
+)
+def q_llm_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup JOIN — the scalable rung above the
+    fingerprints: split the 16-bit hash into 2 x 8-bit bands; by
+    pigeonhole every pair within Hamming distance 1 shares at least one
+    band, so band-bucket equi-joins surface ALL candidates and the
+    exact bit_count(xor) <= 1 filter keeps the near-dups — no all-pairs
+    scan anywhere (the same band→bucket→verify shape as MinHash-LSH,
+    with XOR popcount as the verifier). At 100 TB you widen to a 64-bit
+    hash and 8-bit bands so buckets stay sparse; the join topology is
+    unchanged. Oracle reuses q_llm_simhash's registered SQL verbatim as
+    its fingerprint CTE — the two rungs cannot drift."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = _simhash_fingerprints(d)
+    bspine = spark.range(0, 2).select(F.col("id").cast("int").alias("b"))
+    bands = fp.crossJoin(F.broadcast(bspine)).select(
+        "doc_id", "simhash", "b",
+        F.expr("(simhash div shiftleft(1, 8 * b)) % 256").alias("bv"),
+    )
+    a = bands.select(
+        F.col("b"), F.col("bv"),
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"),
+    )
+    c = bands.select(
+        F.col("b").alias("b2"), F.col("bv").alias("bv2"),
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("da") < F.col("db")),
+        )
+        .select("da", "ha", "db", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ha ^ hb")).cast("int")
+    return (
+        cand.where(ham <= 1)
+        .select("da", "db", ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("da").alias("min_doc_a"),
+            F.min("db").alias("min_doc_b"),
+        )
+        .orderBy("hamming")
     )
