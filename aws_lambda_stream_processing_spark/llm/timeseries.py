@@ -2382,3 +2382,65 @@ def q_ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("long").alias("peak_concurrency"))
         .orderBy("day")
     )
+
+
+@query(
+    "q_ts_record_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, cents,
+             CASE WHEN cents > COALESCE(MAX(cents) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS is_record
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(is_record) AS BIGINT) AS n_records,
+           CAST(MAX(CASE WHEN is_record = 1 THEN day END) AS TIMESTAMP)
+             AS last_record_day
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days per type — "when did we last set an
+    all-time high?" (the streak statistic a metrics page pins next to
+    the trend; under exchangeability ~ln(n) records are expected, so an
+    excess is itself a trend signal). A running max over the
+    calendar-bounded daily rollup flags records; first day is a record
+    by convention (COALESCE -1). Exact integers, bounded windows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = daily.select(
+        "event_type", "day", "cents",
+        (
+            F.col("cents")
+            > F.coalesce(F.max("cents").over(wprev), F.lit(-1))
+        ).cast("long").alias("is_record"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("is_record").alias("n_records"),
+            F.max(F.when(F.col("is_record") == 1, F.col("day")))
+            .cast("timestamp").alias("last_record_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -1395,3 +1395,75 @@ def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.exp("lsum") * 1000000.0 + F.lit(0.5)) / 1000000.0
         ).alias("survival"),
     ).orderBy("t_days")
+
+
+@query(
+    "q_events_lorenz_curve",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cnt,
+             ntile(10) OVER (ORDER BY cnt, user_id) AS decile
+      FROM x
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM x)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           floor(CAST(SUM(SUM(cnt)) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / MAX(t.s)
+                 * 10000.0 + 0.5) / 10000.0 AS cum_share
+    FROM r CROSS JOIN tot t
+    GROUP BY decile ORDER BY decile
+    """,
+    category="2.E",
+)
+def q_events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user activity in deciles — the VISUAL companion
+    to q_agg_gini's scalar (the "bottom 50% of users generate X% of
+    events" statement itself): users rank by activity via the
+    distributed two-phase rank + integer ntile reconstruction (never a
+    partition-less ntile; materialize=True per law 20 — the rank input
+    is an agg over a session-cached table), then per-decile event
+    shares cumulate over the 10-row bounded output. Exact counts, one
+    rounded share per decile."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        ntile_from_rank, two_phase_row_number,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    ranked = two_phase_row_number(
+        x, [("cnt", True), ("user_id", True)], rn="__rn", total="__n",
+        materialize=True,
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank("__rn", "__n", 10)
+    )
+    tot = x.agg(F.sum("cnt").alias("s"))
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("cnt").alias("n_events")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_users", "n_events",
+            (
+                F.floor(
+                    F.sum("n_events").over(wcum).cast("double")
+                    / F.col("s")
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -316,6 +316,8 @@ _GLOBAL_WINDOW_OK = {
     # cumulative at-risk / log-survival over the lifetime-days grid:
     # calendar-bounded (<= observed days).
     "q_agg_survival_km",
+    # cumulative share over the 10-row decile output: constant-bounded.
+    "q_events_lorenz_curve",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
