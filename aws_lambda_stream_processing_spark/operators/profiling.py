@@ -2208,3 +2208,120 @@ def q_agg_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_agg_theil_decomp",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS m
+      FROM x GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(m) AS BIGINT) AS ng,
+             CAST(SUM(m * cnt) AS BIGINT) AS sg
+      FROM h GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s
+      FROM g
+    ),
+    t_tot AS (
+      SELECT CAST(SUM(CAST(
+               m * cnt * ln(CAST(cnt AS DOUBLE) * t.n / t.s)
+             AS DECIMAL(38, 18))) AS DOUBLE) / MAX(t.s) AS v
+      FROM h CROSS JOIN tot t
+    ),
+    t_win AS (
+      SELECT CAST(SUM(CAST(
+               m * cnt * ln(CAST(cnt AS DOUBLE) * g.ng / g.sg)
+             AS DECIMAL(38, 18))) AS DOUBLE) / MAX(t.s) AS v
+      FROM h JOIN g USING (event_type) CROSS JOIN tot t
+    ),
+    t_btw AS (
+      SELECT CAST(SUM(CAST(
+               g.sg * ln(CAST(g.sg AS DOUBLE) * t.n
+                         / (CAST(t.s AS DOUBLE) * g.ng))
+             AS DECIMAL(38, 18))) AS DOUBLE) / MAX(t.s) AS v
+      FROM g CROSS JOIN tot t
+    )
+    SELECT t.n AS n_cells, t.s AS total_events,
+           floor(t_tot.v * 100000000.0 + 0.5) / 100000000.0
+             AS theil_total,
+           floor(t_win.v * 100000000.0 + 0.5) / 100000000.0
+             AS theil_within,
+           floor(t_btw.v * 100000000.0 + 0.5) / 100000000.0
+             AS theil_between
+    FROM tot t CROSS JOIN t_tot CROSS JOIN t_win CROSS JOIN t_btw
+    """,
+    category="2.D",
+)
+def q_agg_theil_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil decomposition — the property Theil T has and Gini lacks:
+    T_total = T_within + T_between EXACTLY, splitting activity
+    inequality across (type,user) cells into "inequality among users
+    inside each event type" vs "inequality between the types
+    themselves". All three terms fold from the (type, count) HISTOGRAM
+    with tie-block multiplicities (nothing ranks at cell grain); every
+    ln takes a ratio of exact int64 products, terms sum in
+    DECIMAL(38,18), floor-8dp (law 18). The additive identity holds to
+    the rounding digit — a built-in self-check the oracle enforces on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    h = x.groupBy("event_type", "cnt").agg(F.count("*").alias("m"))
+    g = h.groupBy("event_type").agg(
+        F.sum("m").alias("ng"),
+        F.sum(F.col("m") * F.col("cnt")).alias("sg"),
+    )
+    tot = g.agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"))
+
+    def dsum8(df, term):
+        return (
+            df.agg(
+                (
+                    F.sum(term.cast("decimal(38,18)")).cast("double")
+                    / F.max("s")
+                ).alias("v")
+            )
+        )
+
+    ht = h.crossJoin(F.broadcast(tot))
+    t_tot = dsum8(
+        ht,
+        F.col("m") * F.col("cnt")
+        * F.log(F.col("cnt").cast("double") * F.col("n") / F.col("s")),
+    )
+    hg = h.join(F.broadcast(g), "event_type").crossJoin(F.broadcast(tot))
+    t_win = dsum8(
+        hg,
+        F.col("m") * F.col("cnt")
+        * F.log(F.col("cnt").cast("double") * F.col("ng") / F.col("sg")),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    t_btw = dsum8(
+        gt,
+        F.col("sg")
+        * F.log(
+            F.col("sg").cast("double") * F.col("n")
+            / (F.col("s").cast("double") * F.col("ng"))
+        ),
+    )
+    r8 = lambda c: F.floor(c * 100000000.0 + F.lit(0.5)) / 100000000.0
+    return (
+        tot.crossJoin(F.broadcast(t_tot.withColumnRenamed("v", "vt")))
+        .crossJoin(F.broadcast(t_win.withColumnRenamed("v", "vw")))
+        .crossJoin(F.broadcast(t_btw.withColumnRenamed("v", "vb")))
+        .select(
+            F.col("n").alias("n_cells"),
+            F.col("s").alias("total_events"),
+            r8(F.col("vt")).alias("theil_total"),
+            r8(F.col("vw")).alias("theil_within"),
+            r8(F.col("vb")).alias("theil_between"),
+        )
+    )
