@@ -2444,3 +2444,48 @@ def q_ts_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+from aws_lambda_stream_processing_spark.registry import REGISTRY as _REG
+
+_SAX_SQL = _REG["q_ts_paa_sax"].oracle
+
+
+@query(
+    "q_ts_sax_motifs",
+    oracle=f"""
+    WITH sax AS ({_SAX_SQL})
+    SELECT sax_word,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(day) AS TIMESTAMP) AS first_day,
+           CAST(MAX(day) AS TIMESTAMP) AS last_day
+    FROM sax
+    GROUP BY sax_word
+    HAVING COUNT(*) >= 2
+    ORDER BY n_series DESC, sax_word
+    """,
+    category="2.J",
+)
+def q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery — the payoff of symbolization: recurring
+    intraday shapes across (type, day) series surface as REPEATED SAX
+    words (exact string equality on a 4-symbol alphabet stands in for
+    expensive subsequence matching — the whole point of the Lin/Keogh
+    representation). Composes ON the registered q_ts_paa_sax query
+    (its oracle SQL embeds verbatim as this one's CTE; the Spark side
+    calls the registered builder), so motif counting can never drift
+    from the symbolization it summarizes. One word-keyed hash agg over
+    the calendar-bounded series table."""
+    sax = _REG["q_ts_paa_sax"].fn(spark, sf_dir)
+    return (
+        sax.groupBy("sax_word")
+        .agg(
+            F.count("*").alias("n_series"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("day").cast("timestamp").alias("first_day"),
+            F.max("day").cast("timestamp").alias("last_day"),
+        )
+        .where(F.col("n_series") >= 2)
+        .orderBy(F.desc("n_series"), "sax_word")
+    )

@@ -1467,3 +1467,61 @@ def q_events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_events_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 1000003 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM assign
+    )
+    SELECT na, nb,
+           floor(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_1dof,
+           CAST(CASE WHEN CAST((na - nb) * (na - nb) AS DOUBLE)
+                          / (na + nb) > 3.841459
+                THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM c
+    """,
+    category="2.D",
+)
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the experiment-hygiene test run
+    BEFORE reading any A/B result (q_events_ab_test's sibling): under
+    a 50/50 split the arm counts give chi2 = (na-nb)^2/(na+nb) on one
+    dof; exceeding the 5% critical value 3.841 means the assignment
+    itself is broken and every downstream metric is garbage. The arm
+    hash is the same Knuth assignment the A/B query uses; counts are
+    exact ints, chi2 is one IEEE division against a literal constant.
+    One distinct-collapse + one agg."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().select(
+        F.when(
+            (F.col("user_id") * 2654435761) % 1000003 % 2 == 0, "A"
+        ).otherwise("B").alias("arm")
+    )
+    c = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    chi2 = (
+        ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb")))
+        .cast("double")
+        / (F.col("na") + F.col("nb"))
+    )
+    return c.select(
+        "na", "nb",
+        (F.floor(chi2 * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "chi2_1dof"
+        ),
+        (chi2 > 3.841459).cast("int").alias("srm_flag"),
+    )
