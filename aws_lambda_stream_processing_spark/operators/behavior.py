@@ -1525,3 +1525,61 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (chi2 > 3.841459).cast("int").alias("srm_flag"),
     )
+
+
+@query(
+    "q_agg_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM w1 JOIN w2 USING (user_id)) AS m
+    )
+    SELECT n1, n2, m,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS observed_total
+    FROM c
+    """,
+    category="2.D",
+)
+def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman estimator) — ecology's population
+    count applied to the audience question observation can't answer
+    directly: "how many users EXIST, including the ones we never saw?"
+    Two observation windows act as the capture and recapture samples;
+    N-hat = (n1+1)(n2+1)/(m+1) - 1 from the overlap m. Pure integer
+    floor division (the Chapman form is integer-friendly by
+    construction); the observed distinct total rides along so the
+    dark-user gap is visible in one row. Two distinct-collapses + one
+    co-keyed join."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w1 = e.where(F.col("ts") < cut).select("user_id").distinct()
+    w2 = e.where(F.col("ts") >= cut).select("user_id").distinct()
+    n1 = w1.agg(F.count("*").alias("n1"))
+    n2 = w2.agg(F.count("*").alias("n2"))
+    m = w1.join(w2, "user_id").agg(F.count("*").alias("m"))
+    obs = e.agg(F.countDistinct("user_id").alias("observed_total"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "n1", "n2", "m",
+            F.expr(
+                "(n1 + 1) * (n2 + 1) div (m + 1) - 1"
+            ).alias("chapman_estimate"),
+            "observed_total",
+        )
+    )
