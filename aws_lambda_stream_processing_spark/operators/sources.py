@@ -754,3 +754,50 @@ def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_csv_dialect",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_join
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="2.A",
+)
+def q_source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect round-trip — pipe delimiter, explicit quoting, and
+    backslash escapes (the dialect axis q_source_csv_malformed's
+    error-handling never touches): documents (free text containing
+    spaces — values that MUST quote under a non-default delimiter)
+    write with sep='|', quote='\"', escape='\\\\' and read back with the
+    same dialect declared. Per-language token sums and a substring
+    probe must survive exactly — any quoting/escaping asymmetry breaks
+    the hash. Materialize + rmtree (q_sink_parquet pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="alsp_csvd_")
+    try:
+        d.select("lang", "text").write.mode("overwrite").options(
+            sep="|", quote='"', escape="\\", header=True
+        ).csv(out)
+        back = (
+            spark.read.schema("lang STRING, text STRING")
+            .options(sep="|", quote='"', escape="\\", header=True)
+            .csv(out)
+        )
+        result = back.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.sum(
+                F.col("text").contains("join").cast("long")
+            ).alias("docs_with_join"),
+        ).orderBy("lang")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
