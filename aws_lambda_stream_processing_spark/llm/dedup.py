@@ -1303,3 +1303,58 @@ def q_llm_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+@query(
+    "q_llm_dedup_savings",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, sha256(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    cl AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS copies,
+             CAST(SUM(toks) AS BIGINT) AS cl_tokens,
+             CAST(MIN(toks) AS BIGINT) AS one_copy_tokens
+      FROM d GROUP BY h
+    )
+    SELECT copies,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cl_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(cl_tokens - one_copy_tokens) AS BIGINT)
+             AS tokens_saved
+    FROM cl GROUP BY copies ORDER BY copies
+    """,
+    category="2.J",
+)
+def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the number that justifies the dedup
+    budget BEFORE running it: per duplicate-cluster size, how many
+    clusters exist and how many training tokens exact dedup would
+    reclaim (cluster tokens minus one kept copy — identical texts, so
+    MIN(toks) is the kept copy's count). The cluster-size histogram is
+    also the skew warning for every downstream near-dup join (law 7's
+    k²/2 pair blowup lives in the big clusters). One 32-byte-hash
+    shuffle + two bounded aggs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    cl = d.groupBy("h").agg(
+        F.count("*").alias("copies"),
+        F.sum("toks").alias("cl_tokens"),
+        F.min("toks").alias("one_copy_tokens"),
+    )
+    return (
+        cl.groupBy("copies")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cl_tokens").alias("total_tokens"),
+            F.sum(
+                F.col("cl_tokens") - F.col("one_copy_tokens")
+            ).alias("tokens_saved"),
+        )
+        .orderBy("copies")
+    )
