@@ -614,20 +614,29 @@ def q_llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_labels(spark: SparkSession, docs: DataFrame):
     """Contraction + pair join + pointer-jumping label loop for
-    q_llm_dedup_cc; returns (member: doc_id→rep, labels: rep→component
-    label), both materialized via localCheckpoint."""
-    # stage 1: contract identical token sets to their min-doc_id rep
+    q_llm_dedup_cc; returns (member: doc_id→rep, lazy — consumed once
+    by the caller's final join; labels: rep→component label)."""
+    # stage 1: contract identical token sets to their min-doc_id rep.
+    # ONE hash-agg on the 32-byte set key produces BOTH the contracted
+    # corpus (rep_docs) and, via a join back on k, the doc_id→rep map —
+    # the r3 structure paid a second corpus-wide window (sort within
+    # every k-partition) just to re-derive what the agg already knew.
+    # The agg result is checkpointed once (it is the contracted corpus,
+    # strictly smaller than the input); `member` stays LAZY — it is
+    # consumed exactly once by the caller's final join, so the driver's
+    # collect pays its single k-keyed shuffle then, not eagerly here.
     keyed = docs.select(
         "doc_id", "s", F.sha2(F.concat_ws("\x01", "s"), 256).alias("k")
     )
-    member = keyed.select(
-        "doc_id", F.min("doc_id").over(Window.partitionBy("k")).alias("rep")
-    ).localCheckpoint()
-    rep_docs = (
+    reps = (
         keyed.groupBy("k")
         .agg(F.min("doc_id").alias("doc_id"), F.first("s").alias("s"))
-        .select("doc_id", "s")
+        .localCheckpoint()
     )
+    member = keyed.select("doc_id", "k").join(
+        reps.select("k", F.col("doc_id").alias("rep")), "k"
+    ).select("doc_id", "rep")
+    rep_docs = reps.select("doc_id", "s")
     # stage 2: near-dup pairs between distinct sets only (J=1 pairs are
     # gone by construction; the helper's identical-set branch finds nothing)
     pairs = _deletion_neighborhood_pairs(rep_docs, JACCARD_TAU).select(
@@ -652,9 +661,13 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
     # of pure job overhead (measured 8.7 s → ~2 s at sf0.01). The
     # distributed pointer-jumping loop below remains the path taken the
     # moment the bound is exceeded — same labels either way (min doc_id per
-    # component).
-    n_edges = edges.count()
-    if n_edges <= 2_000_000:
+    # component). The bound check and the data pull are ONE action (r3
+    # verdict #2): collect up to N+1 rows via limit() and branch on the
+    # length — the r3 shape paid a full count() job AND a collect() job
+    # over the same checkpointed edge list.
+    _CC_EDGE_BOUND = 2_000_000
+    edge_rows = edges.select("src", "dst").limit(_CC_EDGE_BOUND + 1).collect()
+    if len(edge_rows) <= _CC_EDGE_BOUND:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -665,9 +678,9 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
                 parent[x], x = root, parent[x]
             return root
 
-        # one job, not toLocalIterator's job-per-partition; bounded by the
-        # n_edges guard above (~32 MB worst case of two int64 columns)
-        for src, dst in edges.select("src", "dst").collect():
+        # rows already on the driver from the single guard action above
+        # (~32 MB worst case of two int64 columns at the bound)
+        for src, dst in edge_rows:
             ra, rb = find(src), find(dst)
             if ra != rb:
                 # union by min id → the root IS the min label invariant

@@ -343,57 +343,68 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much of the co-occurrence graph is within k hops (dist = -1
     counts the still-unreached remainder) — the reachability probe that
     sizes any traversal before you run it. Each hop is one equi join of
-    the frontier set against the bidirectional edge list + a distinct —
-    exactly Pregel's superstep as relational algebra; 3 fixed rounds
-    keep the plan static (the q_graph_pagerank unrolling discipline).
-    Each level's reached-set is CACHED and its count read eagerly (the
-    q_llm_dedup_cc convergence-read pattern: bounded scalar actions) so
-    round k+1 builds on materialized round k instead of re-deriving the
-    whole chain — a lazy union of the five counts re-executed the BFS
-    per branch (measured 17 s vs 6 s at sf0.1). All caches are released
-    before returning; counts are exact."""
+    the delta frontier against the bidirectional edge list — exactly
+    Pregel's superstep as relational algebra; 3 fixed rounds keep the
+    plan static (the q_graph_pagerank unrolling discipline).
+
+    Each level's DELTA frontier (newly discovered nodes only) is found
+    by a broadcast ANTI join against the union of prior frontiers (node
+    sets are part-vocabulary sized, far below the fact table) and
+    pinned with a localCheckpoint — lineage truncation makes each
+    level's edge-join run EXACTLY once (the r3 cache/exceptAll chain
+    re-derived upstream levels inside every downstream job: 5 eager
+    count() actions + 2 extra shuffles per hop; a cache-only rewrite of
+    this form still re-executed ~110 stages). The histogram then falls
+    out of ONE final action: groupBy(dist).count() over the dist-labeled
+    frontier union plus the anti-joined unreached complement. The
+    per-level checkpoints materialize only node-id sets; the anti join
+    runs BEFORE the dedup shuffle so distinct() sees only unseen nodes.
+    Counts are exact; all pinned blocks are released before returning
+    (the result is a local DataFrame)."""
     half = _part_edges(spark, sf_dir)
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).coalesce(8).cache()
-    src = edges.agg(F.min("u").alias("node"))
-    # Delta BFS: expand only the PREVIOUS LEVEL's frontier (broadcast -
-    # node sets are vocabulary-sized), dedupe the join output before
-    # unioning into the reached set.
-    frontier = src.select("node").cache()
-    reached = [frontier]
-    frontiers = [frontier]  # every cached frontier, for release below
-    for _ in range(3):
-        expanded = (
-            edges.join(
-                F.broadcast(frontier.withColumnRenamed("node", "u")), "u"
-            )
-            .select(F.col("v").alias("node"))
-            .distinct()
-        )
-        nxt = reached[-1].unionAll(expanded).distinct().cache()
-        frontier = nxt.exceptAll(reached[-1]).cache()
-        frontiers.append(frontier)
-        reached.append(nxt)
+    src = edges.agg(F.min("u").alias("node")).localCheckpoint()
+    frontiers = [src]  # frontiers[k] = nodes first reached at dist k
     try:
-        counts = [r.count() for r in reached]
-        counts.append(edges.select("u").distinct().count())
-        rows = [
-            (0, counts[0]),
-            (1, counts[1] - counts[0]),
-            (2, counts[2] - counts[1]),
-            (3, counts[3] - counts[2]),
-            (-1, counts[4] - counts[3]),
-        ]
-        return spark.createDataFrame(
-            sorted(rows), "dist int, n_parts long"
+        seen = src
+        for _ in range(3):
+            frontier = (
+                edges.join(
+                    F.broadcast(
+                        frontiers[-1].withColumnRenamed("node", "u")
+                    ),
+                    "u",
+                )
+                .select(F.col("v").alias("node"))
+                .join(F.broadcast(seen), "node", "left_anti")
+                .distinct()
+                .localCheckpoint()
+            )
+            frontiers.append(frontier)
+            seen = seen.unionAll(frontier)
+        labeled = frontiers[0].withColumn("dist", F.lit(0))
+        for k, fr in enumerate(frontiers[1:], start=1):
+            labeled = labeled.unionAll(fr.withColumn("dist", F.lit(k)))
+        per_level = labeled.groupBy("dist").agg(F.count("*").alias("n"))
+        unreached = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .join(F.broadcast(seen), "node", "left_anti")
+            .groupBy(F.lit(-1).alias("dist"))
+            .agg(F.count("*").alias("n"))
         )
+        # ONE action for the whole histogram (levels + complement).
+        got = {
+            r["dist"]: r["n"]
+            for r in per_level.unionAll(unreached).collect()
+        }
+        rows = [(k, got.get(k, 0)) for k in (-1, 0, 1, 2, 3)]
+        return spark.createDataFrame(sorted(rows), "dist int, n_parts long")
     finally:
-        # release EVERY cached intermediate — reached sets AND the per-
-        # level delta frontiers (round-2 advice: the frontiers leaked
-        # ~3 cached frames per invocation into executor storage).
-        for r in reached:
-            r.unpersist()
+        # release EVERY pinned intermediate (round-2 advice: leaked
+        # frames accumulate in executor storage across a suite run).
         for fr in frontiers:
             fr.unpersist()
         edges.unpersist()
@@ -718,7 +729,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative: hub-and-spoke). Each undirected edge contributes BOTH
     orientations, making the pair set symmetric, so r collapses to
     (m Sxy - Sx^2)/(m Sxx - Sx^2) over three exact int64 moments — one
-    IEEE tree, floor-6dp. Scale: two equi-joins attach endpoint degrees
+    IEEE tree, floor-6dp. The symmetry is exploited on the COMPUTE side
+    too (r3 verdict #3): the moments of the symmetric pair multiset are
+    exactly m = 2h, Sx = Σ(x+y), Sxx = Σ(x²+y²), Sxy = 2Σxy over the
+    h half-edges, so the degree equi-joins execute ONCE on a single
+    orientation instead of materializing both — identical integers,
+    half the join work. Scale: two equi-joins attach endpoint degrees
     (node-keyed, same co-partitioning as every other op on this graph),
     one agg; no window, no all-pairs."""
     e = _part_edges(spark, sf_dir)
@@ -729,14 +745,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
     j = e.join(du, "u").join(dv, "v")
-    pairs = j.select(
-        F.col("xu").alias("x"), F.col("xv").alias("y")
-    ).unionAll(j.select(F.col("xv").alias("x"), F.col("xu").alias("y")))
-    m = pairs.agg(
-        F.count("*").alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    m = j.agg(
+        (F.count("*") * 2).alias("m"),
+        F.sum(F.col("xu") + F.col("xv")).alias("sx"),
+        F.sum(
+            F.col("xu") * F.col("xu") + F.col("xv") * F.col("xv")
+        ).alias("sxx"),
+        (F.sum(F.col("xu") * F.col("xv")) * 2).alias("sxy"),
     )
     md = F.col("m").cast("double")
     sxd = F.col("sx").cast("double")

@@ -230,18 +230,51 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     current row's value. Peer rows (equal order key) share the frame on both
     engines, so no unique tiebreak is needed.
 
-    Exactness here uses integer cents, not DEC: Spark recomputes a sliding
-    frame's aggregate from its row buffer on every frame move (O(n·|frame|);
-    ~360-row frames at sf0.1), so per-add cost dominates — long adds made
-    this 4× faster than decimal adds (value is 2-decimal by construction,
-    so cents are exact and order-independent like decimal)."""
+    DE-SKEWED two-phase plan (r3 verdict #4): `event_type` has 5 values, so
+    a naive PARTITION BY event_type window is 5 fat tasks each running an
+    O(n·|frame|) sliding re-aggregation — serial at 100 TB. Because a RANGE
+    frame over [v-10, v] is purely a value-interval sum, the partition key
+    can be REFINED with a value bucket of width == the frame extent
+    (bucket = floor(cents/1000)): every row's frame lies entirely within
+    its own bucket plus the one below, so each row is shuffled once as an
+    owner and replicated once as a DONOR into the next bucket, and the
+    same built-in RANGE window — now partitioned by (event_type, bucket) —
+    computes the identical interval sums inside each fine partition.
+    Owner rows keep their result; donor rows (frames clipped at the bucket
+    floor) are discarded. Cost: 2× shuffle volume and 2× window work, for
+    #types × #buckets-way parallelism (~280 partitions at sf0.1, unbounded
+    as the value domain grows with data). The whole plan stays JVM-side
+    whole-stage + native window — no Python. Plan-gated in
+    tests/test_plans.py (partitioning must include the bucket key).
+
+    Exactness uses integer cents, not DEC: Spark recomputes a sliding
+    frame's aggregate from its row buffer on every frame move, so per-add
+    cost dominates — long adds measured 4× faster than decimal adds
+    (value is 2-decimal by construction, so cents are exact and
+    order-independent like decimal)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value").rangeBetween(-10, 0)
     cents = F.round(F.col("value") * 100).cast("long")
-    return e.select(
-        "event_id",
-        "event_type",
-        (F.sum(cents).over(w) / 100.0).alias("range_sum"),
+    rows = e.select(
+        "event_id", "event_type", "value", cents.alias("cents"),
+        F.floor(cents / 1000).alias("bucket"),
+    )
+    donors = rows.select(
+        "event_id", "event_type", "value", "cents",
+        (F.col("bucket") + 1).alias("bucket"),
+    ).withColumn("is_owner", F.lit(False))
+    both = rows.withColumn("is_owner", F.lit(True)).unionByName(donors)
+    # Frame bound stays on the RAW double (value - 10 in IEEE arithmetic,
+    # exactly the oracle's boundary semantics; the IEEE error ~1e-13 is
+    # 11 orders below the 0.01 value grid, so the two-bucket cover holds).
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("value")
+        .rangeBetween(-10, 0)
+    )
+    return (
+        both.withColumn("range_sum", F.sum("cents").over(w) / 100.0)
+        .where("is_owner")
+        .select("event_id", "event_type", "range_sum")
     )
 
 

@@ -347,6 +347,41 @@ def test_global_window_audit_full_surface(spark, registry):
     )
 
 
+def test_range_frame_window_is_bucket_partitioned(spark, registry):
+    """q_win_range_frame (r3 verdict #4): the RANGE-frame window must be
+    partitioned by (event_type, value-bucket), NOT event_type alone — a
+    5-value partition key serializes the O(n·|frame|) sliding
+    re-aggregation into 5 fat tasks at 100 TB. The bucket width equals
+    the frame extent, so owner+donor replication makes the fine
+    partitioning exact; this gate pins (a) the window partition spec
+    includes the bucket, and (b) the realized parallelism of the heavy
+    stage exceeds the 5 event types."""
+    df = registry["q_win_range_frame"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    win = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln or "windowspecdefinition" in ln
+    ]
+    assert any("bucket" in ln for ln in win), (
+        f"range-frame window lost its bucket partition key:\n{plan}"
+    )
+    assert "partitionBy=[event_type], " not in plan
+    # realized parallelism: distinct (event_type, bucket) groups >> 5
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_groups = (
+        e.select(
+            "event_type",
+            F.floor(F.round(F.col("value") * 100).cast("long") / 1000)
+            .alias("bucket"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups > 5, n_groups
+
+
 def test_salted_agg_has_two_level_exchange(spark, registry):
     """q_agg_salted_skew must actually run the two-level shape: a first
     exchange keyed on (event_type, salt) and a second on event_type
