@@ -5,10 +5,13 @@ Design: media payloads are opaque `binary` columns travelling next to typed
 metadata (the standard multimodal-training-corpus layout: WebDataset /
 Parquet-with-blob). The Spark-side plumbing — schemas, Arrow batch shape,
 mapInPandas signatures, partition sizing — is real and tested against a
-deterministic byte-level feature extractor; the actual image/audio codec
-step is stubbed (`decode_image` raises NotImplementedError) because codec
-libraries are not in this container. Swapping the stub for PIL/librosa
-changes one function body, not the plan.
+deterministic byte-level feature extractor, and the decode rung is REAL
+for the one format a codec-less container can honestly support:
+`decode_image` parses binary PPM (P6) end-to-end and
+q_llm_multimodal_decode verifies the decoded pixel statistics against an
+exact SQL oracle. Compressed formats (JPEG/PNG, audio) still need codec
+libraries; swapping them in changes only the decode_image body, not the
+plan.
 
 At 100 TB: blobs dominate bytes, so the scale rules are (1) never shuffle
 the blob column — extract features first, project blobs away before any
@@ -57,12 +60,138 @@ def q_llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> "object":
-    """STUB — real image decode (PIL / torchvision) is not available in
-    this container. The Spark-side contract is: bytes in, ndarray out.
-    Replace this body to productionize; everything around it is real."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use extract_byte_features for the tested deterministic path"
+    """Decode a binary PPM (P6) image blob to an (H, W, 3) uint8 ndarray.
+
+    PPM is the uncompressed pure-Python rung of the codec ladder: header
+    is ASCII ("P6", whitespace/comments, width, height, maxval), pixel
+    data is raw interleaved RGB — decodable with zero codec libraries,
+    which is exactly what this container offers. The contract is the
+    same as a PIL/torchvision decode (bytes in, ndarray out), so
+    swapping in JPEG/PNG support when codec libs exist changes only
+    this body; every caller (q_llm_multimodal_decode's mapInPandas
+    kernel) is format-agnostic. Raises ValueError on malformed input —
+    a corrupt blob must fail loudly, not produce garbage stats."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) blob")
+    # Tokenize the header: magic, width, height, maxval. Whitespace
+    # separates tokens; '#' starts a comment running to end of line.
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    n = width * height * 3
+    pixels = np.frombuffer(blob, dtype=np.uint8, count=n, offset=pos)
+    if pixels.size != n:
+        raise ValueError("truncated PPM pixel data")
+    return pixels.reshape(height, width, 3)
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Deterministic synthetic PPM generator for the decode rung: image
+    dimensions and every channel value are integer functions of doc_id,
+    so a SQL oracle reproduces the decoded statistics exactly without
+    ever seeing the bytes. (No real image corpus ships in the test
+    data; determinism is what makes the decode verifiable.)"""
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    i = np.arange(w * h, dtype=np.int64)
+    rgb = np.stack(
+        [
+            (doc_id * 7 + i * 3) % 256,
+            (doc_id * 11 + i * 5) % 256,
+            (doc_id * 13 + i * 7) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+@query(
+    "q_llm_multimodal_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS width,
+             8 + doc_id % 7 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width * height - 1)) AS i
+      FROM dims
+    )
+    SELECT doc_id, width, height,
+           CAST(SUM((doc_id * 7  + i * 3) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((doc_id * 11 + i * 5) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((doc_id * 13 + i * 7) % 256) AS BIGINT) AS b_sum,
+           CAST(MAX((doc_id * 7  + i * 3) % 256) AS BIGINT) AS r_max
+    FROM px GROUP BY doc_id, width, height
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image decode (r3 verdict, next-round #5 — the stub is
+    gone): synthesize a deterministic binary PPM per document into the
+    blob column, then DECODE it with the real pure-Python P6 parser and
+    report per-channel integer statistics of the decoded pixel tensor.
+    The oracle recomputes the same statistics from the generator's
+    closed form — it never parses bytes — so header parsing, comment
+    handling, stride math, and the reshape are all on the hook: any
+    decode bug shifts a channel sum.
+
+    Scale shape: blob synthesis + decode run in ONE mapInPandas pass
+    (Arrow-batched, blob never shuffled — the stats projection drops it
+    inside the kernel, scale rule #1 of the module docstring); output is
+    7 small columns per image. At 100 TB the same plan reads real blobs
+    from parquet instead of synthesizing them; decode stays
+    embarrassingly parallel with zero exchanges."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [], "r_max": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                img = decode_image(encode_ppm(int(doc_id)))
+                h, w, _ = img.shape
+                chan = img.reshape(-1, 3).astype(np.int64)
+                sums = chan.sum(axis=0)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(sums[0]))
+                out["g_sum"].append(int(sums[1]))
+                out["b_sum"].append(int(sums[2]))
+                out["r_max"].append(int(chan[:, 0].max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode_kernel,
+        "doc_id long, width long, height long, "
+        "r_sum long, g_sum long, b_sum long, r_max long",
     )
 
 

@@ -120,3 +120,34 @@ def test_ntz_fallback_cast_is_epoch_verbatim(spark):
         ).timestamp() * 1_000_000
     )
     assert row["us"] == expect
+
+
+def test_ppm_decoder_contract():
+    """decode_image must parse well-formed P6 (incl. header comments),
+    reject malformed blobs loudly, and invert encode_ppm exactly —
+    q_llm_multimodal_decode's correctness rides on this parser."""
+    import numpy as np
+    import pytest as _pt
+
+    from aws_lambda_stream_processing_spark.llm.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    # round-trip the deterministic generator
+    img = decode_image(encode_ppm(42))
+    assert img.shape == (8 + 42 % 7, 8 + 42 % 9, 3)
+    i = np.arange(img.shape[0] * img.shape[1], dtype=np.int64)
+    assert (img.reshape(-1, 3)[:, 0] == (42 * 7 + i * 3) % 256).all()
+
+    # header comments are skipped per the spec
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert decode_image(with_comment).shape == (1, 2, 3)
+
+    # malformed inputs fail loudly, never return garbage
+    with _pt.raises(ValueError):
+        decode_image(b"P5\n2 1\n255\n" + bytes(2))  # wrong magic
+    with _pt.raises(ValueError):
+        decode_image(b"P6\n2 1\n65535\n" + bytes(12))  # 16-bit depth
+    with _pt.raises(ValueError):
+        decode_image(b"P6\n4 4\n255\n" + bytes(10))  # truncated pixels
