@@ -924,3 +924,215 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+# Per-source token budget for q_stream_llm_curation: sized so admission
+# genuinely crosses micro-batch boundaries at the test SFs (per-source
+# Gopher-kept token mass is ~140-570 at sf0.01), proving the carry state
+# does real work.
+STREAM_TOKEN_BUDGET = 200
+
+DOCS_DDL = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+@query(
+    "q_stream_llm_curation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) AS du,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS ds
+      FROM documents
+    ),
+    m AS (SELECT *, n_chars - n + 1 AS cn FROM q),
+    k AS (
+      SELECT doc_id, source, CAST(n AS BIGINT) AS tok_cnt FROM m
+      WHERE n BETWEEN 30 AND 80 AND 7 * n <= 2 * cn AND 2 * cn <= 9 * n
+        AND 20 * ds >= n AND 5 * du >= n
+    ),
+    c AS (
+      SELECT doc_id, source, tok_cnt,
+             CAST(SUM(tok_cnt) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM k
+    )
+    SELECT doc_id, source, tok_cnt, cum_tokens
+    FROM c WHERE cum_tokens <= {STREAM_TOKEN_BUDGET}
+    """,
+    category="2.I",
+)
+def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL training-data curation (r3 stretch #8): one
+    foreachBatch stream chains exact-dedup → Gopher quality gate →
+    arrival-order per-source token-budget quota across 3 ordered
+    micro-batches of the documents table — with the middle batch
+    REDELIVERING the tail of the first (overlapping split ranges), the
+    at-least-once duplicate delivery a Kinesis consumer must absorb.
+
+    Per batch, all distributed:
+      1. DEDUP: batch keeps min-doc_id per content hash, then anti-joins
+         the carried seen-hash state — redelivered rows die here, so
+         they neither re-admit nor double-charge the budget.
+      2. GATE: the q_llm_gopher_rules integer rules, stateless.
+      3. QUOTA: arrival-order greedy — the only admission policy a
+         stream can implement — via the same two-phase distributed
+         cumsum as q_llm_token_budget_quota (no partitionBy(source) hot
+         task) plus the carried per-source token total; a gated doc is
+         admitted iff its inclusive per-source cumulative stays within
+         the budget.
+    State (seen hashes, per-source carry, admitted output) is versioned
+    parquet keyed by batch_id — idempotent re-runs converge, the
+    q_stream_upsert_foreachbatch discipline.
+
+    The exact-oracle invariant: because batches partition doc_id ranges
+    in order (and dedup absorbs redelivery), the incremental admitted
+    set is ROW-IDENTICAL to the batch pipeline over the whole corpus —
+    gate then per-source doc_id-ordered cumsum ≤ budget. At 100 TB the
+    state tables are keyed MERGEs and every stage is a hash shuffle on
+    bounded columns (32-byte hash, source); document text never
+    shuffles past stage 2."""
+    import os
+
+    from pyspark.sql import Window
+
+    from aws_lambda_stream_processing_spark.llm.text import STOPWORDS
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        split_table_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    c1, c2, ov = n_docs // 3, (2 * n_docs) // 3, max(1, n_docs // 10)
+    d = split_table_dir(
+        spark,
+        sf_dir,
+        "documents",
+        [
+            f"doc_id < {c1}",
+            # overlap: redeliver the last `ov` docs of batch 0
+            f"doc_id >= {c1 - ov} AND doc_id < {c2}",
+            f"doc_id >= {c2}",
+        ],
+    )
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    state_base = _scratch("alsp_curation_state_")
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        prev = f"{state_base}/v{batch_id - 1}"
+        hashed = batch_df.withColumn("h", F.sha2("text", 256))
+        # intra-batch dedup: min doc_id per hash survives
+        w_first = Window.partitionBy("h").orderBy("doc_id")
+        uniq = (
+            hashed.withColumn("rn", F.row_number().over(w_first))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        if os.path.isdir(prev):
+            seen = ss.read.parquet(f"{prev}/seen")
+            carry = ss.read.parquet(f"{prev}/carry")
+            out_prev = ss.read.parquet(f"{prev}/out")
+            fresh = uniq.join(seen, "h", "left_anti")
+        else:
+            seen = carry = out_prev = None
+            fresh = uniq
+        # Gopher gate (integer rules, stateless)
+        t = F.split("text", " ")
+        n = F.size(t)
+        du = F.size(F.array_distinct(t))
+        ds = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+        cn = F.col("n_chars") - n + 1
+        gated = fresh.where(
+            n.between(30, 80)
+            & (7 * n <= 2 * cn) & (2 * cn <= 9 * n)
+            & (20 * ds >= n) & (5 * du >= n)
+        ).select(
+            "doc_id", "source", "h", n.cast("long").alias("tok_cnt")
+        )
+        # arrival-order quota: distributed cumsum + carried base
+        cum = two_phase_cumsum(
+            gated,
+            [("source", True), ("doc_id", True)],
+            "tok_cnt",
+            out="__gcum",
+            inclusive=True,
+        )
+        base = cum.groupBy("source").agg(
+            F.min(F.col("__gcum") - F.col("tok_cnt")).alias("__base")
+        )
+        scored = cum.join(F.broadcast(base), "source").withColumn(
+            "__batch_cum", F.col("__gcum") - F.col("__base")
+        )
+        if carry is not None:
+            scored = scored.join(
+                F.broadcast(carry), "source", "left"
+            ).withColumn(
+                "cum_tokens",
+                F.col("__batch_cum")
+                + F.coalesce(F.col("carry_tokens"), F.lit(0)),
+            )
+        else:
+            scored = scored.withColumn(
+                "cum_tokens", F.col("__batch_cum")
+            )
+        admitted = scored.where(
+            F.col("cum_tokens") <= STREAM_TOKEN_BUDGET
+        ).select("doc_id", "source", "tok_cnt", "cum_tokens")
+        # write state v{batch_id} (idempotent overwrite per version)
+        cur = f"{state_base}/v{batch_id}"
+        new_seen = uniq.select("h")
+        if seen is not None:
+            new_seen = new_seen.unionByName(seen)
+        new_seen.write.mode("overwrite").parquet(f"{cur}/seen")
+        # carry grows by ALL gated tokens (admitted or not): the greedy
+        # prefix rule charges every eligible doc against the budget.
+        batch_tok = gated.groupBy("source").agg(
+            F.sum("tok_cnt").alias("bt")
+        )
+        if carry is not None:
+            new_carry = (
+                carry.join(batch_tok, "source", "full")
+                .select(
+                    "source",
+                    (
+                        F.coalesce("carry_tokens", F.lit(0))
+                        + F.coalesce("bt", F.lit(0))
+                    ).alias("carry_tokens"),
+                )
+            )
+        else:
+            new_carry = batch_tok.select(
+                "source", F.col("bt").alias("carry_tokens")
+            )
+        new_carry.write.mode("overwrite").parquet(f"{cur}/carry")
+        new_out = admitted
+        if out_prev is not None:
+            new_out = new_out.unionByName(out_prev)
+        new_out.write.mode("overwrite").parquet(f"{cur}/out")
+
+    try:
+        run_foreach_batch(stream, handler)
+        versions = sorted(
+            int(p[1:])
+            for p in os.listdir(state_base)
+            if p.startswith("v")
+        )
+        final = spark.read.parquet(f"{state_base}/v{versions[-1]}/out")
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(state_base, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)

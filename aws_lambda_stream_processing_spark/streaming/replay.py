@@ -151,24 +151,42 @@ def split_events_dir(
     """Write `events` into one parquet file per predicate, with file mtimes
     in list order, so availableNow + maxFilesPerTrigger=1 replays them as
     ordered micro-batches (late-data / watermark testing — SURVEY §7.2).
+    See split_table_dir for the mechanics."""
+    return split_table_dir(spark, sf_dir, "events", predicates)
+
+
+def split_table_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    predicates: list[str],
+) -> str:
+    """Write `table` into one parquet file per predicate, with file mtimes
+    in list order, so availableNow + maxFilesPerTrigger=1 replays them as
+    ordered micro-batches. Predicates may OVERLAP — that replays the
+    overlapping rows twice, the at-least-once redelivery a Kinesis
+    consumer must tolerate (q_stream_llm_curation uses this).
 
     Returns the directory. Caller owns cleanup.
 
-    The Spark write jobs run ONCE per (application, sf_dir, predicates)
-    into a memoized master dir; every call hands back a fresh tmpfs COPY
-    of those files (~ms), so callers keep delete-ownership while a
-    multi-query sweep pays the split cost once, not per streaming query.
+    The Spark write jobs run ONCE per (application, sf_dir, table,
+    predicates) into a memoized master dir; every call hands back a fresh
+    tmpfs COPY of those files (~ms), so callers keep delete-ownership
+    while a multi-query sweep pays the split cost once, not per streaming
+    query.
     """
     from aws_lambda_stream_processing_spark.tables import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir, tuple(predicates))
+    key = (
+        spark.sparkContext.applicationId, sf_dir, table, tuple(predicates)
+    )
     stale = [k for k in _SPLIT_MEMO if k[0] != key[0]]
     for k in stale:
         shutil.rmtree(_SPLIT_MEMO.pop(k), ignore_errors=True)
     master = _SPLIT_MEMO.get(key)
     if master is None or not os.path.isdir(master):
         master = _scratch("alsp_stream_master_")
-        events = load_table(spark, sf_dir, "events")
+        events = load_table(spark, sf_dir, table)
         for i, pred in enumerate(predicates):
             part_dir = os.path.join(master, f"_stage_{i}")
             events.where(F.expr(pred)).coalesce(1).write.mode(
@@ -195,10 +213,11 @@ def split_events_dir(
     return out
 
 
-# (app_id, sf_dir, predicates) -> master split dir; see split_events_dir.
-# tmpfs outlives the process, so masters are reaped at interpreter exit —
-# the round-1 ADVICE tempdir-leak class, closed preemptively.
-_SPLIT_MEMO: dict[tuple[str, str, tuple[str, ...]], str] = {}
+# (app_id, sf_dir, table, predicates) -> master split dir; see
+# split_table_dir. tmpfs outlives the process, so masters are reaped at
+# interpreter exit — the round-1 ADVICE tempdir-leak class, closed
+# preemptively.
+_SPLIT_MEMO: dict[tuple[str, str, str, tuple[str, ...]], str] = {}
 
 
 def _reap_split_masters() -> None:
