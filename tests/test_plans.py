@@ -466,3 +466,56 @@ def test_ts_filter_reaches_parquet_scan(spark, registry):
     df = registry["q_filter_ts_pushdown"].fn(spark, SF_DIR)
     pf = pushed_filters(df)
     assert pf and any("ts" in f for f in pf), pf
+
+
+# --- action-count audit (r3 stretch #9) -----------------------------------
+
+# Queries whose builders run eager actions BY DESIGN (convergence reads,
+# bounded-guard collects, localCheckpoint pins, broadcast fills). Each
+# ceiling is its measured steady-state job count (sf0.001, AQE sub-jobs
+# included) plus ~50% headroom: an action-fan-out regression of the r3
+# class (bfs 5 eager counts -> 2x wall time) blows straight through it.
+_BUILDER_JOB_BUDGET = {
+    "q_graph_bfs_3hop": 30,     # measured 18
+    "q_llm_dedup_cc": 65,       # measured 45
+}
+
+# One representative per family that must stay FULLY LAZY: 0 jobs until
+# the driver collects. A builder that grows an eager action regresses
+# every caller that only wanted the plan.
+_MUST_BE_LAZY = (
+    "q_sql_tpch_q3",
+    "q_join_asof",
+    "q_agg_rollup",
+    "q_win_range_frame",
+    "q_graph_pagerank",
+    "q_llm_tfidf",
+    "q_llm_minhash_lsh",
+    "q_llm_cosine_topk",
+    "q_ts_anomaly_zscore",
+    "q_events_dau_wau",
+)
+
+
+def test_eager_builders_within_action_budget(spark, registry):
+    from aws_lambda_stream_processing_spark.plans import jobs_run
+
+    for name, budget in _BUILDER_JOB_BUDGET.items():
+        registry[name].fn(spark, SF_DIR)  # warm run: fills shared memos
+        _, n = jobs_run(spark, lambda: registry[name].fn(spark, SF_DIR))
+        assert n <= budget, (
+            f"{name} builder now triggers {n} Spark jobs "
+            f"(budget {budget}) — action fan-out regression"
+        )
+
+
+def test_lazy_builders_run_zero_jobs(spark, registry):
+    from aws_lambda_stream_processing_spark.plans import jobs_run
+
+    eager = {}
+    for name in _MUST_BE_LAZY:
+        registry[name].fn(spark, SF_DIR)  # warm shared memos (edge cache)
+        _, n = jobs_run(spark, lambda: registry[name].fn(spark, SF_DIR))
+        if n:
+            eager[name] = n
+    assert not eager, f"lazy builders now run eager jobs: {eager}"
