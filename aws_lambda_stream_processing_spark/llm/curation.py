@@ -1232,3 +1232,85 @@ def q_llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("utilization"),
     )
+
+
+@query(
+    "q_llm_temperature_mix",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS s_i
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(SUM(s_i) AS BIGINT) AS s_tot,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tot
+      FROM q
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(s_i AS DOUBLE) / s_tot * 100000000.0) / 100000000.0
+             AS weight,
+           floor(CAST(s_i AS DOUBLE) * n_tot / (CAST(s_tot AS DOUBLE) * n_tokens)
+                 * 1000000.0) / 1000000.0 AS boost
+    FROM q, t
+    """,
+    category="2.J",
+)
+def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-domain mixture rule (mBERT/mT5 exponential smoothing, here
+    α = 1/2): sample source i with probability ∝ n_tokens(i)^α, which
+    up-weights the tail and down-weights the head relative to natural
+    token share; `boost` reports exactly that up/down-sampling factor
+    (weight ÷ natural share). Complements q_llm_mixture_weights
+    (natural shares) and q_llm_dsir_weights (importance weights).
+
+    Exactness discipline: the ONLY float ops are IEEE-correctly-rounded
+    on both engines — sqrt, one multiply by 1000, floor — giving an
+    exact integer score s_i = floor(1000·√tokens); the normalizing sum
+    then runs over INTEGERS (no float-summation-order hazard across
+    sources), and each output is a single exact-int division, floored
+    to fixed precision. Scale: one hash-agg on source (map-side
+    combining), a 1-row broadcast total, zero data-scaled shuffles
+    beyond the agg."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    q = s.withColumn(
+        "s_i",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000.0).cast(
+            "long"
+        ),
+    )
+    t = q.agg(
+        F.sum("s_i").alias("s_tot"), F.sum("n_tokens").alias("n_tot")
+    )
+    return q.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("s_i").cast("double") / F.col("s_tot") * 100000000.0
+            )
+            / 100000000.0
+        ).alias("weight"),
+        (
+            F.floor(
+                F.col("s_i").cast("double")
+                * F.col("n_tot")
+                / (F.col("s_tot").cast("double") * F.col("n_tokens"))
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("boost"),
+    )

@@ -1554,3 +1554,109 @@ def q_llm_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_COV_DIM = 64
+
+
+@query(
+    "q_llm_embed_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    grid AS (
+      SELECT i, j
+      FROM (SELECT unnest(generate_series(1, {_COV_DIM})) AS i),
+           (SELECT unnest(generate_series(1, {_COV_DIM})) AS j)
+      WHERE j >= i
+    ),
+    px AS (SELECT i, j, qv[i] AS qi, qv[j] AS qj FROM q CROSS JOIN grid),
+    agg AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi) AS BIGINT) AS s_i,
+             CAST(SUM(qj) AS BIGINT) AS s_j,
+             CAST(SUM(qi * qj) AS BIGINT) AS s_ij
+      FROM px GROUP BY i, j
+    )
+    SELECT i, j, n, s_i, s_j, s_ij,
+           n * s_ij - s_i * s_j AS cov_num
+    FROM agg
+    """,
+    category="2.J",
+)
+def q_llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance moments of the embedding corpus — the input every
+    whitening / PCA / Mahalanobis-SemDedup step needs before it can touch
+    a single pair. Output: the upper-triangle (i ≤ j, 1-based) second-
+    moment table over quantized coordinates (the established
+    floor(x·1000 + 0.5) integer grid, cf. q_llm_embed_quantize) with the
+    exact int64 covariance numerator n·Σxy − Σx·Σy; the caller divides by
+    n(n−1) and eigendecomposes the 64×64 result driver-side.
+
+    Scale shape — this is THE way to get a covariance at 100 TB: ONE
+    data pass; each partition folds its vectors into a 64-vector of sums
+    and a 64×64 int64 Gram matrix (numpy integer GEMM inside Arrow
+    batches), emitting 2 080 constant-size partial rows; the only
+    shuffle is #partitions × 2 080 tiny rows into a hash-agg (classic
+    tree aggregation). Nothing data-scaled crosses the wire, no second
+    pass, exact integers end-to-end (|q| ≤ 1 000 ⇒ products fit int64
+    with ~10^5 headroom at any realistic corpus size)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * 1000.0 + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qv")
+    )
+
+    iu, ju = np.triu_indices(_COV_DIM)
+
+    def gram_partials(batches):
+        tot_n = 0
+        s = np.zeros(_COV_DIM, dtype=np.int64)
+        g = np.zeros((_COV_DIM, _COV_DIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            tot_n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if tot_n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "i": iu + 1,
+                "j": ju + 1,
+                "n": np.full(iu.size, tot_n, dtype=np.int64),
+                "s_i": s[iu],
+                "s_j": s[ju],
+                "s_ij": g[iu, ju],
+            }
+        )
+
+    partials = q.mapInPandas(
+        gram_partials,
+        "i int, j int, n long, s_i long, s_j long, s_ij long",
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("s_i").alias("s_i"),
+        F.sum("s_j").alias("s_j"),
+        F.sum("s_ij").alias("s_ij"),
+    )
+    return agg.select(
+        "i", "j", "n", "s_i", "s_j", "s_ij",
+        (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias(
+            "cov_num"
+        ),
+    )

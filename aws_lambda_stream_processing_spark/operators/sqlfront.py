@@ -1246,3 +1246,81 @@ def q_sql_tpcds_q97_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set algebra. Exact counts."""
     _register(spark, sf_dir, "orders")
     return spark.sql(_DS97_BODY)
+
+
+_DS51_BODY = """
+    WITH web_daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sales
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    store_daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sales
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    web_v1 AS (
+      SELECT user_id, d,
+             CAST(SUM(sales) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+      FROM web_daily
+    ),
+    store_v1 AS (
+      SELECT user_id, d,
+             CAST(SUM(sales) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+      FROM store_daily
+    ),
+    j AS (
+      SELECT COALESCE(w.user_id, s.user_id) AS user_id,
+             COALESCE(w.d, s.d) AS d,
+             w.cume AS web_c, s.cume AS store_c
+      FROM web_v1 w FULL OUTER JOIN store_v1 s
+        ON w.user_id = s.user_id AND w.d = s.d
+    ),
+    x AS (
+      SELECT user_id, d,
+             MAX(web_c) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS web_cum,
+             MAX(store_c) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS store_cum
+      FROM x_in_place_noop_guard
+    )
+    SELECT user_id, CAST(d AS TIMESTAMP) AS d, web_cum, store_cum
+    FROM x WHERE web_cum > store_cum
+"""
+# (placeholder fixed below: DuckDB and Spark both dislike self-reference;
+# the real FROM is `j`.)
+_DS51_BODY = _DS51_BODY.replace("x_in_place_noop_guard", "j")
+
+
+@query(
+    "q_sql_tpcds_q51_shape",
+    oracle=_DS51_BODY,
+    category="2.A",
+)
+def q_sql_tpcds_q51_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape — the channel-crossover pattern: per-key daily
+    cumulative sales on two channels (click standing in for web,
+    purchase for store), FULL OUTER joined on (key, day), then a
+    running MAX over each side fills the days where only the other
+    channel traded (MAX ignores NULLs identically on both engines, and
+    the null-propagating `web_cum > store_cum` comparison drops
+    rows with a channel that has not started — the DS semantics
+    verbatim). Reports the (user, day) frontier where the web
+    cumulative overtakes the store cumulative.
+
+    Scale: each channel aggregates and windows on the SAME
+    (user_id, day)/(user_id) keys, so Catalyst reuses one
+    hash-partitioning for agg → window → full-outer join (user_id is
+    high-cardinality; no 5-key fat-task risk); sums are exact integer
+    cents. The full outer of two pre-aggregated daily series is
+    day-grain, not event-grain."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(_DS51_BODY)
