@@ -431,3 +431,59 @@ def test_grouped_base_subtraction_matches_partition_window(spark, rows):
         .count()
     )
     assert badc == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                     # partition key
+            st.integers(min_value=0, max_value=4000),        # value cents
+        ),
+        min_size=0,
+        max_size=150,
+    ),
+)
+def test_bucketed_range_frame_matches_naive_window(spark, rows):
+    """Property gate for the q_win_range_frame de-skew (r4): on random
+    frames (ties, empty, boundary-straddling values) the owner/donor
+    bucket refinement must produce EXACTLY the per-row interval sums of
+    the naive single-key RANGE window it replaces."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t, c) for i, (t, c) in enumerate(rows)],
+        "event_id long, event_type string, cents long",
+    )
+    # naive: the 100 TB-unsafe plan, used here as the semantics oracle
+    w_naive = (
+        Window.partitionBy("event_type").orderBy("cents")
+        .rangeBetween(-1000, 0)
+    )
+    naive = {
+        r["event_id"]: r["s"]
+        for r in df.withColumn("s", F.sum("cents").over(w_naive)).collect()
+    }
+    # bucketed two-phase (same shape as q_win_range_frame)
+    base = df.withColumn("bucket", F.floor(F.col("cents") / 1000))
+    donors = base.select(
+        "event_id", "event_type", "cents",
+        (F.col("bucket") + 1).alias("bucket"),
+    ).withColumn("is_owner", F.lit(False))
+    both = base.withColumn("is_owner", F.lit(True)).unionByName(donors)
+    w_fine = (
+        Window.partitionBy("event_type", "bucket").orderBy("cents")
+        .rangeBetween(-1000, 0)
+    )
+    fine = {
+        r["event_id"]: r["s"]
+        for r in both.withColumn("s", F.sum("cents").over(w_fine))
+        .where("is_owner")
+        .collect()
+    }
+    assert fine == naive
