@@ -1314,3 +1314,64 @@ def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("boost"),
     )
+
+
+# q_llm_chunking: fixed-token chunking with overlap — size/stride chosen
+# so chunks overlap (RAG / embedding-prep shape) and every doc in the
+# corpus produces multiple chunks.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q_llm_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_toks,
+           t[start + 1] AS first_tok,
+           t[start + LEAST({CHUNK_TOKENS}, n - start)] AS last_tok
+    FROM c
+    """,
+    category="2.J",
+)
+def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap — the retrieval/embedding prep
+    step (split every document into {CHUNK_TOKENS}-token windows at a
+    {CHUNK_STRIDE}-token stride so consecutive chunks share context):
+    one row per chunk with its position, length, and boundary tokens.
+    Complements q_llm_seq_pack (training packing concatenates docs;
+    chunking splits them). Pure built-ins: split → sequence → explode —
+    per-row generation, zero shuffles, whole-stage codegen; at 100 TB
+    this is an embarrassingly parallel map with output ~n/stride rows
+    per doc. Exact oracle: the identical stride arithmetic via
+    generate_series."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    c = d.select(
+        "doc_id", "t", "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    n_toks = F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+    return c.select(
+        "doc_id",
+        F.floor(F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        n_toks.cast("long").alias("n_toks"),
+        F.element_at("t", F.col("start") + 1).alias("first_tok"),
+        F.element_at("t", F.col("start") + n_toks).alias("last_tok"),
+    )

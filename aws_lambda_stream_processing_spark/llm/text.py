@@ -2003,3 +2003,73 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Vocabulary size for q_llm_oov_rate — the corpus has ~31 distinct
+# whitespace tokens, so a 20-term vocabulary leaves a real OOV tail.
+OOV_VOCAB_K = 20
+
+
+@query(
+    "q_llm_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {OOV_VOCAB_K}),
+    per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           floor(n_oov * 1.0 / n_tokens * 1000000.0) / 1000000.0 AS oov_rate
+    FROM per
+    """,
+    category="2.J",
+)
+def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-{OOV_VOCAB_K} token vocabulary (count desc, token asc tiebreak —
+    fully deterministic truncation) — the tokenizer-coverage diagnostic
+    run before committing to a vocab: documents with high OOV mass
+    either need a bigger vocabulary or are noise. Scale: the vocabulary
+    is a top-K over the token-count agg (TakeOrdered — k rows per
+    partition cross the wire) and BROADCASTS into the per-doc join;
+    the only data-scaled exchange is the token-count hash-agg and the
+    per-doc agg, both map-side combining. Exact integers; the rate is
+    one float division, floor-6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("__v"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__v").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (
+            F.floor(
+                F.col("n_oov") * 1.0 / F.col("n_tokens") * 1000000.0
+            )
+            / 1000000.0
+        ).alias("oov_rate"),
+    )

@@ -252,3 +252,69 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "cents", "n_users")
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_scale_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    )
+    SELECT c.user_id, c.cnt,
+           floor(c.cnt * 100000000.0 / g.total) / 100000000.0 AS share,
+           floor(c.cnt * 1000000.0 * g.n_keys / g.total) / 1000000.0
+             AS x_avg,
+           g.n_keys, g.max_cnt
+    FROM c, g
+    ORDER BY c.cnt DESC, c.user_id
+    LIMIT 10
+    """,
+    category="2.D",
+)
+def q_scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE picking a
+    partitioning strategy at 100 TB: the 10 heaviest keys of the
+    candidate shuffle key with their absolute counts, corpus share, and
+    multiple-of-average (x_avg > ~5 on a head key is the signal to salt,
+    cf. q_join_salted / q_agg_salted_skew). Scale shape: one map-side-
+    combining hash-agg on the key, a 1-row broadcast of the global
+    moments, and a global top-10 that runs as TakeOrderedAndProject —
+    10 rows per partition cross the wire, never the key histogram.
+    Exact integers; the two ratios are single float divisions of exact
+    ints, floor-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    g = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "cnt",
+            (
+                F.floor(F.col("cnt") * 100000000.0 / F.col("total"))
+                / 100000000.0
+            ).alias("share"),
+            (
+                F.floor(
+                    F.col("cnt") * 1000000.0 * F.col("n_keys")
+                    / F.col("total")
+                )
+                / 1000000.0
+            ).alias("x_avg"),
+            "n_keys",
+            "max_cnt",
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
