@@ -1375,3 +1375,87 @@ def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("t", F.col("start") + 1).alias("first_tok"),
         F.element_at("t", F.col("start") + n_toks).alias("last_tok"),
     )
+
+
+@query(
+    "q_llm_forget_cascade",
+    oracle=f"""
+    WITH del AS (
+      SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(len(generate_series(
+               0, len(string_split(text, ' ')) - 1, {CHUNK_STRIDE}
+             )) AS BIGINT) AS n_chunks
+      FROM documents
+    ),
+    emb AS (
+      SELECT vec_id FROM embeddings
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS docs_deleted,
+      CAST((SELECT COALESCE(SUM(n_chunks), 0) FROM chunks
+            WHERE doc_id IN (SELECT doc_id FROM del)) AS BIGINT)
+        AS chunks_deleted,
+      CAST((SELECT COUNT(*) FROM emb
+            WHERE vec_id IN (SELECT doc_id % 500 FROM del)) AS BIGINT)
+        AS vecs_flagged,
+      CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+        - CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS docs_remaining
+    """,
+    category="2.J",
+)
+def q_llm_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request propagation (the right-to-be-forgotten pipeline
+    op): given a deletion set (here the deterministic doc_id % 97 = 0
+    cohort standing in for a GDPR request list), account for every
+    derived artifact that must go with it — chunk rows (the
+    q_llm_chunking derivation), referenced embedding vectors (the
+    q_llm_multimodal_pack emb_ref mapping doc→vec_id), and the
+    surviving corpus size. A real platform runs exactly this audit
+    before the destructive pass, and the counts are the compliance
+    receipt.
+
+    Scale shape: the deletion set is REQUEST-sized, not corpus-sized —
+    it broadcasts into semi-joins against each derived table (no
+    shuffle of the big sides); the chunk count is arithmetic on token
+    counts, not a materialized chunk table. One row out, exact
+    integers."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    dele = d.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    n_chunks = F.ceil(F.size(F.split("text", " ")) / CHUNK_STRIDE).cast(
+        "long"
+    )
+    chunks_deleted = (
+        d.join(F.broadcast(dele), "doc_id", "left_semi")
+        .agg(F.coalesce(F.sum(n_chunks), F.lit(0)).alias("v"))
+    )
+    vecs_flagged = e.join(
+        F.broadcast(dele.select((F.col("doc_id") % 500).alias("vec_id"))),
+        "vec_id",
+        "left_semi",
+    ).agg(F.count("*").alias("v"))
+    totals = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)).alias(
+            "n_del"
+        ),
+    )
+    return (
+        totals.crossJoin(F.broadcast(chunks_deleted.select(
+            F.col("v").alias("chunks_deleted")
+        )))
+        .crossJoin(F.broadcast(vecs_flagged.select(
+            F.col("v").alias("vecs_flagged")
+        )))
+        .select(
+            F.col("n_del").cast("long").alias("docs_deleted"),
+            F.col("chunks_deleted").cast("long"),
+            F.col("vecs_flagged").cast("long"),
+            (F.col("n_docs") - F.col("n_del")).cast("long").alias(
+                "docs_remaining"
+            ),
+        )
+    )

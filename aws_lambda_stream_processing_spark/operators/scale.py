@@ -318,3 +318,79 @@ def q_scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# q_scale_zorder_layout: 16 bits per dimension, bucket = top 6 bits of
+# the 32-bit z-value (64 buckets).
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 26
+
+_Z_SQL = " + ".join(
+    f"(((user_id >> {k}) & 1) * {1 << (2 * k)}) + "
+    f"(((cents >> {k}) & 1) * {1 << (2 * k + 1)})"
+    for k in range(_Z_BITS)
+)
+
+
+@query(
+    "q_scale_zorder_layout",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, cents, ({_Z_SQL}) AS zval FROM e
+    )
+    SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(user_id) AS BIGINT) AS min_u,
+           CAST(MAX(user_id) AS BIGINT) AS max_u,
+           CAST(MIN(cents) AS BIGINT) AS min_c,
+           CAST(MAX(cents) AS BIGINT) AS max_c
+    FROM z GROUP BY 1
+    """,
+    category="2.D",
+)
+def q_scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering layout — the multi-column
+    data-skipping organization behind Delta/Iceberg OPTIMIZE ZORDER:
+    interleave the bits of (user_id, value-cents), bucket rows by the
+    top bits of the 32-bit z-value, and report each bucket's row count
+    and per-dimension min/max envelope. Tight envelopes on BOTH columns
+    are the point: a z-sorted file layout lets scans with a predicate
+    on either column skip most buckets (row groups), where a single-
+    column sort only skips for that column. The interleave is pure
+    int64 bit arithmetic (16 bits/dimension), identical on both
+    engines; at 100 TB this expression is the sort/repartition key of
+    the layout-rewrite job, and this query is its audit. One hash-agg
+    on the 64-value bucket domain — map-side collapsing, no data-scaled
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    z = None
+    for k in range(_Z_BITS):
+        u_bit = F.shiftright(F.col("user_id"), k).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * k)
+        )
+        c_bit = F.shiftright(F.col("cents"), k).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * k + 1)
+        )
+        term = u_bit + c_bit
+        z = term if z is None else z + term
+    return (
+        e.withColumn("zval", z)
+        .groupBy(
+            F.shiftright(F.col("zval"), _Z_BUCKET_SHIFT)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").cast("long").alias("min_u"),
+            F.max("user_id").cast("long").alias("max_u"),
+            F.min("cents").alias("min_c"),
+            F.max("cents").alias("max_c"),
+        )
+    )
