@@ -394,3 +394,101 @@ def q_scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_c"),
         )
     )
+
+
+@query(
+    "q_agg_log2_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN cents <= 0 THEN -1
+                  ELSE CAST(floor(log2(cents)) AS BIGINT) END AS bucket,
+             cents
+      FROM e
+    )
+    SELECT bucket,
+           CASE WHEN bucket < 0 THEN 0
+                ELSE CAST(2 ** bucket AS BIGINT) END AS lo_cents,
+           CASE WHEN bucket < 0 THEN 0
+                ELSE CAST(2 ** (bucket + 1) AS BIGINT) - 1 END AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    category="2.D",
+)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (HdrHistogram-style) value histogram: power-of-two
+    buckets over integer cents — the fixed-memory latency/size
+    distribution every metrics pipeline keeps, where linear bins waste
+    resolution at the head and lose the tail. The bucket count is
+    log2(domain) ≈ 16 regardless of data volume, so the agg collapses
+    map-side and the merged state is a constant few rows — the same
+    mergeability argument as q_agg_incremental_merge, with zero sketch
+    error. floor(log2(n)) is engine-portable for this domain: log2 is
+    exact at powers of two on both engines, and away from them the
+    distance to the next integer is ≥ 1/(n·ln2) ≈ 2.5e-5 at the 56k max
+    — eleven orders above a double's ulp, so a 1-ulp library
+    difference cannot flip the floor. Zero-valued rows get a sentinel
+    bucket (-1)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bucket = F.when(F.col("cents") <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2("cents")).cast("long")
+    )
+    b = e.select(bucket.alias("bucket"), "cents")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+            .cast("long")
+            .alias("lo_cents"),
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(
+                F.pow(F.lit(2.0), F.col("bucket") + 1).cast("long") - 1
+            )
+            .cast("long")
+            .alias("hi_cents"),
+            "n",
+            "sum_cents",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_ts_heatmap_hod_dow",
+    oracle="""
+    SELECT dayofweek(ts) + 1 AS dow,
+           hour(ts) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="2.D",
+)
+def q_ts_heatmap_hod_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap — the first seasonal
+    picture anyone draws of an event stream (complements q_ts_anova_hod's
+    formal test with the full 7×24 grid). Calendar-convention hazard
+    pinned by the property gate: Spark dayofweek is 1=Sunday, DuckDB's
+    is 0=Sunday, so the oracle adds 1. Bounded 168-cell output — the agg
+    collapses map-side, no data-scaled shuffle; exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
