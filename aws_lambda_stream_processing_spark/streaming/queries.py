@@ -1136,3 +1136,95 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_dlq_routing",
+    oracle="""
+    WITH classified AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE
+               WHEN event_type = 'error' THEN 'poison_record'
+               WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+                 THEN 'payload_too_large'
+               WHEN value > 400 THEN 'value_out_of_range'
+               ELSE 'ok'
+             END AS reason
+      FROM events
+    )
+    SELECT CASE WHEN reason = 'ok' THEN 'main' ELSE 'dlq' END AS route,
+           reason,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM classified
+    GROUP BY 1, 2
+    """,
+    category="2.I",
+)
+def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing — the Lambda/Kinesis failure-handling
+    surface itself: every micro-batch validates each record against an
+    ordered rule chain (poison event type → oversized payload →
+    out-of-range value, first match wins — the precedence a real
+    validator has) and routes failures to a DLQ sink WITH their reason
+    while clean records continue to the main sink; the final result is
+    the routing audit (per-route/reason counts + exact cents), i.e.
+    the redrive-policy dashboard. Runs through a REAL checkpointed
+    foreachBatch stream over 2 ordered micro-batches, each batch
+    writing both sinks under a batch_id-keyed subdir (idempotent
+    re-run discipline of q_stream_upsert_foreachbatch, applied to an
+    append-style sink). At 100 TB both sinks are partitioned appends;
+    validation is per-row codegen, routing adds zero shuffles — the
+    only exchange is the final bounded audit agg."""
+    import os
+
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    sink_base = _scratch("alsp_dlq_sink_")
+
+    reason = (
+        F.when(F.col("event_type") == "error", F.lit("poison_record"))
+        .when(
+            F.get_json_object("props", "$.k").cast("long") >= 90,
+            F.lit("payload_too_large"),
+        )
+        .when(F.col("value") > 400, F.lit("value_out_of_range"))
+        .otherwise(F.lit("ok"))
+    )
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        classified = batch_df.select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            reason.alias("reason"),
+        )
+        classified.where("reason = 'ok'").write.mode("overwrite").parquet(
+            f"{sink_base}/main/b{batch_id}"
+        )
+        classified.where("reason <> 'ok'").write.mode("overwrite").parquet(
+            f"{sink_base}/dlq/b{batch_id}"
+        )
+
+    try:
+        run_foreach_batch(stream, handler)
+        main = spark.read.parquet(f"{sink_base}/main/b*")
+        dlq = spark.read.parquet(f"{sink_base}/dlq/b*")
+        audit = (
+            main.withColumn("route", F.lit("main"))
+            .unionByName(dlq.withColumn("route", F.lit("dlq")))
+            .groupBy("route", "reason")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        rows = audit.collect()
+        return spark.createDataFrame(rows, audit.schema)
+    finally:
+        shutil.rmtree(sink_base, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
