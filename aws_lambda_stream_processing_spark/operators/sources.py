@@ -801,3 +801,58 @@ def q_source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_kpl_deaggregate",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id // 5 AS BIGINT) AS record_id,
+           CAST(row_number() OVER (
+             PARTITION BY event_id // 5 ORDER BY event_id
+           ) - 1 AS BIGINT) AS idx,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+    category="2.A",
+)
+def q_source_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPL record aggregation round-trip — the second layer of the
+    reference's wire format: the Kinesis Producer Library packs multiple
+    user records into ONE Kinesis record (cuts per-record cost ~5×), and
+    every consumer must de-aggregate before processing. Here: pack each
+    run of 5 events into one aggregated record as a JSON array
+    (array_sort pins the intra-record order — collect_list alone is
+    nondeterministic), then de-aggregate with from_json + posexplode
+    back to one row per user record with its (record_id, idx) position
+    metadata and the decoded payload key. The oracle derives the same
+    positions arithmetically without ever packing. Scale: packing is
+    one dense-key hash-agg (in production the producer did it
+    client-side); de-aggregation is per-record columnar explode, no
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    packed = (
+        e.select(
+            (F.col("event_id") / 5).cast("long").alias("record_id"),
+            F.struct(
+                F.col("event_id").alias("event_id"),
+                F.col("props").alias("props"),
+            ).alias("rec"),
+        )
+        .groupBy("record_id")
+        .agg(F.to_json(F.array_sort(F.collect_list("rec"))).alias("data"))
+    )
+    recs = packed.select(
+        "record_id",
+        F.posexplode(
+            F.from_json(
+                "data", "array<struct<event_id: long, props: string>>"
+            )
+        ).alias("idx", "rec"),
+    )
+    return recs.select(
+        F.col("rec.event_id").alias("event_id"),
+        "record_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.get_json_object("rec.props", "$.k").cast("int").alias("k"),
+    )
