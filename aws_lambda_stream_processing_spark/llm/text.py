@@ -2073,3 +2073,79 @@ def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "q_llm_dup_trigram_chars",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ),
+    g AS (SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2
+                                    THEN c * length(tg) END), 0) AS BIGINT)
+               AS dup_chars
+      FROM g GROUP BY doc_id
+    )
+    SELECT d.doc_id, a.n_trigrams, a.dup_chars,
+           floor(a.dup_chars * 1.0 / d.n_chars * 10000.0 + 0.5) / 10000.0
+             AS dup_char_frac
+    FROM documents d JOIN a USING (doc_id)
+    """,
+    category="2.J",
+)
+def q_llm_dup_trigram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram CHARACTER fraction — the character-weighted rung
+    of the Gopher repetition family (Rae 2021 A1 measures "fraction of
+    characters in duplicate n-grams", not just the duplicate-type count
+    of q_llm_repetition_ratio: char weighting catches boilerplate made
+    of long repeated phrases that a type ratio underweights). Each
+    occurrence of a trigram whose in-document count is ≥ 2 contributes
+    its full character span (the standard public implementation — no
+    overlap union), normalized by the document's total characters.
+    Docs with fewer than 3 tokens have no trigram and are excluded.
+    Plan: trigrams via posexplode + two leads per doc (ONE doc_id
+    exchange reused by window, the (doc, trigram) count, the per-doc
+    fold and the n_chars join — all doc_id-co-keyed); exact integers
+    until one final floored division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("tg"),
+        F.lead("tok", 2).over(w).alias("l2"),
+    ).where(F.col("l2").isNotNull())
+    g = tri.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    a = g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("tg"))
+            ),
+            F.lit(0),
+        ).alias("dup_chars"),
+    )
+    return a.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        "n_trigrams",
+        "dup_chars",
+        (
+            F.floor(
+                F.col("dup_chars") * 1.0 / F.col("n_chars") * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_char_frac"),
+    )

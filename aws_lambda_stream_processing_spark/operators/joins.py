@@ -685,3 +685,65 @@ def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           (SELECT max(c.event_id) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    category="2.C",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join — q_join_asof with a tolerance: the
+    latest click at-or-before each purchase, but ONLY if it is at most
+    1 hour old (pandas merge_asof's `tolerance`; the market-data rule
+    that a stale quote must not enrich a trade). Same single-shuffle
+    union+window plan as the unbounded as-of — the window additionally
+    carries the matched click's timestamp, and one codegen'd filter
+    nulls the match when it exceeds the staleness bound. The oracle's
+    correlated subquery gets the same window via its extra range
+    predicate; max(event_id) stays the deterministic tie winner
+    (events.ts non-decreasing in event_id, FIXTURES.md §2)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias(
+            "side"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("click_id", ignorenulls=True).over(w).alias("cand_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("cand_ts"),
+    )
+    fresh = F.col("cand_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return enriched.where(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("cand_id")).alias("last_click_id"),
+    )
