@@ -479,3 +479,56 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return e.select("event_id", score_batches("value").alias("score"))
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, 'lang' AS field, lang AS value FROM base
+    UNION ALL
+    SELECT doc_id, 'source' AS field, source AS value FROM base
+    """,
+    category="2.K",
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze` API): the output schema
+    is computed AT ANALYSIS TIME from the call's literal argument — here
+    an unpivot-any-columns table function whose field list arrives as a
+    string, the shape a reusable melt/explode library function has
+    (static-returnType UDTFs must hardcode theirs). The analyze()
+    staticmethod receives the bound arguments and returns the result
+    schema Catalyst plans against; eval() then streams (doc_id, field,
+    value) rows. Row-at-a-time Python — bounded to 100 docs; the
+    built-in stack()/unpivot is the scale path (q_unpivot). The oracle
+    is the equivalent UNION ALL unpivot."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Melt:
+        @staticmethod
+        def analyze(
+            fields: AnalyzeArgument, *rest: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            schema = schema.add("doc_id", LongType())
+            schema = schema.add("field", StringType())
+            schema = schema.add("value", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, fields: str, doc_id: int, *values: str):
+            names = fields.split(",")
+            for name, value in zip(names, values):
+                yield doc_id, name, value
+
+    spark.udtf.register("melt_fields", udtf(Melt))
+    d = load_table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 100).createOrReplaceTempView("melt_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.field, t.value "
+        "FROM melt_docs, "
+        "LATERAL melt_fields('lang,source', doc_id, lang, source) t"
+    )
