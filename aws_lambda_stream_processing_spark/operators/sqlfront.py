@@ -1324,3 +1324,65 @@ def q_sql_tpcds_q51_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain, not event-grain."""
     _register(spark, sf_dir, "events")
     return spark.sql(_DS51_BODY)
+
+
+from aws_lambda_stream_processing_spark.parity import (  # noqa: E402
+    iavg,
+    isum,
+    sql_iavg,
+    sql_isum,
+)
+
+
+@query(
+    "q_sql_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_isum("l_quantity", "sum_qty")},
+           {sql_isum("l_extendedprice", "sum_base_price")},
+           {sql_isum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_isum(
+               "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+               "sum_charge",
+           )},
+           {sql_iavg("l_quantity", "avg_qty")},
+           {sql_iavg("l_extendedprice", "avg_price")},
+           {sql_iavg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 90 DAY
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="2.A",
+)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 proper — the pricing summary report with its shipdate
+    predicate and full aggregate list (q_agg_groupby is the unfiltered
+    flagship shape; this completes the registered 22/22 TPC-H suite).
+    The date filter pushes to the parquet scan; partial aggregation
+    collapses the fact table to ~6 rows per map task before a
+    kilobyte-sized exchange; sums are exact fixed-point int64 (parity
+    isum/iavg), averages one final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(
+            F.col("l_shipdate")
+            <= F.lit("1998-12-01").cast("date") - F.expr("INTERVAL 90 DAY")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            isum("l_quantity", "sum_qty"),
+            isum("l_extendedprice", "sum_base_price"),
+            isum(disc_price, "sum_disc_price"),
+            isum(charge, "sum_charge"),
+            iavg("l_quantity", "avg_qty"),
+            iavg("l_extendedprice", "avg_price"),
+            iavg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
