@@ -1371,3 +1371,59 @@ def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("copies")
     )
+
+
+# q_llm_prefix_dup: shared-prefix length in tokens — crawl near-dups
+# that exact hashing misses (same article, different footer/boilerplate
+# tail) collide on their first PREFIX_K tokens.
+PREFIX_K = 16
+
+
+@query(
+    "q_llm_prefix_dup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' ')
+               AS prefix
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {PREFIX_K}
+    ),
+    g AS (
+      SELECT prefix,
+             CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY prefix
+    )
+    SELECT md5(prefix) AS prefix_key, survivor_id, n_docs
+    FROM g WHERE n_docs >= 2
+    """,
+    category="2.J",
+)
+def q_llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups — the crawl-artifact class exact
+    hashing misses: the same article re-crawled with a different
+    footer/timestamp tail hashes differently but collides on its first
+    {PREFIX_K} tokens. Groups of ≥ 2 docs sharing a full {PREFIX_K}-token
+    prefix are reported with their min-doc_id survivor (the
+    q_llm_exact_dedup survivorship rule applied at prefix granularity;
+    the deletion-neighborhood family covers mid-document edits, this
+    covers tail edits at one hash-agg's cost). Shorter docs are exempt —
+    a short doc IS its own prefix and q_llm_exact_dedup owns that case.
+    Scale: the shuffle carries one 32-char key per doc (the md5 of the
+    prefix, never the text); one map-side-combining hash-agg."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    p = d.where(F.size(t) >= PREFIX_K).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(t, 1, PREFIX_K)).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(F.md5("prefix").alias("prefix_key"), "survivor_id", "n_docs")
+    )
