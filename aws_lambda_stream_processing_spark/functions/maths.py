@@ -292,3 +292,40 @@ def q_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("deg_atan"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props AS BIGINT) AS bad_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_int,
+           CASE WHEN (event_id % 5) = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) / (event_id % 5)
+           END AS safe_div,
+           CAST(TRY_CAST(event_type AS DATE) AS VARCHAR) AS bad_date
+    FROM events
+    """,
+    category="2.H",
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (try_cast / try_divide): malformed
+    input yields NULL instead of a task-killing exception — the
+    difference between one poison record failing a 100 TB job and one
+    NULL flowing to the DLQ path (q_stream_dlq_routing is the routing
+    twin; this is the expression-level surface). A JSON blob refuses to
+    be an int (NULL), an extracted numeric field succeeds, division by
+    a zero denominator yields NULL (both engines' try_divide/NULLIF
+    semantics), a word refuses to be a date (NULL). Per-row codegen,
+    no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        F.try_to_number("props", F.lit("999999")).cast("long").alias(
+            "bad_int"
+        ),
+        F.get_json_object("props", "$.k").try_cast("long").alias("good_int"),
+        F.try_divide(cents, F.col("event_id") % 5).alias("safe_div"),
+        F.col("event_type").try_cast("date").cast("string").alias("bad_date"),
+    )

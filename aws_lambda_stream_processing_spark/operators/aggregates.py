@@ -851,3 +851,33 @@ def q_agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cents"), "bucket")
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_large,
+           bool_and(props IS NOT NULL) AS props_complete,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or — SQL's EVERY and ANY):
+    the data-quality assertion shape ("does EVERY row of this type
+    satisfy the invariant? does ANY row breach the bound?") that
+    otherwise gets written as count-vs-count comparisons. Boolean
+    and/or are commutative and short-circuitable, so the partial
+    aggregation is a 1-bit state per group per map task — the cheapest
+    possible exchange. Exact by construction (no floats cross the
+    wire)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+        F.bool_and(F.col("props").isNotNull()).alias("props_complete"),
+        F.count("*").alias("n"),
+    )
