@@ -39,12 +39,50 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Per-query GC attribution (r3 verdict #6): a single multi-second
+    # major collection on a 32 GB heap lands on whichever query is
+    # unlucky, making a 0.7 s query read as 6 s in the artifact. Record
+    # the GC-time delta per query so warm-vs-cold anomalies are
+    # diagnosable from the artifact alone (entries kept only when the
+    # delta is material, >= 100 ms).
+    def gc_ms() -> int:
+        try:
+            mf = spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+            gcs = mf.getGarbageCollectorMXBeans()
+            return int(
+                sum(gcs.get(i).getCollectionTime() for i in range(gcs.size()))
+            )
+        except Exception:  # noqa: BLE001
+            return 0
+
+    # Block-reclamation hygiene: operators that localCheckpoint bounded
+    # intermediates (dedup-CC, BFS, dprefix materializations) leave
+    # their blocks to the ContextCleaner, which only runs on DRIVER GC —
+    # rare on a 32 GB heap. Over ~760 executions the orphaned blocks
+    # accumulate until storage eviction hits the SHARED caches (base
+    # tables, the graph edge memo), and whichever query rebuilds one
+    # next reads as a multi-second phantom regression (measured:
+    # q_graph_common_neighbors 3.2 → 10.9 s warm with zero GC delta).
+    # A periodic explicit driver GC lets the cleaner reclaim orphans
+    # BEFORE eviction pressure builds.
+    def reclaim_blocks() -> None:
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001
+        except Exception:  # noqa: BLE001
+            pass
+
     timings: dict[str, float] = {}
+    gc_deltas: dict[str, int] = {}
     failures: list[str] = []
+    n_run = 0
     for name in sorted(registry):
         if only and name not in only:
             continue
         spec = registry[name]
+        n_run += 1
+        if n_run % 50 == 0:
+            reclaim_blocks()
+        g0 = gc_ms()
         t0 = time.perf_counter()
         try:
             # Arrow-path materialization (same role as DuckDB's .df()):
@@ -52,6 +90,9 @@ def main() -> int:
             # driver-transfer cost DuckDB pays for the same result set.
             spec.fn(spark, sf_dir).toPandas()
             timings[name] = round(time.perf_counter() - t0, 3)
+            dg = gc_ms() - g0
+            if dg >= 100:
+                gc_deltas[name] = dg
         except Exception as exc:  # noqa: BLE001 - report, don't die
             failures.append(name)
             print(f"bench FAIL {name}: {exc}", file=sys.stderr)
@@ -64,14 +105,23 @@ def main() -> int:
     # number. The primary `value` stays the cold suite total so rounds
     # remain comparable.
     warm: dict[str, float] = {}
+    warm_gc_deltas: dict[str, int] = {}
     if os.environ.get("ALSP_BENCH_WARM") == "1":
+        reclaim_blocks()
         for name in sorted(registry):
             if (only and name not in only) or name in failures:
                 continue
+            n_run += 1
+            if n_run % 50 == 0:
+                reclaim_blocks()
+            g0 = gc_ms()
             t0 = time.perf_counter()
             try:
                 registry[name].fn(spark, sf_dir).toPandas()
                 warm[name] = round(time.perf_counter() - t0, 3)
+                dg = gc_ms() - g0
+                if dg >= 100:
+                    warm_gc_deltas[name] = dg
             except Exception:
                 pass
 
@@ -120,10 +170,16 @@ def main() -> int:
                 "n_queries": len(timings),
                 "failures": failures,
                 **({"jvm": jvm} if jvm else {}),
+                **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
                 **(
                     {"warm_value": round(sum(warm.values()), 3),
                      "warm_queries": warm}
                     if warm
+                    else {}
+                ),
+                **(
+                    {"warm_gc_deltas_ms": warm_gc_deltas}
+                    if warm_gc_deltas
                     else {}
                 ),
             }

@@ -1,5 +1,9 @@
 """Simulate the driver harness end-to-end against __spark_entry__.py.
 
+Set ALSP_CORRECTNESS_OUT=/path.json to also write the per-query results
+in the driver's CORRECTNESS_r{N}.json format (rows/schema/hash matches,
+row counts, err) — the committed self-certification artifact.
+
 Builds a *vanilla* SparkSession (no engine configs — the driver owns the
 session, so the engine's per-query conf pinning must do the work), then:
   1. smoke: entry(spark) at sf0.001, rows > 0
@@ -78,6 +82,17 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     fail, weak_n = [], 0
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False,
+               hash_match=False, spark_rows=None, oracle_rows=None,
+               err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -86,36 +101,59 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as ex:
             fail.append(name)
+            record(name, err=f"spark error {type(ex).__name__}: {ex}"[:300])
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
             weak_n += 1
+            record(name, spark_rows=len(sdf), err="no_oracle")
             print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as ex:
             fail.append(name)
+            record(name, spark_rows=len(sdf),
+                   err=f"duckdb error {ex}"[:300])
             print(f"FAIL {name}: duckdb error {ex}")
             continue
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
         if sorted(sdf.columns) != sorted(odf.columns):
             fail.append(name)
+            record(name, spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="schema mismatch")
             print(f"FAIL {name}: cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
         if len(sdf) != len(odf):
             fail.append(name)
+            record(name, schema_match=True, spark_rows=len(sdf),
+                   oracle_rows=len(odf), err="rowcount mismatch")
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
             continue
         s, o = canon_frame(sdf), canon_frame(odf)
         bad = [(a, b) for a, b in zip(s, o) if a != b]
         if bad:
             fail.append(name)
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err=f"{len(bad)} value mismatches")
             print(f"FAIL {name}: {len(bad)} value mismatches; first:")
             print(f"  spark={bad[0][0]}\n  duck ={bad[0][1]}")
         else:
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=True, spark_rows=len(sdf),
+                   oracle_rows=len(odf))
             print(f"ok   {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+
+    import json
+    import os
+
+    out = os.environ.get("ALSP_CORRECTNESS_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {len(results)} results to {out}")
 
     total = len(only) if only else len(qs)
     print(
