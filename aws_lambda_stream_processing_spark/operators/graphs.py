@@ -109,7 +109,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     final probe is a semi-join-shaped equi join on (u, w)."""
     # Vocabulary-sized graph (see q_graph_pagerank): run the two-join
     # chain on a few partitions instead of fact-table shuffle width.
-    e = _part_edges(spark, sf_dir).coalesce(4).cache()
+    # Width 8, not 4: the wedge-stream stage is the suite's heaviest
+    # graph stage and 4 tasks left 28 of 32 cores idle (measured 5.9 s
+    # at 4 → 3.7 s at 8 at sf0.1; 16 is flat, 32 pays stage overhead).
+    e = _part_edges(spark, sf_dir).coalesce(8).cache()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -197,7 +200,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this (or bucket by node) but the iteration topology is unchanged.
     edges = (
         half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .coalesce(4)
+        .coalesce(8)
         .cache()
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
@@ -655,7 +658,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same two equi-join + hash-agg budget as
     q_graph_triangles over the SHARED cached edge relation; the wedge
     side is a single degree agg."""
-    e = _part_edges(spark, sf_dir).coalesce(4)
+    e = _part_edges(spark, sf_dir).coalesce(8)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
