@@ -318,6 +318,9 @@ _GLOBAL_WINDOW_OK = {
     "q_agg_survival_km",
     # cumulative share over the 10-row decile output: constant-bounded.
     "q_events_lorenz_curve",
+    # dense token ids over the DISTINCT-token dictionary: bounded by the
+    # vocabulary (31 tokens on this corpus), not the row count.
+    "q_llm_jaccard_spectrum",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
