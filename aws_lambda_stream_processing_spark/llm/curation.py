@@ -1459,3 +1459,130 @@ def q_llm_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_llm_curation_funnel",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source, text, n_chars,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) AS du,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS ds
+      FROM documents
+    ),
+    m AS (
+      SELECT *, n_chars - n + 1 AS cn,
+             (n BETWEEN 30 AND 80) AS r_len,
+             (n BETWEEN 30 AND 80 AND 7 * n <= 2 * (n_chars - n + 1)
+              AND 2 * (n_chars - n + 1) <= 9 * n
+              AND 20 * ds >= n AND 5 * du >= n) AS keep
+      FROM q
+    ),
+    d AS (
+      SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+               AS survivor
+      FROM m
+    ),
+    adm AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               SUM(CAST(n AS BIGINT)) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d WHERE keep AND survivor
+      ) WHERE cum <= 200
+    )
+    SELECT 0 AS stage, 'raw' AS name,
+           CAST(COUNT(*) AS BIGINT) AS docs FROM m
+    UNION ALL
+    SELECT 1, 'length_band', CAST(COUNT(*) AS BIGINT)
+    FROM m WHERE r_len
+    UNION ALL
+    SELECT 2, 'gopher_keep', CAST(COUNT(*) AS BIGINT)
+    FROM m WHERE keep
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT)
+    FROM d WHERE keep AND survivor
+    UNION ALL
+    SELECT 4, 'token_quota', CAST(COUNT(*) AS BIGINT) FROM adm
+    """,
+    category="2.J",
+)
+def q_llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch curation funnel — per-stage attrition of the full pipeline
+    (raw → length band → Gopher conjunctive gate → exact dedup → per-
+    source arrival-order token quota), the audit every data team reads
+    before shipping a corpus cut ("which stage is eating my data?").
+    The stages reuse the EXACT semantics of their standalone queries
+    (q_llm_length_band_filter / q_llm_gopher_rules / q_llm_exact_dedup /
+    the q_stream_llm_curation quota with the same 200-token budget), so
+    the funnel numbers reconcile against each of them; the streaming
+    composition proves incremental==batch, this one reports the batch
+    accounting. Scale: everything is one corpus pass + one hash-key
+    shuffle (dedup window) + the per-source quota's co-keyed window —
+    the funnel adds counters, not new exchanges. 5 rows out, exact
+    integers."""
+    from aws_lambda_stream_processing_spark.llm.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    du = F.size(F.array_distinct(t))
+    ds = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    cn = F.col("n_chars") - n + 1
+    r_len = n.between(30, 80)
+    keep = (
+        r_len & (7 * n <= 2 * cn) & (2 * cn <= 9 * n)
+        & (20 * ds >= n) & (5 * du >= n)
+    )
+    m = d.select(
+        "doc_id", "source",
+        n.cast("long").alias("n"),
+        r_len.alias("r_len"),
+        keep.alias("keep"),
+        F.sha2("text", 256).alias("h"),
+    )
+    w_h = Window.partitionBy("h")
+    dd = m.withColumn(
+        "survivor", F.col("doc_id") == F.min("doc_id").over(w_h)
+    )
+    kept = dd.where("keep AND survivor")
+    # per-source quota via the distributed two-phase cumsum (the
+    # q_llm_token_budget_quota pattern) — a partitionBy(source) window
+    # is 20 fat tasks at 100 TB, the exact shape this repo fences.
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    c = two_phase_cumsum(
+        kept.select("doc_id", "source", "n"),
+        [("source", True), ("doc_id", True)],
+        "n",
+        out="__gcum",
+        inclusive=True,
+    )
+    base = c.groupBy("source").agg(
+        F.min(F.col("__gcum") - F.col("n")).alias("__base")
+    )
+    adm = (
+        c.join(F.broadcast(base), "source")
+        .withColumn("cum", F.col("__gcum") - F.col("__base"))
+        .where(F.col("cum") <= 200)
+    )
+
+    def stage(i, name, df):
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("docs"),
+        )
+
+    return (
+        stage(0, "raw", m)
+        .unionByName(stage(1, "length_band", m.where("r_len")))
+        .unionByName(stage(2, "gopher_keep", m.where("keep")))
+        .unionByName(stage(3, "exact_dedup", kept))
+        .unionByName(stage(4, "token_quota", adm))
+    )
