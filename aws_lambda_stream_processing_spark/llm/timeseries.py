@@ -2489,3 +2489,109 @@ def q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_series") >= 2)
         .orderBy(F.desc("n_series"), "sax_word")
     )
+
+
+@query(
+    "q_ts_anomaly_ensemble",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             CAST(round(2 * quantile_cont(cnt, 0.5)) AS BIGINT) AS med2
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.cnt, g.n, g.s, g.ss, g.med2,
+             abs(2 * d.cnt - g.med2) AS dev2
+      FROM daily d, g
+    ),
+    m AS (
+      SELECT CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+      FROM dev
+    ),
+    w AS (
+      SELECT day, cnt, n, s, ss, med2, dev2,
+             SUM(cnt) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev7,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+      FROM dev
+    ),
+    f AS (
+      SELECT day, cnt,
+             ((n * cnt - s) * (n * cnt - s) >= 9 * (n * ss - s * s))
+               AS z_flag,
+             (m.mad4 > 0 AND 2 * dev2 >= 3 * m.mad4) AS mad_flag,
+             (n_prev = 7 AND 7 * cnt >= 2 * prev7) AS spike_flag
+      FROM w, m
+    )
+    SELECT day, cnt, z_flag, mad_flag, spike_flag,
+           CAST(CASE WHEN z_flag THEN 1 ELSE 0 END
+              + CASE WHEN mad_flag THEN 1 ELSE 0 END
+              + CASE WHEN spike_flag THEN 1 ELSE 0 END AS BIGINT) AS votes
+    FROM f
+    WHERE z_flag OR mad_flag OR spike_flag
+    """,
+    category="2.J",
+)
+def q_ts_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-detector ENSEMBLE over the daily event-count series: three
+    independent rules vote — global z-score (|x−μ| ≥ 3σ), MAD
+    (|x−med| ≥ 3·MAD), and a trailing spike rule (x ≥ 2× the previous
+    7-day mean, only when 7 full days exist) — and days with any vote
+    are reported with the per-rule breakdown. Single detectors
+    false-positive on their own blind spots (σ inflated by the outliers
+    themselves, MAD blind to slow drifts, spike blind to level shifts);
+    the consensus column is what a pager should key on. EXACTNESS: every
+    rule is integer cross-multiplied — the z rule as (n·x−S)² ≥
+    9(n·SS−S²), the MAD chain in doubled units (med2/dev2/mad4) so
+    half-integer medians stay integral, the spike rule as 7x ≥ 2·Σ —
+    no float ever reaches a comparison. Scale: one day-grain agg
+    (map-side collapsing), 1-row global moment broadcasts, and a
+    calendar-bounded ordered window (whitelisted class)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.round(2 * F.percentile("cnt", F.lit(0.5)))
+        .cast("long")
+        .alias("med2"),
+    )
+    dev = daily.crossJoin(F.broadcast(g)).withColumn(
+        "dev2", F.abs(2 * F.col("cnt") - F.col("med2"))
+    )
+    m = dev.agg(
+        F.round(2 * F.percentile("dev2", F.lit(0.5)))
+        .cast("long")
+        .alias("mad4")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    w = dev.withColumn("prev7", F.sum("cnt").over(w7)).withColumn(
+        "n_prev", F.count("*").over(w7)
+    )
+    nx_s = F.col("n") * F.col("cnt") - F.col("s")
+    f = w.crossJoin(F.broadcast(m)).select(
+        "day",
+        "cnt",
+        (nx_s * nx_s >= 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))).alias("z_flag"),
+        ((F.col("mad4") > 0) & (2 * F.col("dev2") >= 3 * F.col("mad4"))).alias("mad_flag"),
+        ((F.col("n_prev") == 7) & (7 * F.col("cnt") >= 2 * F.col("prev7"))).alias("spike_flag"),
+    )
+    votes = (
+        F.col("z_flag").cast("int")
+        + F.col("mad_flag").cast("int")
+        + F.col("spike_flag").cast("int")
+    )
+    return f.withColumn("votes", votes.cast("long")).where(
+        "z_flag OR mad_flag OR spike_flag"
+    )

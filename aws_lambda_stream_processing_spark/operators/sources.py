@@ -856,3 +856,47 @@ def q_source_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx").cast("long").alias("idx"),
         F.get_json_object("rec.props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "q_sink_jsonl_gz_roundtrip",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY source
+    """,
+    category="2.A",
+)
+def q_sink_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSON-lines round-trip — the wire format web-scale corpora
+    actually ship in (Common-Crawl WET/WARC derivatives, most public
+    dataset dumps are .jsonl.gz): write the documents table as
+    gzip-compressed JSONL, read it back with an explicit schema,
+    aggregate per source. Gzip is NOT splittable — one file = one task
+    on read — so at 100 TB the writer must keep individual .gz members
+    small (this write inherits the input partitioning, the same rule);
+    that read-parallelism contract is the thing this rung pins, beyond
+    the plain-JSON round-trip's value fidelity. Exact integer
+    aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="alsp_jsonl_gz_")
+    try:
+        (
+            d.select("doc_id", "source", "n_chars")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(out)
+        )
+        back = spark.read.schema(
+            "doc_id BIGINT, source STRING, n_chars BIGINT"
+        ).json(out)
+        result = back.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -321,6 +321,9 @@ _GLOBAL_WINDOW_OK = {
     # dense token ids over the DISTINCT-token dictionary: bounded by the
     # vocabulary (31 tokens on this corpus), not the row count.
     "q_llm_jaccard_spectrum",
+    # trailing 7-day window over the DAILY series: calendar-bounded
+    # (same class as q_ts_changepoint_cusum).
+    "q_ts_anomaly_ensemble",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
