@@ -2595,3 +2595,67 @@ def q_ts_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.withColumn("votes", votes.cast("long")).where(
         "z_flag OR mad_flag OR spike_flag"
     )
+
+
+@query(
+    "q_ts_calendar_scaffold",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo,
+             date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                  AS TIMESTAMP) AS day
+      FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.day, t.event_type, COALESCE(d.n, 0) AS n,
+           (d.n IS NULL) AS zero_filled
+    FROM cal c CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+    """,
+    category="2.J",
+)
+def q_ts_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar scaffold with zero-fill: generate the COMPLETE
+    (day × event_type) grid between the corpus bounds and left-join the
+    sparse daily aggregates onto it, flagging synthesized zeros — the
+    reporting prerequisite every dashboard and every window function
+    over "consecutive days" silently assumes (a missing day makes a
+    7-day moving average a 6-day one; q_ts_gapfill_locf carries values
+    forward, this rung makes ABSENCE explicit instead). Scale: the
+    scaffold is calendar × type-domain sized (bounded), built from a
+    1-row bounds agg via sequence + explode and broadcast against the
+    daily agg — the fact table is touched once for bounds and once for
+    the day-grain agg, both map-side collapsing."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        cal.crossJoin(types)
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("zero_filled"),
+        )
+    )

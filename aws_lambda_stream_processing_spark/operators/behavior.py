@@ -1583,3 +1583,69 @@ def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_total",
         )
     )
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t0
+        AND e.ts <= s.t0 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        AND e.ts <= c.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h
+    """,
+    category="2.D",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel: each stage must fire within
+    24 h of entering the previous stage (the strict-funnel semantics
+    product analytics tools default to — q_funnel_conversion is the
+    unconstrained twin; the constraint changes the numbers materially
+    because stale conversions stop counting). Same frontier-broadcast
+    plan: each stage is one hash-agg on user_id whose one-row-per-user
+    frontier broadcasts into the next stage's candidate join with BOTH
+    the ordering and the deadline predicate; the events table is never
+    shuffled wider than user_id. Timestamps compare exactly (µs
+    integers on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .where((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t0") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_24h")))
+    )
