@@ -1488,10 +1488,15 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join: tokens get dense ids from a deterministic
     sorted dictionary, every set folds into 60-bit mask chunks, and
     |A∩B| = Σ_chunks popcount(maskA & maskB) over an all-pairs join of
-    the CONTRACTED masks — whole-stage-codegen integer ops end to end
-    (measured 33.5 s → ~7 s at sf0.1 vs the token join, whose 31
-    hot token keys each matched ~1250×1250 rows). Pairs sharing zero
-    tokens land in the lowest band by the same arithmetic (o = 0).
+    the CONTRACTED masks (33.5 s → 3.1 s warm at sf0.1 vs the token
+    join, whose 31 hot token keys each matched ~1250×1250 rows). The
+    chunk layout is ADAPTIVE behind one vocabulary-bounded scalar
+    action: a ≤60-token vocabulary takes the scalar-mask path —
+    bit_count over two long columns in whole-stage codegen — because
+    the general array path pays interpreted zip_with/aggregate per
+    pair (higher-order functions don't codegen; measured 7.2 s vs
+    1.1 s for the all-pairs stage). Pairs sharing zero tokens land in
+    the lowest band by the same arithmetic (o = 0).
 
     Scale: the all-pairs stage is quadratic in DISTINCT sets by design —
     this is the exact-eval rung, run on a contraction-sized calibration
@@ -1513,53 +1518,77 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_tok = Window.orderBy("tok")
     tdict = toks.select(
         "tok", (F.row_number().over(w_tok) - 1).alias("idx")
-    )
-    # fold each contracted set into 60-bit mask chunks
+    ).localCheckpoint()  # vocabulary-sized; read twice (masks + nc probe)
     rt = classes.select("rep", F.explode("s").alias("tok")).join(
         F.broadcast(tdict), "tok"
     )
-    chunked = rt.groupBy(
-        "rep", (F.col("idx") / 60).cast("long").alias("chunk")
-    ).agg(
-        F.sum(
-            F.pow(F.lit(2.0), F.col("idx") % 60).cast("long")
-        ).alias("m")
+    # One bounded action: the chunk count (vocabulary-bounded scalar).
+    # nc == 1 (vocab ≤ 60) takes the SCALAR mask path — bit_count over
+    # two long columns in whole-stage codegen; the general array path
+    # pays interpreted zip_with/aggregate per pair (higher-order
+    # functions don't codegen — measured 7.2 s vs 1.1 s for the
+    # all-pairs stage at sf0.1 on this 31-token vocabulary).
+    nc = int(
+        tdict.agg(
+            (F.floor(F.max("idx") / 60) + 1).cast("int").alias("nc")
+        ).collect()[0][0]
     )
-    n_chunks = tdict.agg(
-        (F.floor(F.max("idx") / 60) + 1).cast("int").alias("nc")
-    )
-    masks = (
-        chunked.groupBy("rep")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("chunk", "m"))
-        ).alias("cm"))
-        .crossJoin(F.broadcast(n_chunks))
-        .select(
-            "rep",
+    sized = classes.select("rep", F.size("s").alias("n"), "cls")
+    if nc == 1:
+        masks = rt.groupBy("rep").agg(
+            F.sum(F.pow(F.lit(2.0), F.col("idx")).cast("long")).alias("m")
+        ).join(sized, "rep")
+        a = masks.select(
+            F.col("rep").alias("ra"), F.col("m").alias("ma"),
+            F.col("n").alias("nx"), F.col("cls").alias("cx"),
+        )
+        b = masks.select(
+            F.col("rep").alias("rb"), F.col("m").alias("mb"),
+            F.col("n").alias("ny"), F.col("cls").alias("cy"),
+        )
+        pairs = a.join(b, F.col("ra") < F.col("rb")).select(
+            "nx", "ny", "cx", "cy",
+            F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+            .cast("long")
+            .alias("o"),
+        )
+    else:
+        chunked = rt.groupBy(
+            "rep", (F.col("idx") / 60).cast("long").alias("chunk")
+        ).agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("idx") % 60).cast("long")
+            ).alias("m")
+        )
+        masks = (
+            chunked.groupBy("rep")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("chunk", "m"))
+            ).alias("cm"))
+            .select(
+                "rep",
+                F.expr(
+                    f"transform(sequence(0, {nc} - 1), "
+                    "c -> coalesce(cm[cast(c as bigint)], 0L))"
+                ).alias("ms"),
+            )
+            .join(sized, "rep")
+        )
+        a = masks.select(
+            F.col("rep").alias("ra"), F.col("ms").alias("ma"),
+            F.col("n").alias("nx"), F.col("cls").alias("cx"),
+        )
+        b = masks.select(
+            F.col("rep").alias("rb"), F.col("ms").alias("mb"),
+            F.col("n").alias("ny"), F.col("cls").alias("cy"),
+        )
+        pairs = a.join(b, F.col("ra") < F.col("rb")).select(
+            "nx", "ny", "cx", "cy",
             F.expr(
-                "transform(sequence(0, nc - 1), "
-                "c -> coalesce(cm[cast(c as bigint)], 0L))"
-            ).alias("ms"),
+                "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), "
+                "0, (acc, v) -> acc + v)"
+            ).cast("long").alias("o"),
         )
-        .join(
-            classes.select("rep", F.size("s").alias("n"), "cls"), "rep"
-        )
-    )
-    a = masks.select(
-        F.col("rep").alias("ra"), F.col("ms").alias("ma"),
-        F.col("n").alias("nx"), F.col("cls").alias("cx"),
-    )
-    b = masks.select(
-        F.col("rep").alias("rb"), F.col("ms").alias("mb"),
-        F.col("n").alias("ny"), F.col("cls").alias("cy"),
-    )
-    pairs = a.join(b, F.col("ra") < F.col("rb")).select(
-        "nx", "ny", "cx", "cy",
-        F.expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), "
-            "0, (acc, v) -> acc + v)"
-        ).cast("long").alias("o"),
-    )
     u = F.col("nx") + F.col("ny") - F.col("o")
     band = (
         F.when(20 * F.col("o") >= 19 * u, "[0.95,1.0)")
