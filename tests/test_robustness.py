@@ -56,6 +56,14 @@ SAMPLE = [
     "q_llm_dsir_weights",  # decimal ln sums over a checkpointed bigram stream
     "q_ts_acf_lags",  # Pearson evaluated in doubles (int64->double rounding)
     "q_llm_ngram_novelty",  # rolling-hash shingle keys, min-doc_id ownership
+    # round-4 hazards:
+    "q_llm_jaccard_spectrum",  # bitset all-pairs + integer band edges
+    "q_llm_embed_covariance",  # per-partition Gram partials must merge cleanly
+    "q_win_range_frame",  # owner/donor bucket refinement vs IEEE frame bounds
+    "q_llm_curation_funnel",  # two-phase quota + dedup window composition
+    "q_ts_anomaly_ensemble",  # integer cross-multiplied votes, median chain
+    "q_scale_zorder_layout",  # 32-term bit interleave under any partitioning
+    "q_llm_multimodal_decode",  # mapInPandas batch boundaries must not matter
 ]
 
 
@@ -74,7 +82,11 @@ def test_deterministic_across_partitioning(spark, registry, name):
     assert base == single, f"{name}: result depends on partition count"
 
 
-@pytest.mark.parametrize("name", ["q_date_extract", "q_ts_convert", "q_stream_tumbling"])
+@pytest.mark.parametrize(
+    "name",
+    ["q_date_extract", "q_ts_convert", "q_stream_tumbling",
+     "q_ts_heatmap_hod_dow", "q_ts_calendar_scaffold"],
+)
 def test_hostile_session_timezone(spark, registry, name):
     """Timezone-sensitive queries must pin UTC themselves — the driver's
     session may run in any zone."""
