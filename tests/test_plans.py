@@ -525,3 +525,51 @@ def test_lazy_builders_run_zero_jobs(spark, registry):
         if n:
             eager[name] = n
     assert not eager, f"lazy builders now run eager jobs: {eager}"
+
+
+# --- round-4 plan gates ----------------------------------------------------
+
+
+def test_embed_covariance_shuffles_only_partials(spark, registry):
+    """q_llm_embed_covariance: the only exchange may carry the 2080-row
+    per-partition Gram partials — if the embedding rows themselves ever
+    shuffle, the one-pass tree-aggregation contract is broken."""
+    df = registry["q_llm_embed_covariance"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped
+
+
+def test_forget_cascade_broadcasts_deletion_set(spark, registry):
+    """q_llm_forget_cascade: the request-sized deletion set must
+    broadcast into every semi-join — a shuffled join would move the
+    corpus for a request-sized probe."""
+    df = registry["q_llm_forget_cascade"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_skew_report_uses_take_ordered(spark, registry):
+    """q_scale_skew_report: the global top-10 must run as
+    TakeOrderedAndProject (10 rows per partition cross the wire), never
+    a full sort."""
+    df = registry["q_scale_skew_report"].fn(spark, SF_DIR)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_oov_rate_vocab_broadcasts(spark, registry):
+    """q_llm_oov_rate: the top-K vocabulary must broadcast into the
+    token join — shuffling exploded tokens against a 20-row dict would
+    be the hot-key shape this query exists to avoid."""
+    df = registry["q_llm_oov_rate"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_kpl_deaggregate_single_exchange(spark, registry):
+    """q_source_kpl_deaggregate: pack = one dense-key hash-agg exchange;
+    de-aggregation is per-record explode with no further shuffle."""
+    df = registry["q_source_kpl_deaggregate"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
