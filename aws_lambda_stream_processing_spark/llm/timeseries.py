@@ -581,18 +581,28 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last are made deterministic with (ts, event_id) tie-breaks.
 
     One window pass + one hash-agg, both keyed on (event_type, bucket):
-    Catalyst plans a single exchange. Output is pixel-bounded (series ×
-    buckets), independent of input volume — the property that makes M4
-    the standard 100 TB dashboard path."""
+    Catalyst plans a single exchange — PROVIDED the bucket is projected
+    as a named column BEFORE the window. Partitioning the window on the
+    inline date_trunc expression made Catalyst alias it to an internal
+    `_w0` attribute the downstream agg key (event_type, bucket) did not
+    match, silently doubling the exchange (caught when the r4 repair of
+    the plan gate un-vacuoused the exchange count). Output is
+    pixel-bounded (series × buckets), independent of input volume — the
+    property that makes M4 the standard 100 TB dashboard path."""
     e = load_table(spark, sf_dir, "events")
-    bucket = F.date_trunc("hour", "ts")
-    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", bucket).orderBy(
+    eb = e.select(
+        "event_type", "value", "ts", "event_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    b = e.select(
+    b = eb.select(
         "event_type",
-        bucket.alias("bucket"),
+        "bucket",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),

@@ -103,7 +103,7 @@ def test_stratified_sample_broadcasts_rates_no_agg_exchange(spark, registry):
     # the sampler is a pure scan + broadcast of a 5-row rate table: the
     # only acceptable join is a broadcast, and there must be no shuffle.
     df = registry["q_llm_stratified_sample"].fn(spark, SF_DIR)
-    plan = plan_string(df)
+    plan = plan_string(df, "simple")  # formatted never inlines the string
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan, (
         "stratified sample must not shuffle the corpus"
@@ -167,7 +167,10 @@ def test_m4_and_ewma_windows_no_extra_exchange(spark, registry):
     from aws_lambda_stream_processing_spark.plans import plan_string
 
     for name in ("q_ts_downsample_m4", "q_ts_ewma16"):
-        plan = plan_string(registry[name].fn(spark, SF_DIR))
+        # simple mode: formatted plans print "Exchange (n)" in the tree
+        # and never the inline "Exchange hashpartitioning" string, which
+        # made this count vacuously 0 (r4 fix).
+        plan = plan_string(registry[name].fn(spark, SF_DIR), "simple")
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
 
