@@ -1613,3 +1613,66 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("1.00").alias("band"), "n_pairs")
     )
     return cross_pairs.unionByName(within)
+
+
+_LEAK_SHARDS = 8
+
+
+@query(
+    "q_llm_dedup_shard_leakage",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS ch, doc_id % {_LEAK_SHARDS} AS shard
+      FROM documents
+    ),
+    global_s AS (
+      SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS n FROM h
+    ),
+    local_s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT shard, ch FROM h)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_docs,
+           g.n AS global_survivors,
+           l.n AS shardlocal_survivors,
+           l.n - g.n AS leaked_duplicates
+    FROM global_s g, local_s l
+    """,
+    category="2.J",
+)
+def q_llm_dedup_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local vs GLOBAL dedup leakage — the quantified argument for
+    why exact dedup must shuffle on the content hash: a pipeline that
+    deduplicates within each shard (the tempting no-shuffle shortcut)
+    keeps one copy PER SHARD of every cross-shard duplicate, and this
+    query counts exactly how many duplicate documents that shortcut
+    would leak into training (shard-local survivors − global
+    survivors). Zero leakage happens only when duplicates are already
+    co-sharded — i.e. when the sharding key IS the content hash, which
+    is precisely the global dedup shuffle. Both counts are one
+    hash-agg each over 32-byte hashes; the comparison costs nothing
+    beyond the audit it settles."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        F.sha2("text", 256).alias("ch"),
+        (F.col("doc_id") % _LEAK_SHARDS).alias("shard"),
+    )
+    n_docs = h.agg(F.count("*").alias("n_docs"))
+    g = h.agg(F.countDistinct("ch").alias("global_survivors"))
+    l = (
+        h.select("shard", "ch")
+        .distinct()
+        .agg(F.count("*").alias("shardlocal_survivors"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(l))
+        .select(
+            "n_docs",
+            "global_survivors",
+            "shardlocal_survivors",
+            (
+                F.col("shardlocal_survivors") - F.col("global_survivors")
+            ).alias("leaked_duplicates"),
+        )
+    )

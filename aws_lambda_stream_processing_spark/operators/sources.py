@@ -900,3 +900,78 @@ def q_sink_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_csv_multiline",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN contains(text, ' ') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spaced
+    FROM documents GROUP BY source
+    """,
+    category="2.A",
+)
+def q_source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES round-trip — the CSV hard case the
+    dialect rung doesn't reach: a quoted field containing record
+    separators. Each document's first space becomes a real newline
+    before writing, the file is read back with multiLine=true (without
+    it the reader splits quoted records mid-field and row counts
+    explode), and the newline is restored before aggregating — so the
+    oracle over the ORIGINAL text matches exactly iff the quoting,
+    multiline parsing, and restoration are all lossless. Scale note:
+    multiLine=true makes CSV files NON-SPLITTABLE (a record boundary
+    can't be found mid-file), the same one-file-one-task contract as
+    gzip — at 100 TB you keep multiline CSV members small or land the
+    data in parquet at the edge; that contract is what this rung
+    pins."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="alsp_csv_ml_")
+    try:
+        (
+            d.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.expr(
+                    "if(instr(text, ' ') > 0, "
+                    "concat(left(text, instr(text, ' ') - 1), '\\n', "
+                    "substring(text, instr(text, ' ') + 1)), text)"
+                ).alias("text_ml"),
+            )
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .csv(out)
+        )
+        back = (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .schema(
+                "doc_id BIGINT, source STRING, n_chars BIGINT, "
+                "text_ml STRING"
+            )
+            .csv(out)
+        )
+        restored = back.withColumn(
+            "text",
+            F.expr(
+                "if(instr(text_ml, '\\n') > 0, "
+                "concat(left(text_ml, instr(text_ml, '\\n') - 1), ' ', "
+                "substring(text_ml, instr(text_ml, '\\n') + 1)), text_ml)"
+            ),
+        )
+        result = restored.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("text").contains(" "), 1).otherwise(0)
+            ).alias("n_spaced"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
