@@ -1586,3 +1586,86 @@ def q_llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "exact_dedup", kept))
         .unionByName(stage(4, "token_quota", adm))
     )
+
+
+@query(
+    "q_llm_corpus_diff",
+    oracle="""
+    WITH cur AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    prev AS (
+      -- simulated previous generation, derived deterministically:
+      -- ids % 7 = 0 had different content then; ids % 7 = 1 did not
+      -- exist yet; 50 synthetic ids beyond the current range existed
+      -- and were since removed; everything else is unchanged.
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN sha256(text || '#prev') ELSE sha256(text) END AS h
+      FROM documents WHERE doc_id % 7 <> 1
+      UNION ALL
+      SELECT m.mx + i AS doc_id, sha256(CAST(i AS VARCHAR)) AS h
+      FROM (SELECT MAX(doc_id) AS mx FROM documents) m,
+           (SELECT unnest(generate_series(1, 50)) AS i)
+    ),
+    j AS (
+      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN c.h <> p.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+    """,
+    category="2.J",
+)
+def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot DIFF — the incremental-refresh accounting every
+    recurring corpus build starts with: full-outer join today's corpus
+    against the previous generation on doc_id, classify every id as
+    added / removed / changed (content hash moved) / unchanged, and
+    count. The delta decides what downstream stages re-run (changed +
+    added re-enter dedup and curation; removed cascades through
+    q_llm_forget_cascade). The previous generation is SIMULATED
+    deterministically from the current one (1/7 of ids changed, 1/7
+    newly added, 50 ids since removed) so all four classes are
+    populated at every SF and both engines derive the identical
+    snapshot; a real deployment replaces the derivation with yesterday's
+    manifest path. Only 32-byte (id, hash) projections cross the join —
+    document text never moves; at 100 TB both sides shuffle once on
+    doc_id (or co-partitioned snapshots skip even that). The diff grain
+    is the id space, not the byte volume."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", F.sha2("text", 256).alias("h"))
+    prev_core = d.where(F.col("doc_id") % 7 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.sha2(F.concat(F.col("text"), F.lit("#prev")), 256),
+        )
+        .otherwise(F.sha2("text", 256))
+        .alias("h"),
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    prev_gone = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(50))).alias("i"), "mx"
+        )
+        .select(
+            (F.col("mx") + F.col("i")).alias("doc_id"),
+            F.sha2(F.col("i").cast("string"), 256).alias("h"),
+        )
+    )
+    prev = prev_core.unionByName(prev_gone).select(
+        F.col("doc_id").alias("pid"), F.col("h").alias("hp")
+    )
+    j = cur.join(prev, cur.doc_id == prev.pid, "full_outer")
+    status = (
+        F.when(F.col("pid").isNull(), "added")
+        .when(F.col("doc_id").isNull(), "removed")
+        .when(F.col("h") != F.col("hp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_docs")
+    )
