@@ -881,3 +881,41 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("props").isNotNull()).alias("props_complete"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           quantile_disc(value, 0.9) AS p90_disc,
+           quantile_disc(value, 0.99) AS p99_disc
+    FROM events GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles — the SLA-reporting semantics (percentile_disc
+    / quantile_disc: the smallest ACTUAL observation at-or-above the
+    rank, never an interpolated value that no request experienced;
+    q_agg_percentile is the interpolated twin). Implemented as an exact
+    positional pick: sort each group's values, take element
+    ceil(p·n) — both engines define quantile_disc by that rank, so the
+    returned doubles are bit-identical corpus values with ZERO
+    arithmetic performed on them. Scale caveat as the interpolated
+    twin: exact per-group value lists; at 100 TB swap to
+    approx_percentile (declared weak separately)."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("vs"),
+        F.count("value").alias("n"),
+    )
+    def disc(p: float, alias: str):
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("int")
+        return F.element_at("vs", idx).alias(alias)
+    return vals.select(
+        "event_type",
+        disc(0.5, "p50_disc"),
+        disc(0.9, "p90_disc"),
+        disc(0.99, "p99_disc"),
+    )
