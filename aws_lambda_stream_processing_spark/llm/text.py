@@ -2149,3 +2149,95 @@ def q_llm_dup_trigram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("dup_char_frac"),
     )
+
+
+@query(
+    "q_llm_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    uni AS (
+      SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1
+    ),
+    uni2 AS (
+      SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bi),
+    pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY 1, 2
+    )
+    SELECT p.w1, p.w2, p.c_xy,
+           CAST(p.c_xy * n.n * 1000000 // (u1.c * u2.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni2 u2 ON u2.w = p.w2
+    CROSS JOIN n
+    WHERE p.c_xy >= 5
+    ORDER BY lift_ppm DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+    category="2.J",
+)
+def q_llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by PMI RANK, log-free: pointwise mutual
+    information orders pairs exactly like the integer lift
+    c_xy·N/(c_x·c_y) (log is monotone), so the ranking — which is what
+    a tokenizer-merge or stopword-phrase decision consumes — needs no
+    transcendental function whose low bits differ between engines.
+    The score ships as floor-ppm integer lift (c_xy·N·10⁶ // c_x·c_y —
+    INTEGER division on both engines; the double-division-then-truncate
+    form differed by one at a .9999… boundary); the min-support
+    cut (c_xy ≥ 5) is the standard collocation floor. Positional
+    unigram margins (first-slot / second-slot counts) make the
+    contingency exact.
+
+    Scale: one bigram explode (the q_llm_repetition_ratio pipeline),
+    three hash-aggs on token keys, two broadcast-able margin joins
+    (vocabulary-sized), one global top-20 via TakeOrderedAndProject.
+    Exact integers end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    uni1 = bi.groupBy(F.col("w1").alias("w")).agg(
+        F.count("*").alias("c1")
+    )
+    uni2 = bi.groupBy(F.col("w2").alias("w")).agg(
+        F.count("*").alias("c2")
+    )
+    n = bi.agg(F.count("*").alias("n"))
+    pairs = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    scored = (
+        pairs.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(uni1), pairs.w1 == uni1.w)
+        .drop("w")
+        .join(F.broadcast(uni2), pairs.w2 == uni2.w)
+        .drop("w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy",
+            F.expr(
+                "(c_xy * n * 1000000) div (c1 * c2)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
