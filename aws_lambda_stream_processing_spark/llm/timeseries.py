@@ -2669,3 +2669,101 @@ def q_ts_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("zero_filled"),
         )
     )
+
+
+@query(
+    "q_ts_outage_report",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('minute', MIN(ts)) AS lo,
+             date_trunc('minute', MAX(ts)) AS hi
+      FROM events
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                  AS TIMESTAMP) AS hr
+      FROM b
+    ),
+    hourly AS (
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT c.hr, (h.hr IS NULL) AS empty,
+             CASE WHEN (h.hr IS NULL) <> COALESCE(lag(h.hr IS NULL)
+                    OVER (ORDER BY c.hr), NOT (h.hr IS NULL))
+                  THEN 1 ELSE 0 END AS edge
+      FROM cal c LEFT JOIN hourly h ON h.hr = c.hr
+    ),
+    runs AS (
+      SELECT hr, empty,
+             SUM(edge) OVER (ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT * FROM (
+      SELECT MIN(hr) AS outage_start,
+             MAX(hr) + INTERVAL 1 MINUTE AS outage_end,
+             CAST(COUNT(*) AS BIGINT) AS n_minutes
+      FROM runs WHERE empty
+      GROUP BY run_id
+    ) WHERE n_minutes >= 5
+    """,
+    category="2.J",
+)
+def q_ts_outage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage report: maximal runs (≥ 5 min) of EMPTY minutes between
+    the corpus bounds, each with start / end / duration — the
+    ingestion-health question ("when did the pipeline stop receiving?")
+    that per-event gap statistics (q_events_gap_stats) answer only in
+    aggregate. Scale-safe by construction: the raw stream collapses to
+    a minute-grain count first (map-side agg), the dense minute
+    calendar comes from a 1-row bounds agg (q_ts_calendar_scaffold
+    pattern), and the gaps-and-islands pass runs over the
+    CALENDAR-BOUNDED minutely series — the whitelisted global-window
+    class — never over events. Exact timestamps and integer run
+    lengths; the 5-minute floor is the alerting deadband."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    cal = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("hr")
+    )
+    hourly = e.groupBy(F.date_trunc("minute", "ts").alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    flagged = cal.join(F.broadcast(hourly), "hr", "left").select(
+        "hr", F.col("n").isNull().alias("empty")
+    )
+    w = Window.orderBy("hr")
+    edged = flagged.withColumn(
+        "edge",
+        (
+            F.col("empty")
+            != F.coalesce(F.lag("empty").over(w), ~F.col("empty"))
+        ).cast("int"),
+    )
+    runs = edged.withColumn(
+        "run_id",
+        F.sum("edge").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.where("empty")
+        .groupBy("run_id")
+        .agg(
+            F.min("hr").alias("outage_start"),
+            (F.max("hr") + F.expr("INTERVAL 1 MINUTE")).alias(
+                "outage_end"
+            ),
+            F.count("*").alias("n_minutes"),
+        )
+        .where(F.col("n_minutes") >= 5)
+        .drop("run_id")
+    )

@@ -327,6 +327,9 @@ _GLOBAL_WINDOW_OK = {
     # trailing 7-day window over the DAILY series: calendar-bounded
     # (same class as q_ts_changepoint_cusum).
     "q_ts_anomaly_ensemble",
+    # gaps-and-islands over the MINUTE calendar scaffold:
+    # calendar-bounded (~43k rows at any SF), never event-grain.
+    "q_ts_outage_report",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
