@@ -71,6 +71,18 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             pass
 
+    # Best-of-2 de-noising (ALSP_BENCH_BEST2=1): time each query twice
+    # back-to-back and report the per-query MINIMUM. Motivation (r5
+    # verdict "Performance"): two driver benches against the IDENTICAL
+    # code HEAD moved q_win_range_frame 5.2 -> 1.9 s — a stray major GC
+    # or a shared-cache eviction lands on whichever query is unlucky,
+    # and one cold sample can't tell that from a regression. The min of
+    # two adjacent samples suppresses exactly that one-off tail class
+    # (a genuine regression moves both samples); the second run reuses
+    # the first run's codegen cache, so best-of-2 numbers sit between
+    # the cold and ALSP_BENCH_WARM steady-state definitions.
+    best2 = os.environ.get("ALSP_BENCH_BEST2") == "1"
+
     timings: dict[str, float] = {}
     gc_deltas: dict[str, int] = {}
     failures: list[str] = []
@@ -89,7 +101,12 @@ def main() -> int:
             # py4j row-by-row collect() would charge the engine ~3× the
             # driver-transfer cost DuckDB pays for the same result set.
             spec.fn(spark, sf_dir).toPandas()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            took = time.perf_counter() - t0
+            if best2:
+                t1 = time.perf_counter()
+                spec.fn(spark, sf_dir).toPandas()
+                took = min(took, time.perf_counter() - t1)
+            timings[name] = round(took, 3)
             dg = gc_ms() - g0
             if dg >= 100:
                 gc_deltas[name] = dg
@@ -169,6 +186,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "failures": failures,
+                **({"best2": True} if best2 else {}),
                 **({"jvm": jvm} if jvm else {}),
                 **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
                 **(
