@@ -377,7 +377,21 @@ def test_range_frame_window_is_bucket_partitioned(spark, registry):
     assert any("bucket" in ln for ln in win), (
         f"range-frame window lost its bucket partition key:\n{plan}"
     )
-    assert "partitionBy=[event_type], " not in plan
+    # Every event_type-partitioned windowspecdefinition must carry the
+    # bucket as its SECOND partition column. (The r5 vacuity audit
+    # killed the old `"partitionBy=[event_type], " not in plan` form:
+    # physical Window nodes print windowspecdefinition argument lists,
+    # never `partitionBy=[...]`, so that string could never match. If
+    # the window degraded to event_type-only partitioning, the arg
+    # after event_type would be the ASC/DESC order column — caught
+    # below; tests/test_plan_gate_vacuity.py proves both directions.)
+    import re
+
+    next_args = re.findall(r"windowspecdefinition\(event_type#\d+\w*, (\w+)#", plan)
+    assert next_args, f"no event_type-partitioned window found:\n{plan}"
+    assert all(a == "bucket" for a in next_args), (
+        f"window partitioned by event_type alone: {next_args}\n{plan}"
+    )
     # realized parallelism: distinct (event_type, bucket) groups >> 5
     from pyspark.sql import functions as F
 
