@@ -492,3 +492,127 @@ def q_ts_heatmap_hod_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+# --- AQE skew-join rung (r5 verdict item 6) --------------------------------
+
+_AQE_SKEW_CONFS = {
+    # force the sort-merge path: broadcast (static AND AQE's runtime
+    # re-check) would absorb the 997-row dim and there'd be no shuffle
+    # partition to split
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # thresholds sized so the hot partition (~85% of events on one key:
+    # a few KB compressed at sf0.001, ~1 MB at sf0.1) is skewed at
+    # EVERY test SF while the 996 cold keys stay far below; at
+    # production scale the defaults (256 MB / factor 5) play the same
+    # role
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+    # keep all reduce partitions so skew detection sees per-partition
+    # map-output sizes, not post-coalesce ones
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+class _conf_ctx:
+    """Set/restore session confs around an eager execution (the engine
+    must leave the driver's session exactly as it found it)."""
+
+    def __init__(self, spark: SparkSession, confs: dict[str, str]):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.saved = {}
+        for k, v in self.confs.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:  # noqa: BLE001 - unset conf
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def _skewed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliberately skewed join: ~85% of events collapse onto key 0
+    (user_id % 20 < 17), the rest spread over 996 cold keys; the dim is
+    a derived 997-row weight table, merge-hinted so the plan is a
+    sort-merge join whose key-0 reduce partition dwarfs the median."""
+    e = load_table(spark, sf_dir, "events")
+    # 16 upstream map tasks: AQE splits a skewed reduce partition along
+    # MAP-OUTPUT boundaries, so a single-mapper stage (one small parquet
+    # file at test SFs) is unsplittable no matter how skewed — the
+    # repartition models the thousands-of-mappers reality of a real
+    # scan and caps the split fan-out at 16.
+    fact = e.repartition(16).select(
+        F.when(F.col("user_id") % 20 < 17, F.lit(0))
+        .otherwise(F.col("user_id") % 997)
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") % 50 + 1).alias("w")
+    )
+    return (
+        fact.join(dim.hint("merge"), "k")
+        .groupBy((F.col("k") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_join_skew_aqe",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN user_id % 20 < 17 THEN 0 ELSE user_id % 997 END AS k,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (SELECT range AS k, range % 50 + 1 AS w FROM range(997))
+    SELECT k % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents * w) AS BIGINT) AS weighted_cents
+    FROM fact JOIN dim USING (k)
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="2.C",
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native skew handling — the third rung of the skew ladder
+    after diagnosis (q_scale_skew_report) and manual salting
+    (q_join_salted / q_agg_salted_skew): the same hot-key join, handed
+    to AQE's OptimizeSkewedJoin instead of a hand-rolled salt. Under
+    `spark.sql.adaptive.skewJoin.enabled`, the runtime re-planner sees
+    the key-0 reduce partition exceed the skew threshold, SPLITS it
+    into advisory-sized sub-partitions, and replicates the matching dim
+    partition — the executed sort-merge join carries `skew=true` on the
+    hot side (plan-gated, non-vacuously, in tests/test_plans.py:
+    present under this conf ladder, absent without it).
+
+    The join runs EAGERLY inside the conf context (restored before
+    returning, so the driver's session is untouched) because skew
+    splitting exists only in the executed adaptive plan; the returned
+    frame is the materialized 10-row per-bucket aggregate,
+    result-identical to the plain join by exact integer oracle. Salting
+    remains the fallback where AQE can't apply (aggregation reusing the
+    join partitioning); where it can, the engine-native path wins: no
+    key-space fan-out, no dim replication factor to tune, thresholds
+    instead of guesses. At 100 TB this is the default posture — AQE on,
+    skew thresholds at defaults — and the manual ladder is the escape
+    hatch."""
+    with _conf_ctx(spark, _AQE_SKEW_CONFS):
+        df = _skewed_join_frame(spark, sf_dir)
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)

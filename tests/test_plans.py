@@ -593,3 +593,30 @@ def test_kpl_deaggregate_single_exchange(spark, registry):
     df = registry["q_source_kpl_deaggregate"].fn(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+# --- round-6 plan gates ----------------------------------------------------
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, registry):
+    """q_join_skew_aqe: under the conf ladder the executed adaptive plan
+    must mark the hot side of the sort-merge join `skew=true` (AQE
+    OptimizeSkewedJoin split the key-0 partition); without the ladder
+    the same frame must carry no skew mark — the two directions prove
+    the gate pattern is matchable AND meaningful. Results must equal
+    the plain (broadcast) execution exactly."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _AQE_SKEW_CONFS,
+        _conf_ctx,
+        _skewed_join_frame,
+    )
+
+    with _conf_ctx(spark, _AQE_SKEW_CONFS):
+        df = _skewed_join_frame(spark, SF_DIR)
+        skewed_rows = sorted(map(tuple, df.collect()))
+        plan = plan_string(df)
+    assert "skew=true" in plan, plan[:3000]
+    df2 = _skewed_join_frame(spark, SF_DIR)
+    plain_rows = sorted(map(tuple, df2.collect()))
+    assert "skew=true" not in plan_string(df2)
+    assert skewed_rows == plain_rows
