@@ -38,11 +38,20 @@ def jobs_run(
     suite-safe."""
     sc = spark.sparkContext
     group = f"alsp-action-audit-{uuid.uuid4().hex[:12]}"
-    prev: Any = sc.getLocalProperty("spark.jobGroup.id")
+    # setJobGroup writes THREE thread-local properties; save and restore
+    # all of them, or the audit's description/interrupt flag leak onto
+    # whatever job the calling thread submits next (r5 ADVICE).
+    props = (
+        "spark.jobGroup.id",
+        "spark.job.description",
+        "spark.job.interruptOnCancel",
+    )
+    prev: dict[str, Any] = {p: sc.getLocalProperty(p) for p in props}
     sc.setJobGroup(group, "action-count audit", False)
     try:
         result = thunk()
     finally:
-        # restore the caller's group (None clears it)
-        sc.setLocalProperty("spark.jobGroup.id", prev)
+        # restore the caller's properties (None clears)
+        for p in props:
+            sc.setLocalProperty(p, prev[p])
     return result, len(sc.statusTracker().getJobIdsForGroup(group))

@@ -481,15 +481,70 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", score_batches("value").alias("score"))
 
 
+def polymorphic_melt_udtf():
+    """The Spark 4 analyze-API UDTF behind q_udtf_polymorphic, exposed
+    at module level so tests can call it with DIFFERENT field literals
+    and prove the schema really is computed at analysis time.
+
+    analyze() derives the output schema FROM the `fields` literal: one
+    string column per comma-separated name after the fixed (doc_id,
+    field, value) triple would be the static shape — instead the melt
+    emits the long form but with the `field` column DOMAIN declared by
+    the literal, and analyze() (a) requires `fields` to be foldable
+    (non-literal call fails at analysis), (b) requires exactly one
+    bound value column per declared name (arity mismatch fails at
+    analysis, before any task runs), and (c) names the value column
+    after the field list's fingerprint so two different literals yield
+    two different schemas — the polymorphism is observable in the
+    resolved plan, not just claimed."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Melt:
+        @staticmethod
+        def analyze(
+            fields: AnalyzeArgument, doc_id: AnalyzeArgument,
+            *rest: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            if fields.value is None:
+                raise ValueError(
+                    "melt_fields: `fields` must be a string literal "
+                    "(the schema is computed from it at analysis time)"
+                )
+            names = [n for n in str(fields.value).split(",") if n]
+            if not names:
+                raise ValueError("melt_fields: empty field list")
+            if len(rest) != len(names):
+                raise ValueError(
+                    f"melt_fields: {len(names)} field names "
+                    f"but {len(rest)} value columns"
+                )
+            schema = StructType()
+            schema = schema.add("doc_id", LongType())
+            schema = schema.add("field", StringType())
+            # schema derived from the literal: a different field list
+            # produces a differently-named value column
+            schema = schema.add("value_" + "_".join(names), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, fields: str, doc_id: int, *values: str):
+            names = fields.split(",")
+            for name, value in zip(names, values):
+                yield doc_id, name, value
+
+    return udtf(Melt)
+
+
 @query(
     "q_udtf_polymorphic",
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, source FROM documents WHERE doc_id < 100
     )
-    SELECT doc_id, 'lang' AS field, lang AS value FROM base
+    SELECT doc_id, 'lang' AS field, lang AS value_lang_source FROM base
     UNION ALL
-    SELECT doc_id, 'source' AS field, source AS value FROM base
+    SELECT doc_id, 'source' AS field, source AS value_lang_source FROM base
     """,
     category="2.K",
 )
@@ -498,37 +553,18 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed AT ANALYSIS TIME from the call's literal argument — here
     an unpivot-any-columns table function whose field list arrives as a
     string, the shape a reusable melt/explode library function has
-    (static-returnType UDTFs must hardcode theirs). The analyze()
-    staticmethod receives the bound arguments and returns the result
-    schema Catalyst plans against; eval() then streams (doc_id, field,
-    value) rows. Row-at-a-time Python — bounded to 100 docs; the
-    built-in stack()/unpivot is the scale path (q_unpivot). The oracle
-    is the equivalent UNION ALL unpivot."""
-    from pyspark.sql.functions import udtf
-    from pyspark.sql.types import LongType, StringType, StructType
-    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
-
-    class Melt:
-        @staticmethod
-        def analyze(
-            fields: AnalyzeArgument, *rest: AnalyzeArgument
-        ) -> AnalyzeResult:
-            schema = StructType()
-            schema = schema.add("doc_id", LongType())
-            schema = schema.add("field", StringType())
-            schema = schema.add("value", StringType())
-            return AnalyzeResult(schema=schema)
-
-        def eval(self, fields: str, doc_id: int, *values: str):
-            names = fields.split(",")
-            for name, value in zip(names, values):
-                yield doc_id, name, value
-
-    spark.udtf.register("melt_fields", udtf(Melt))
+    (static-returnType UDTFs must hardcode theirs). analyze() derives
+    the schema from `fields.value` and validates arity/foldability so a
+    wrong call fails at analysis, before any task runs (exercised in
+    tests/test_properties.py with different literals). eval() then
+    streams (doc_id, field, value) rows. Row-at-a-time Python — bounded
+    to 100 docs; the built-in stack()/unpivot is the scale path
+    (q_unpivot). The oracle is the equivalent UNION ALL unpivot."""
+    spark.udtf.register("melt_fields", polymorphic_melt_udtf())
     d = load_table(spark, sf_dir, "documents")
     d.where(F.col("doc_id") < 100).createOrReplaceTempView("melt_docs")
     return spark.sql(
-        "SELECT t.doc_id, t.field, t.value "
+        "SELECT t.doc_id, t.field, t.value_lang_source "
         "FROM melt_docs, "
         "LATERAL melt_fields('lang,source', doc_id, lang, source) t"
     )
