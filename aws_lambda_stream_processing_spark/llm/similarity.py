@@ -758,9 +758,38 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_ann_pq",
-    oracle="""
+def _sign_code_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(quantized vectors, sign-code table) for the PQ-sign ANN family:
+    int8 quantization, 8 subspaces x 8 dims, 8-bit sign code per
+    subspace. Shared by q_llm_ann_pq (in-memory) and
+    q_llm_ann_index_persist (parquet round-trip)."""
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    comps = q.select(
+        "vec_id", F.posexplode("qv").alias("i", "val")
+    ).select(
+        "vec_id",
+        (F.col("i") / 8).cast("int").alias("j"),
+        (F.col("i") % 8).alias("b"),
+        "val",
+    )
+    codes = comps.groupBy("vec_id", "j").agg(
+        F.sum(
+            F.when(F.col("val") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
+        ).alias("code")
+    )
+    return q, codes
+
+
+# Shared by q_llm_ann_pq and q_llm_ann_index_persist: the persisted
+# index round-trip is lossless, so both run against the same exact
+# sign-code oracle.
+_PQ_SIGN_ORACLE = """
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -803,9 +832,10 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_id, cand_id, qdot, rank
     FROM ranked WHERE rank <= 5
     ORDER BY probe_id, rank
-    """,
-    category="2.J",
-)
+    """
+
+
+@query("q_llm_ann_pq", oracle=_PQ_SIGN_ORACLE, category="2.J")
 def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-code ANN (multi-index hashing): vectors are int8-quantized,
     split into 8 subspaces of 8 dims, each reduced to an 8-bit SIGN code
@@ -824,26 +854,7 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     index you'd persist (bucketed by (j, code)); probe fan-out is
     per-band hash lookups + a top-k — no scan of the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, "
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
-        ).alias("qv"),
-    )
-    comps = q.select(
-        "vec_id", F.posexplode("qv").alias("i", "val")
-    ).select(
-        "vec_id",
-        (F.col("i") / 8).cast("int").alias("j"),
-        (F.col("i") % 8).alias("b"),
-        "val",
-    )
-    codes = comps.groupBy("vec_id", "j").agg(
-        F.sum(
-            F.when(F.col("val") > 0, F.expr("shiftleft(1, b)")).otherwise(0)
-        ).alias("code")
-    )
+    q, codes = _sign_code_index(emb)
     probes = codes.where(F.col("vec_id") < 5)
     cand = (
         F.broadcast(
@@ -1660,3 +1671,80 @@ def q_llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_num"
         ),
     )
+
+
+@query("q_llm_ann_index_persist", oracle=_PQ_SIGN_ORACLE, category="2.J")
+def q_llm_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable ANN index round-trip (r5 verdict stretch 9b): the
+    sign-code index is BUILT once, WRITTEN to parquet — the code table
+    partitioned by subspace j (the on-disk layout a probe prunes to:
+    a probe touches 8 partitions, one per band, never the full index)
+    plus the quantized-vector store the re-rank fetches from — then
+    RELOADED from disk by a fresh reader and PROBED exactly like
+    q_llm_ann_pq. The round-trip is lossless integers, so this carries
+    the same EXACT oracle: identical top-5 per probe as the in-memory
+    index, proving index persistence changes no semantics.
+
+    Scale: this is the offline-build/online-probe split every real ANN
+    deployment has — at 100 TB the index build is the one big job, the
+    persisted code table is bucketed by (j, code), and probes are
+    partition-pruned point lookups + a candidate re-rank; embeddings
+    never leave the vector store except for matched candidates."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, codes = _sign_code_index(emb)
+    base = tempfile.mkdtemp(prefix="alsp_ann_index_")
+    try:
+        # offline: persist the index (codes partitioned by band j) and
+        # the quantized vector store
+        codes.write.mode("overwrite").partitionBy("j").parquet(
+            f"{base}/codes"
+        )
+        q.write.mode("overwrite").parquet(f"{base}/vectors")
+        # online: fresh reads — nothing below touches the in-memory
+        # frames, so the result proves the PERSISTED index is complete
+        codes_r = spark.read.parquet(f"{base}/codes").select(
+            "vec_id", F.col("j").cast("int").alias("j"), "code"
+        )
+        q_r = spark.read.parquet(f"{base}/vectors")
+        probes = codes_r.where(F.col("vec_id") < 5)
+        cand = (
+            F.broadcast(
+                probes.select(F.col("vec_id").alias("probe_id"), "j", "code")
+            )
+            .join(codes_r, ["j", "code"])
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("cand_id"))
+            .distinct()
+        )
+        qa = q_r.select(
+            F.col("vec_id").alias("probe_id"), F.col("qv").alias("qa")
+        )
+        qb = q_r.select(
+            F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb")
+        )
+        qdot = F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            cand.join(F.broadcast(qa), "probe_id")
+            .join(qb, "cand_id")
+            .select("probe_id", "cand_id", qdot.alias("qdot"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("qdot"), F.asc("cand_id")
+        )
+        result = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("probe_id", "cand_id", "qdot", "rank")
+            .orderBy("probe_id", "rank")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1254,3 +1254,85 @@ def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(sink_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_checkpoint_recovery",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    category="2.I",
+)
+def q_stream_checkpoint_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint recovery as a first-class query (r5 verdict stretch
+    9c, promoting the tests/test_streaming_restart.py gates into the
+    certified surface): a stateful complete-mode aggregation runs as
+    TWO SEPARATE streaming query objects sharing ONE checkpoint — the
+    redeploy of a Lambda event-source mapping. Run 1 drains the even
+    half of events; new files then land; run 2 is a brand-new query on
+    the same checkpoint that must (a) restore the grouped-state from
+    the state store, (b) resume AFTER the committed offsets (never
+    re-reading run 1's files), and (c) fold the odd half in. The final
+    complete-mode aggregate therefore equals the one-shot batch
+    aggregate over the whole table — the exact oracle; losing state or
+    re-reading offsets both break the integer cents.
+
+    Each micro-batch overwrites the versioned output with the current
+    complete aggregate (idempotent republish), so the sink read after
+    run 2 is the recovered stream's own claim about the full table.
+    At 100 TB the checkpoint (offsets + HDFS-backed state store) is
+    exactly what survives executor loss and planned redeploys; the
+    two-run split here exercises the same code path."""
+    import os
+
+    agg_cols = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ]
+
+    def plan(input_dir: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema(SPLIT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        return stream.groupBy("event_type").agg(*agg_cols)
+
+    d = split_events_dir(spark, sf_dir, ["user_id % 2 = 0"])
+    ckpt = _scratch("alsp_ckrec_ckpt_")
+    out = _scratch("alsp_ckrec_out_")
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/latest")
+
+    try:
+        # run 1: even half, then the query object is gone
+        run_foreach_batch(
+            plan(d), handler, output_mode="complete", checkpoint=ckpt
+        )
+        # redeploy: the odd half lands as new files
+        d2 = split_events_dir(spark, sf_dir, ["user_id % 2 = 1"])
+        try:
+            shutil.move(
+                f"{d2}/batch_000.parquet", f"{d}/batch_001_rest.parquet"
+            )
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+        # run 2: NEW query, same checkpoint — state + offsets recovered
+        run_foreach_batch(
+            plan(d), handler, output_mode="complete", checkpoint=ckpt
+        )
+        final = spark.read.parquet(f"{out}/latest").select(
+            "event_type", "n", "cents"
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
