@@ -515,6 +515,7 @@ _MUST_BE_LAZY = (
     "q_agg_rollup",
     "q_win_range_frame",
     "q_graph_pagerank",
+    "q_graph_lpa_communities",
     "q_llm_tfidf",
     "q_llm_minhash_lsh",
     "q_llm_cosine_topk",
