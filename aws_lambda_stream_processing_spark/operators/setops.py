@@ -125,3 +125,53 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return a.exceptAll(b)
+
+
+@query(
+    "q_set_union_by_name",
+    oracle="""
+    WITH merged AS (
+      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             NULL AS event_type
+      FROM events WHERE event_type = 'click'
+      UNION ALL BY NAME
+      SELECT event_id, event_type, user_id,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_cents,
+           CAST(COUNT(event_type) AS BIGINT) AS n_with_type,
+           CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM merged
+    """,
+    category="2.G",
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning bag union — `unionByName(allowMissingColumns)`,
+    the multi-source merge where shards disagree on column ORDER and
+    PRESENCE (the schema-drift reality of long-lived event streams:
+    old shards lack new columns). Columns align by NAME, not position
+    — a positional UNION here would silently pair user_id with
+    event_type — and each side's missing columns fill with NULL.
+    DuckDB's `UNION ALL BY NAME` is the same operator, so the oracle
+    is structural. Null-count aggregates pin the fill semantics.
+    Scale: zero-shuffle concatenation plus one hash agg, same budget
+    as q_set_union_all."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = e.where(F.col("event_type") == "error").select(
+        "event_id", "event_type", "user_id"
+    )
+    merged = a.unionByName(b, allowMissingColumns=True)
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.count("cents").alias("n_with_cents"),
+        F.count("event_type").alias("n_with_type"),
+        F.sum(F.coalesce("cents", F.lit(0))).alias("cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -975,3 +975,75 @@ def q_source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_scan_metadata_columns",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events GROUP BY event_type
+    """,
+    category="2.A",
+)
+def q_scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_path` /
+    `file_name` / `file_size`) — the lineage surface a lakehouse reader
+    uses to answer "which file did this row come from" without a
+    side-channel. Events are written partitioned by event_type with
+    one file per partition (the q_sink_partitioned layout), read back,
+    and grouped by the FILE each row arrived in — the partition value
+    recovered by parsing `_metadata.file_path`, never by reading the
+    column. One file per partition makes per-file counts equal
+    per-event_type counts, so the oracle is the plain batch aggregate
+    plus the n_files=1 invariant (>1 file per partition would break
+    the hash).
+
+    Scale: _metadata is constant-per-file and evaluated at the scan —
+    no join against a manifest; the group-by is the same one-exchange
+    hash agg as any keyed count. At 100 TB this is how per-file audit
+    counts (row counts per ingested object) are produced in one pass."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="alsp_meta_") + "/events"
+    e = load_table(spark, sf_dir, "events")
+    try:
+        (
+            e.select("event_id", "user_id", "event_type")
+            .repartition("event_type")
+            .sortWithinPartitions("event_type")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out).select(
+            F.col("_metadata.file_path").alias("fp"),
+            "user_id",
+        )
+        per_file = back.groupBy("fp").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        result = (
+            per_file.select(
+                F.regexp_extract("fp", r"event_type=([^/]+)/", 1).alias(
+                    "event_type"
+                ),
+                "n_rows",
+                "n_users",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_users").alias("n_users"),
+                F.count("*").alias("n_files"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1386,3 +1386,42 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT event_type,
+           CAST(date_part('hour', ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    category="2.A",
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the modern analyst-SQL surface
+    (DuckDB introduced it; Spark adopted it in 3.4/4.x): every
+    non-aggregate select item becomes a grouping key, and ORDER BY ALL
+    sorts by the full select list left-to-right — so the oracle is the
+    IDENTICAL query text on both engines, pinning that the resolution
+    rules agree (which select items count as grouping keys, and the
+    total deterministic order). Plans exactly like an explicit
+    GROUP BY: partial+final hash agg on (event_type, hod), one
+    exchange, range sort for presentation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "gba_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM gba_events
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
