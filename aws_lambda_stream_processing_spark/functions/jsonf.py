@@ -60,3 +60,55 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k INT").getField("k").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("absent"),
     )
+
+
+@query(
+    "q_cast_variant",
+    oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract(props, '$.missing') AS absent
+      FROM events
+    )
+    SELECT k % 10 AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(COUNT(absent) AS BIGINT) AS n_absent
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+    category="2.H",
+)
+def q_cast_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4's semi-structured type): props parses
+    ONCE into a VARIANT value — the open-schema landing format for
+    JSON whose shape isn't known at write time — and fields extract
+    with TYPED `variant_get` (no per-access string re-parse, unlike
+    get_json_object) plus `try_variant_get` for a missing path (NULL,
+    never error). The oracle is DuckDB's native JSON extraction — the
+    semantics VARIANT must preserve. Banded integer aggregates pin the
+    typed extraction end to end.
+
+    Scale: VARIANT stores a parsed binary encoding, so N field reads
+    cost one parse — the reason lakehouses land semi-structured
+    columns as VARIANT instead of strings; extraction is
+    scan-adjacent, the agg is one exchange."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", F.parse_json("props").alias("pv")
+    ).select(
+        "event_id",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(pv, '$.missing', 'string')").alias(
+            "absent"
+        ),
+    )
+    return (
+        v.groupBy((F.col("k") % 10).alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.count("absent").alias("n_absent"),
+        )
+        .orderBy("band")
+    )

@@ -1373,3 +1373,59 @@ def q_stream_checkpoint_recovery(
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_state_reader",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    category="2.I",
+)
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark 4 `statestore` data source): after a
+    checkpointed streaming aggregation drains, its keyed state is read
+    back AS A TABLE straight from the checkpoint — the operational
+    surface for state inspection (debugging a stuck aggregation,
+    auditing state size per key, seeding a migration) that previously
+    required replaying the stream. The recovered per-key counts must
+    equal the batch aggregate — the exact oracle; a state row lost,
+    duplicated, or mis-keyed breaks the hash.
+
+    Scale: the reader scans state files partition-parallel (one task
+    per state-store partition — the same layout the stream wrote) and
+    never touches the source topic; at 100 TB of state this is the
+    only way to look inside without a replay."""
+    src = _scratch("alsp_streader_src_")
+    ckpt = _scratch("alsp_streader_ckpt_")
+    try:
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "value"
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, value double"
+        ).parquet(src)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        state = spark.read.format("statestore").load(ckpt)
+        result = state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
