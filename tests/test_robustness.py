@@ -163,3 +163,28 @@ def test_ppm_decoder_contract():
         decode_image(b"P6\n2 1\n65535\n" + bytes(12))  # 16-bit depth
     with _pt.raises(ValueError):
         decode_image(b"P6\n4 4\n255\n" + bytes(10))  # truncated pixels
+
+
+def test_skew_aqe_query_restores_session_confs(spark, registry):
+    """q_join_skew_aqe mutates seven session confs around its eager
+    execution; a leak would poison every later query in the driver's
+    single shared session (e.g. broadcast disabled suite-wide)."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _AQE_SKEW_CONFS,
+    )
+
+    sentinel = {}
+    for k in _AQE_SKEW_CONFS:
+        try:
+            sentinel[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            sentinel[k] = None
+    from tests.conftest import SF_DIR
+
+    registry["q_join_skew_aqe"].fn(spark, SF_DIR).collect()
+    for k, v in sentinel.items():
+        try:
+            now = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            now = None
+        assert now == v, f"conf {k} leaked: {v!r} -> {now!r}"
