@@ -2767,3 +2767,77 @@ def q_ts_outage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_minutes") >= 5)
         .drop("run_id")
     )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.cents - a.cents)
+               / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor(median(slope) * 1000000 + 0.5) / 1000000 AS ts_slope
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event_type: the median of
+    all pairwise slopes (c_j - c_i) / (day_j - day_i) over the daily
+    integer-cents series — the slope estimator with a 29% breakdown
+    point (vs 0% for OLS, q_agg_linreg_exact's rung), the standard
+    trend test companion to q_ts_mann_kendall. Determinism: each slope
+    is ONE IEEE division of exact int64 operands, so the per-type
+    slope multiset is bit-identical on both engines; the 30-day series
+    gives C(30,2)=435 pairs per type — odd — so the median is pure
+    selection (no interpolation path), pinned at floor-6dp anyway.
+
+    Scale shape: the pair explosion is C(days, 2) per series AFTER
+    daily aggregation — bounded by calendar length squared (~66 K
+    pairs for a year), never by event volume: the fact scan collapses
+    to |types|x|days| rows first (one hash-agg shuffle), and the
+    self-join runs on that tiny relation broadcast per type. At 100 TB
+    the identical plan holds because the pair space depends only on
+    the calendar."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+    )
+    med = F.expr("percentile(slope, 0.5)")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.floor(med * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "ts_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -869,3 +869,91 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+_KCORE_K = 8
+_KCORE_ITERS = 4
+
+
+def _kcore_oracle() -> str:
+    body = f"""
+    WITH half0 AS ({_EDGES_SQL}),
+    half AS (SELECT u, v FROM half0 WHERE {_LPA_EDGE_PRED}),
+    e0 AS (
+      SELECT u, v FROM half
+      UNION ALL
+      SELECT v AS u, u AS v FROM half
+    )"""
+    selects = []
+    prev = "e0"
+    for i in range(1, _KCORE_ITERS + 1):
+        body += f""",
+    d{i} AS (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u),
+    k{i} AS (SELECT u FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN k{i} a ON a.u = e.u
+      JOIN k{i} b ON b.u = e.v
+    ),
+    s{i} AS (
+      SELECT {i} AS iteration,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+      FROM e{i}
+    )"""
+        selects.append(f"SELECT * FROM s{i}")
+        prev = f"e{i}"
+    body += "\n    " + "\n    UNION ALL ".join(selects)
+    body += "\n    ORDER BY iteration"
+    return body
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(), category="2.C")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ({iters} FIXED iterations at k={k}): repeatedly
+    drop nodes of degree < k and restrict the graph to survivors; the
+    fixed-iteration trajectory (surviving nodes and undirected edges
+    per peel) approximates the k-core from above and is exactly
+    reproducible on any engine — peeling is confluent (the survivor
+    set after i synchronized rounds is order-independent), integer
+    counts end to end, no floats anywhere. Runs on the same
+    deterministically sparsified co-occurrence graph as
+    q_graph_lpa_communities (~9% of edges) so the peel actually
+    removes mass at every SF instead of terminating in one round on
+    the dense raw graph (median degree ~119 > any useful k).
+
+    Scale shape per iteration: ONE degree hash-agg on the node key +
+    two semi-joins re-keyed on the same node id — the identical
+    node-partitioned topology as the PageRank/LPA steps, so one
+    bucketed layout serves the whole unrolled chain at 100 TB; no
+    driver loop state, no collect. The directed both-orientations
+    encoding makes degree = COUNT(*) per source and lets each
+    semi-join reuse the u-partitioning.""".format(
+        iters=_KCORE_ITERS, k=_KCORE_K
+    )
+    half = _part_edges(spark, sf_dir).where(F.expr(_LPA_EDGE_PRED))
+    edges = (
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .coalesce(8)
+        .cache()
+    )
+    cur = edges
+    stats = []
+    for i in range(1, _KCORE_ITERS + 1):
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= _KCORE_K).select("u")
+        cur = cur.join(keep, "u", "semi").join(
+            keep.select(F.col("u").alias("v")), "v", "semi"
+        )
+        cur = cur.localCheckpoint(eager=False)
+        stats.append(
+            cur.agg(
+                F.lit(i).alias("iteration"),
+                F.count_distinct("u").alias("n_nodes"),
+                (F.count("*") / 2).cast("bigint").alias("n_edges"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("iteration")

@@ -19,7 +19,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
@@ -616,3 +616,73 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _skewed_join_frame(spark, sf_dir)
         rows = df.collect()
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "q_scale_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT l_returnflag AS part_key,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS file_id,
+             CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT part_key, file_id, bytes,
+             CAST(FLOOR(
+               (SUM(bytes) OVER (
+                  PARTITION BY part_key ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - bytes) / 4194304.0) AS BIGINT) AS target_file
+      FROM files
+    )
+    SELECT part_key, target_file,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(SUM(bytes) AS BIGINT) AS out_bytes
+    FROM planned
+    GROUP BY part_key, target_file
+    ORDER BY part_key, target_file
+    """,
+    category="2.D",
+)
+def q_scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance op every 100 TB
+    lake needs: given a file inventory (here derived deterministically
+    from lineitem: one 'file' per (returnflag, ship-month), sized
+    128 B/row), assign input files to ~4 MiB output files by
+    first-fit-in-order bin packing: target = floor(cumulative_bytes_
+    BEFORE_this_file / target_size) within each table partition,
+    ordered by file id. The cumsum formulation makes greedy packing a
+    single window expression — no iterative allocator, no driver loop —
+    which is what lets the planner itself scale: planning 100 M files
+    is one window over the (partition, file) inventory, shuffled by
+    partition key only. Exact integer bytes end to end. Output: one
+    row per planned output file with its input count and final size —
+    exactly the manifest a rewrite job consumes. Spark-side: inventory
+    agg (one shuffle) |> running-sum window reusing the SAME partition
+    key (no second exchange) |> final hash-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part_key"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("file_id"),
+    ).agg((F.count("*") * 128).alias("bytes"))
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn(
+        "target_file",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / F.lit(4194304.0)
+        ),
+    )
+    return (
+        planned.groupBy("part_key", "target_file")
+        .agg(
+            F.count("*").alias("n_inputs"),
+            F.sum("bytes").alias("out_bytes"),
+        )
+        .orderBy("part_key", "target_file")
+    )

@@ -1425,3 +1425,50 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q_sql_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY cents DESC, n.n_name
+    """,
+    category="2.A",
+)
+def q_sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints — /*+ BROADCAST(n) */ pinning the
+    25-row nation dim to a broadcast-hash join and
+    /*+ SHUFFLE_MERGE(c) */ pinning the fact-fact customer|>orders
+    side to sort-merge — the surface an operator uses to override the
+    planner when statistics mislead it (stale stats after a backfill,
+    or a dim just over autoBroadcastJoinThreshold). Hints steer ONLY
+    the physical strategy; the result is the hint-free relational
+    answer, which is exactly what the oracle runs: hint comments are
+    standard /* */ comments, invisible to DuckDB. Exact integer-cents
+    revenue by nation over finished orders. At 100 TB this is the
+    canonical shape — broadcast the dim (no shuffle), sort-merge the
+    two fact tables on the shared customer key."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"jh_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n), SHUFFLE_MERGE(c) */
+               n.n_name,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM jh_orders o
+        JOIN jh_customer c ON c.c_custkey = o.o_custkey
+        JOIN jh_nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY cents DESC, n.n_name
+        """
+    )

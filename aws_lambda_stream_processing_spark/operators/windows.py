@@ -475,3 +475,39 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+@query(
+    "q_win_cume_dist",
+    oracle="""
+    SELECT event_type, event_id,
+           floor(cume_dist() OVER (
+               PARTITION BY event_type ORDER BY value) * 1000000 + 0.5)
+               / 1000000 AS cd,
+           floor(percent_rank() OVER (
+               PARTITION BY event_type ORDER BY value) * 1000000 + 0.5)
+               / 1000000 AS pr
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + percent_rank per event_type ordered by value — the
+    two normalized-rank transforms (empirical CDF position and
+    0-1-scaled rank). Both are pure functions of the ORDER BY key's
+    value multiset — peer rows (ties) share one result — so no
+    tiebreak column is needed for determinism: cume_dist = n_peers_at_
+    or_below / n, percent_rank = (rank-1)/(n-1), identical definitions
+    on both engines, single IEEE division each, pinned at floor-6dp.
+    One window shuffle on event_type; both functions share the same
+    sort order so Spark evaluates them in ONE Window node over one
+    exchange — no second sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    six = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return e.select(
+        "event_type",
+        "event_id",
+        six(F.cume_dist().over(w)).alias("cd"),
+        six(F.percent_rank().over(w)).alias("pr"),
+    )

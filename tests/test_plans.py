@@ -621,3 +621,98 @@ def test_aqe_skew_join_splits_hot_partition(spark, registry):
     plain_rows = sorted(map(tuple, df2.collect()))
     assert "skew=true" not in plan_string(df2)
     assert skewed_rows == plain_rows
+
+
+def test_join_hints_steer_both_strategies(spark, registry):
+    """q_sql_join_hints: the hints must actually steer the planner.
+    SHUFFLE_MERGE(c) forces the customer|>orders side to sort-merge —
+    customer is far under autoBroadcastJoinThreshold at test SF, so a
+    SortMergeJoin in the plan is PROOF the hint took effect (the
+    default plan broadcasts it: asserted as the negative control) —
+    while BROADCAST(n) keeps the 25-row nation dim on the
+    broadcast-hash path."""
+    df = registry["q_sql_join_hints"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # negative control: without hints both joins broadcast at this SF
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(f"jhx_{t}")
+    unhinted = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_orders
+        FROM jhx_orders o
+        JOIN jhx_customer c ON c.c_custkey = o.o_custkey
+        JOIN jhx_nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    assert "SortMergeJoin" not in plan_string(unhinted)
+
+
+def test_cume_dist_single_window_single_exchange(spark, registry):
+    """q_win_cume_dist: cume_dist and percent_rank share one ORDER BY,
+    so Spark must evaluate both in ONE Window node over ONE exchange —
+    a second Window or exchange means the shared sort was broken."""
+    df = registry["q_win_cume_dist"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Window") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_compaction_plan_final_agg_reuses_window_partitioning(
+    spark, registry
+):
+    """q_scale_compaction_plan: the final (part_key, target_file) agg
+    must satisfy its clustering from the window's part_key
+    partitioning (subset rule) — exactly 2 hash exchanges end to end:
+    the inventory agg's and the window's. A third means the planner
+    re-shuffled the manifest."""
+    df = registry["q_scale_compaction_plan"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert plan.count("Window") == 1
+
+
+def test_theil_sen_pair_join_broadcasts_daily(spark, registry):
+    """q_ts_theil_sen: the pairwise-slope self-join runs on the
+    calendar-bounded daily rollup, which must BROADCAST (150 rows) —
+    a SortMergeJoin or cartesian here means the join ran before the
+    daily collapse."""
+    df = registry["q_ts_theil_sen"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_kcore_levels_are_pinned_once(spark, registry):
+    """q_graph_kcore: each peel level is localCheckpoint-pinned, so the
+    final plan must be a 4-way Union whose branches aggregate SCANS of
+    the pinned level RDDs — not re-derivations of the join chain (which
+    would make per-level stats recompute O(levels²) work). Semi-join
+    peeling is asserted on the pre-checkpoint level-1 chain."""
+    df = registry["q_graph_kcore"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan ExistingRDD") == 4, plan[:2000]
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.graphs import (
+        _LPA_EDGE_PRED,
+        _part_edges,
+    )
+
+    half = _part_edges(spark, SF_DIR).where(F.expr(_LPA_EDGE_PRED))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    keep = deg.where(F.col("d") >= 8).select("u")
+    level1 = edges.join(keep, "u", "semi").join(
+        keep.select(F.col("u").alias("v")), "v", "semi"
+    )
+    assert "LeftSemi" in plan_string(level1, "simple")
