@@ -1748,3 +1748,129 @@ def q_llm_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# 1/log2(rank+1) DCG discounts and their running sums as EXACT double
+# literals shared by both engines — computing log2 at runtime would expose
+# the parity check to libm last-ulp differences; literals make every term
+# bit-identical and leave only the 5-term sum order (floor-6dp-pinned).
+_NDCG_DISC = (
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+)
+_NDCG_CUM = (
+    1.0,
+    1.6309297535714575,
+    2.1309297535714578,
+    2.5616063116448506,
+    2.9484591188793923,
+)
+_NDCG_K = 5
+
+
+def _ndcg_case(col: str, vals: tuple[float, ...]) -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN CAST({v!r} AS DOUBLE)"
+        for i, v in enumerate(vals)
+    )
+    return f"CASE {col} {arms} END"
+
+
+@query(
+    "q_llm_ndcg_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.label AS cand_label,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {SQL_DOT.format(a="p.embedding", b="c.embedding")} DESC,
+                        c.vec_id) AS rnk
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+      JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) c ON true
+    ),
+    dcg AS (
+      SELECT probe_id, probe_label,
+             SUM(CASE WHEN cand_label = probe_label
+                      THEN {_ndcg_case("rnk", _NDCG_DISC)}
+                      ELSE 0.0 END) AS dcg
+      FROM scored WHERE rnk <= {_NDCG_K}
+      GROUP BY probe_id, probe_label
+    ),
+    nrel AS (
+      SELECT p.vec_id AS probe_id,
+             CAST(COUNT(*) FILTER (WHERE c.label = p.label) AS BIGINT)
+               AS n_rel
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+      JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) c ON true
+      GROUP BY 1
+    )
+    SELECT d.probe_id, n.n_rel,
+           floor(d.dcg / {_ndcg_case(f"LEAST(n.n_rel, {_NDCG_K})", _NDCG_CUM)}
+                 * 1000000 + 0.5) / 1000000 AS ndcg
+    FROM dcg d JOIN nrel n ON n.probe_id = d.probe_id
+    ORDER BY d.probe_id
+    """,
+    category="2.J",
+)
+def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 retrieval evaluation — the ranking-quality companion to
+    q_llm_ann_recall: for each of 10 probe vectors, rank the corpus by
+    exact cosine and score the top-5 with binary label relevance;
+    NDCG = DCG / ideal-DCG where the ideal packs all relevant items
+    first (LEAST(n_rel, 5) cumulative discounts). Discounts are exact
+    double LITERALS on both engines, so the only float exposure is the
+    5-term sum order, floor-6dp-pinned. Scale shape: probes broadcast
+    to every corpus partition (the q_llm_knn layout), WindowGroupLimit
+    keeps 5 rows per probe past the exchange, and the relevant-count
+    agg is one broadcast-join pass — evaluating a retrieval system on
+    100 TB of candidates is exactly this plan with more partitions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("pe"),
+    )
+    corpus = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
+        "sim", dot_double("pe", "ce")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _NDCG_K
+    )
+    dcg = top.groupBy("probe_id", "probe_label").agg(
+        F.sum(
+            F.when(
+                F.col("cand_label") == F.col("probe_label"),
+                F.expr(_ndcg_case("rnk", _NDCG_DISC)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg")
+    )
+    nrel = (
+        corpus.crossJoin(F.broadcast(probes))
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                (F.col("cand_label") == F.col("probe_label")).cast("bigint")
+            ).alias("n_rel")
+        )
+    )
+    idcg = F.expr(_ndcg_case(f"LEAST(n_rel, {_NDCG_K})", _NDCG_CUM))
+    return (
+        dcg.join(F.broadcast(nrel), "probe_id")
+        .select(
+            "probe_id",
+            "n_rel",
+            (F.floor(F.col("dcg") / idcg * 1000000.0 + F.lit(0.5)) / 1000000.0)
+            .alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )

@@ -1472,3 +1472,88 @@ def q_sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cents DESC, n.n_name
         """
     )
+
+
+@query(
+    "q_sql_window_clause",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS run_cents,
+           rank() OVER w AS rnk,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="2.A",
+)
+def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause — one spec, three analytic functions over it:
+    the de-duplicated window-definition surface (write the PARTITION
+    BY/ORDER BY once, reference it as `OVER w`), run as the IDENTICAL
+    query text on both engines, pinning that name resolution and the
+    implied default frames agree (RANGE UNBOUNDED PRECEDING..CURRENT
+    ROW for the sum/count, the rank's own semantics for rank). All
+    three functions share the one spec, so Spark plans a SINGLE Window
+    node over a single user_id exchange — the named-clause form isn't
+    just ergonomics, it makes the shared-sort guarantee syntactically
+    obvious. Exact integer cents; deterministic frame via the event_id
+    tiebreak."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("wc_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS run_cents,
+               rank() OVER w AS rnk,
+               COUNT(*) OVER w AS n_so_far
+        FROM wc_events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+
+
+@query(
+    "q_sql_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS big_cents,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS open_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause — the SQL-standard form of
+    conditional aggregation (q_agg_conditional is the CASE-expression
+    twin), run as the IDENTICAL text on both engines: per-aggregate
+    predicates including a filtered COUNT(DISTINCT), which is the case
+    CASE-rewrites get wrong (a CASE NULL still feeds the distinct set
+    on some engines — FILTER semantics are unambiguous). Spark compiles
+    each FILTER into the aggregate's own filter flag inside ONE
+    hash-agg pass — no per-predicate scans. Exact integers end to
+    end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_totalprice > 150000) AS big_cents,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                   AS open_custs
+        FROM fc_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -716,3 +716,25 @@ def test_kcore_levels_are_pinned_once(spark, registry):
         keep.select(F.col("u").alias("v")), "v", "semi"
     )
     assert "LeftSemi" in plan_string(level1, "simple")
+
+
+def test_window_clause_single_window_node(spark, registry):
+    """q_sql_window_clause: three functions over ONE named spec must
+    plan as a single Window node over a single exchange — a second
+    Window means the shared named spec was split."""
+    df = registry["q_sql_window_clause"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Window") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_ndcg_probes_broadcast_topk_group_limited(spark, registry):
+    """q_llm_ndcg_eval: probes must broadcast to the corpus scan (the
+    q_llm_knn layout) and the per-probe top-5 must pre-filter with
+    WindowGroupLimit before the exchange."""
+    df = registry["q_llm_ndcg_eval"].fn(spark, SF_DIR)
+    assert has_operator(df, "BroadcastNestedLoopJoin") or has_operator(
+        df, "BroadcastHashJoin"
+    )
+    assert has_operator(df, "WindowGroupLimit")
+    assert not has_operator(df, "SortMergeJoin")
