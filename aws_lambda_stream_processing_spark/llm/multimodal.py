@@ -347,3 +347,75 @@ def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         resize_kernel, "doc_id long, bin long, byte_sum long, n_bytes long"
     )
+
+
+_DEDUP_MOD = 997  # blob seed classes: docs sharing doc_id % 997 carry
+# byte-identical payloads — the deterministic duplicate structure that
+# lets a closed-form oracle verify a real content-hash dedup
+
+
+@query(
+    "q_llm_multimodal_dedup",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT doc_id, doc_id % {_DEDUP_MOD} AS s FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, s, 8 + s % 9 AS w, 8 + s % 7 AS h FROM seeds
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS survivor_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(3 + (CASE WHEN w >= 10 THEN 2 ELSE 1 END) + 1
+                      + (CASE WHEN h >= 10 THEN 2 ELSE 1 END) + 5
+                      + 3 * w * h) AS BIGINT) AS blob_bytes
+    FROM dims
+    GROUP BY s
+    ORDER BY survivor_doc
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over the BLOB column — the image-dedup step of
+    a multimodal training pipeline: synthesize each document's PPM
+    payload (seeded by doc_id % {mod}, so duplicate classes exist by
+    construction), sha256 the raw bytes INSIDE the mapInPandas kernel
+    (the blob never leaves the executor — scale rule #1: only the
+    32-byte digest shuffles), then group by digest for min-doc_id
+    survivorship, copy count, and payload size. The oracle never
+    hashes: it derives the same groups from the generator's seed
+    classes and the byte length from the closed-form PPM framing
+    (header digits + 3wh pixels) — so the kernel's hashing, the
+    digest grouping, AND the byte-exact payload framing are all on the
+    hook; any encoder or hash drift splits a group and changes
+    survivor rows. At 100 TB this is exactly how image dedup runs:
+    hash at the scan, shuffle digests, never pixels.""".format(
+        mod=_DEDUP_MOD
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "h": [], "n_bytes": []}
+            for doc_id in pdf["doc_id"]:
+                blob = encode_ppm(int(doc_id) % _DEDUP_MOD)
+                out["doc_id"].append(int(doc_id))
+                out["h"].append(hashlib.sha256(blob).hexdigest())
+                out["n_bytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    hashed = d.mapInPandas(hash_kernel, "doc_id long, h string, n_bytes long")
+    return (
+        hashed.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("survivor_doc"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").alias("blob_bytes"),
+        )
+        .drop("h")
+        .select("survivor_doc", "n_copies", "blob_bytes")
+        .orderBy("survivor_doc")
+    )
