@@ -957,3 +957,119 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out.orderBy("iteration")
+
+
+@query(
+    "q_graph_jaccard_linkpred",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM half
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM half
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY node
+    ),
+    probes AS (
+      SELECT node AS probe, degree AS dp FROM deg
+      ORDER BY degree DESC, node LIMIT 10
+    ),
+    pn AS (
+      SELECT p.probe, p.dp, a.nbr AS z
+      FROM probes p JOIN adj a ON a.node = p.probe
+    ),
+    cand AS (
+      SELECT pn.probe, a.nbr AS cand,
+             MIN(pn.dp) AS dp,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM pn
+      JOIN adj a ON a.node = pn.z
+      WHERE a.nbr <> pn.probe
+        AND NOT EXISTS (SELECT 1 FROM adj x
+                        WHERE x.node = pn.probe AND x.nbr = a.nbr)
+      GROUP BY pn.probe, a.nbr
+    ),
+    scored AS (
+      SELECT c.probe, c.cand, c.cn,
+             floor(CAST(c.cn AS DOUBLE)
+                   / CAST(c.dp + d.degree - c.cn AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM cand c JOIN deg d ON d.node = c.cand
+    ),
+    ranked AS (
+      SELECT probe, cand, cn, jaccard,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY cn DESC, cand) AS rk
+      FROM scored
+    )
+    SELECT probe, cand, cn, jaccard, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY probe, rk
+    """,
+    category="2.C",
+)
+def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction — the normalized sibling of
+    q_graph_common_neighbors / q_graph_adamic_adar over the SAME bounded
+    10-probe candidate set: J(p, x) = |N(p) ∩ N(x)| / |N(p) ∪ N(x)|
+    = cn / (deg p + deg x - cn). Every operand is an exact int64
+    (shared-neighbor count, two degrees), so the score is ONE IEEE
+    division, floor-6dp, and — the AA discipline (law 18) — ranking
+    stays on exact integers (cn desc, cand id); Jaccard is reported as
+    a VALUE only, so a 1-ulp drift can never reorder rows. deg(cand)
+    attaches AFTER candidate aggregation (candidate set is
+    probe-bounded, the join is broadcast-sized); deg(probe) rides the
+    probe list. Scale: identical 2-hop-from-probes shape as AA — work
+    is probes x degree², never graph²."""
+    edges = _part_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    probes = (
+        deg.orderBy(F.desc("degree"), "node")
+        .limit(10)
+        .select(F.col("node").alias("probe"), F.col("degree").alias("dp"))
+    )
+    pn = adj.join(F.broadcast(probes), adj.node == F.col("probe")).select(
+        "probe", "dp", F.col("nbr").alias("z")
+    )
+    hop2 = (
+        pn.join(adj, pn.z == adj.node)
+        .where(F.col("nbr") != F.col("probe"))
+        .select("probe", "dp", F.col("nbr").alias("cand"))
+    )
+    linked = adj.select(
+        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    )
+    cand = (
+        hop2.join(linked, ["probe", "cand"], "left_anti")
+        .groupBy("probe", "cand")
+        .agg(F.min("dp").alias("dp"), F.count("*").alias("cn"))
+    )
+    dcand = deg.select(
+        F.col("node").alias("cand"), F.col("degree").alias("dc")
+    )
+    scored = cand.join(dcand, "cand").select(
+        "probe",
+        "cand",
+        "cn",
+        (
+            F.floor(
+                F.col("cn").cast("double")
+                / (F.col("dp") + F.col("dc") - F.col("cn")).cast("double")
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("cn"), "cand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("probe", "cand", "cn", "jaccard", "rk")
+        .orderBy("probe", "rk")
+    )
