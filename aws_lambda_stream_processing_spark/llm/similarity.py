@@ -1874,3 +1874,188 @@ def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+_MMR_LAMBDA = "0.5"  # exact binary double — relevance/diversity tradeoff
+_MMR_POOL = 10  # candidate pool per probe (top-k by relevance)
+
+
+@query(
+    "q_llm_mmr_diversify",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT vec_id AS cand_id, embedding AS ce
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+      SELECT p.probe_id, c.cand_id, c.ce,
+             {SQL_DOT.format(a="p.pe", b="c.ce")} AS sim_p,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY {SQL_DOT.format(a="p.pe", b="c.ce")} DESC,
+                        c.cand_id) AS rnk
+      FROM probes p JOIN corpus c ON true
+    ),
+    cand AS (SELECT * FROM scored WHERE rnk <= {_MMR_POOL}),
+    cc AS (
+      SELECT a.probe_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             {SQL_DOT.format(a="a.ce", b="b.ce")} AS sim_cc
+      FROM cand a JOIN cand b
+        ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id
+    ),
+    s1 AS (
+      SELECT probe_id, cand_id AS pick, sim_p AS score
+      FROM cand WHERE rnk = 1
+    ),
+    m2 AS (
+      SELECT c.probe_id, c.cand_id,
+             {_MMR_LAMBDA} * c.sim_p - (1 - {_MMR_LAMBDA}) * x.sim_cc
+               AS score,
+             row_number() OVER (
+               PARTITION BY c.probe_id
+               ORDER BY {_MMR_LAMBDA} * c.sim_p
+                        - (1 - {_MMR_LAMBDA}) * x.sim_cc DESC,
+                        c.cand_id) AS rn
+      FROM cand c
+      JOIN s1 ON s1.probe_id = c.probe_id AND c.cand_id <> s1.pick
+      JOIN cc x ON x.probe_id = c.probe_id
+               AND x.a_id = c.cand_id AND x.b_id = s1.pick
+    ),
+    s2 AS (SELECT probe_id, cand_id AS pick, score FROM m2 WHERE rn = 1),
+    m3 AS (
+      SELECT c.probe_id, c.cand_id,
+             {_MMR_LAMBDA} * c.sim_p
+               - (1 - {_MMR_LAMBDA}) * GREATEST(x1.sim_cc, x2.sim_cc)
+               AS score,
+             row_number() OVER (
+               PARTITION BY c.probe_id
+               ORDER BY {_MMR_LAMBDA} * c.sim_p
+                        - (1 - {_MMR_LAMBDA})
+                          * GREATEST(x1.sim_cc, x2.sim_cc) DESC,
+                        c.cand_id) AS rn
+      FROM cand c
+      JOIN s1 ON s1.probe_id = c.probe_id AND c.cand_id <> s1.pick
+      JOIN s2 ON s2.probe_id = c.probe_id AND c.cand_id <> s2.pick
+      JOIN cc x1 ON x1.probe_id = c.probe_id
+                AND x1.a_id = c.cand_id AND x1.b_id = s1.pick
+      JOIN cc x2 ON x2.probe_id = c.probe_id
+                AND x2.a_id = c.cand_id AND x2.b_id = s2.pick
+    ),
+    s3 AS (SELECT probe_id, cand_id AS pick, score FROM m3 WHERE rn = 1),
+    allp AS (
+      SELECT probe_id, 1 AS rk, pick, score FROM s1
+      UNION ALL SELECT probe_id, 2, pick, score FROM s2
+      UNION ALL SELECT probe_id, 3, pick, score FROM s3
+    )
+    SELECT probe_id, rk, CAST(pick AS BIGINT) AS pick,
+           floor(score * 1000000 + 0.5) / 1000000 AS mmr
+    FROM allp ORDER BY probe_id, rk
+    """,
+    category="2.J",
+)
+def q_llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell-Goldstein) —
+    the diversified-retrieval step between ANN and a RAG context
+    window: greedily pick 3 of the top-10 relevance candidates per
+    probe, each pick maximizing λ·sim(probe, c) − (1−λ)·max sim(c,
+    already-picked). The greedy recursion is unrolled to 3 FIXED
+    selection stages (the q_graph_lpa_communities discipline), so both
+    engines walk the identical argmax chain: every similarity is the
+    exact left-fold dot product, λ = 0.5 is an exact binary double,
+    the combined score is the same IEEE expression on identical
+    operands, and every argmax breaks ties on candidate id — bit-exact
+    picks, floor-6dp scores. Scale shape: candidate generation is the
+    q_llm_knn broadcast + WindowGroupLimit layout; everything after
+    operates on 10 rows per probe (pairwise pool sims = pool² per
+    probe, a constant), so re-ranking cost is independent of corpus
+    size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    lam = F.lit(0.5)
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
+        "sim_p", dot_double("pe", "ce")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_p"), F.asc("cand_id")
+    )
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _MMR_POOL)
+        .select("probe_id", "cand_id", "ce", "sim_p", "rnk")
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        "probe_id", F.col("cand_id").alias("a_id"), F.col("ce").alias("ae")
+    )
+    b = cand.select(
+        "probe_id", F.col("cand_id").alias("b_id"), F.col("ce").alias("be")
+    )
+    cc = (
+        a.join(b, "probe_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "probe_id", "a_id", "b_id",
+            dot_double("ae", "be").alias("sim_cc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s1 = cand.where(F.col("rnk") == 1).select(
+        "probe_id", F.col("cand_id").alias("pick"),
+        F.col("sim_p").alias("score"),
+    )
+
+    def _next_pick(picked: list[DataFrame]) -> DataFrame:
+        c = cand
+        for i, s in enumerate(picked):
+            c = c.join(
+                F.broadcast(s.select("probe_id", F.col("pick").alias(f"p{i}"))),
+                "probe_id",
+            ).where(F.col("cand_id") != F.col(f"p{i}"))
+        sims = []
+        for i in range(len(picked)):
+            x = cc.select(
+                "probe_id",
+                F.col("a_id").alias("cand_id"),
+                F.col("b_id").alias(f"p{i}"),
+                F.col("sim_cc").alias(f"cc{i}"),
+            )
+            c = c.join(x, ["probe_id", "cand_id", f"p{i}"])
+            sims.append(F.col(f"cc{i}"))
+        maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        score = lam * F.col("sim_p") - (F.lit(1.0) - lam) * maxsim
+        wsel = Window.partitionBy("probe_id").orderBy(
+            score.desc(), F.asc("cand_id")
+        )
+        return (
+            c.withColumn("rn", F.row_number().over(wsel))
+            .where(F.col("rn") == 1)
+            .select(
+                "probe_id", F.col("cand_id").alias("pick"),
+                score.alias("score"),
+            )
+        )
+
+    s2 = _next_pick([s1])
+    s3 = _next_pick([s1, s2])
+    allp = (
+        s1.select("probe_id", F.lit(1).alias("rk"), "pick", "score")
+        .unionAll(s2.select("probe_id", F.lit(2).alias("rk"), "pick", "score"))
+        .unionAll(s3.select("probe_id", F.lit(3).alias("rk"), "pick", "score"))
+    )
+    return allp.select(
+        "probe_id",
+        "rk",
+        F.col("pick").cast("long").alias("pick"),
+        (F.floor(F.col("score") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "mmr"
+        ),
+    ).orderBy("probe_id", "rk")

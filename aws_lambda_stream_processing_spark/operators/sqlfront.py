@@ -1557,3 +1557,52 @@ def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value > 10
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM base
+    GROUP BY event_type
+    HAVING COUNT(*) > 10
+    ORDER BY cents DESC, event_type
+    """,
+    category="2.A",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): the linear
+    FROM |> WHERE |> EXTEND |> AGGREGATE |> WHERE |> ORDER BY form of
+    the classic inside-out SELECT — each stage consumes the previous
+    one top-to-bottom, the way the optimizer (and a reader) actually
+    processes it. The pipe text is Spark-only surface; it parses to
+    the IDENTICAL logical plan as the nested form, which is exactly
+    what the oracle runs as standard SQL — so the parity check pins
+    that the pipe parser's stage semantics (EXTEND adds a column,
+    AGGREGATE ... GROUP BY replaces the row set, post-AGGREGATE WHERE
+    is HAVING) match the classic resolution rules. Exact integer
+    cents; the plan is the ordinary partial+final hash agg."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ps_events")
+    return spark.sql(
+        """
+        FROM ps_events
+        |> WHERE value > 10
+        |> EXTEND CAST(round(value * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n,
+                     COUNT(DISTINCT user_id) AS n_users,
+                     SUM(cents) AS cents
+           GROUP BY event_type
+        |> WHERE n > 10
+        |> ORDER BY cents DESC, event_type
+        |> SELECT event_type, n, n_users, cents
+        """
+    )
