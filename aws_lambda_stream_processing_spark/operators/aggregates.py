@@ -919,3 +919,51 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.9, "p90_disc"),
         disc(0.99, "p99_disc"),
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(2 * GROUPING(o_orderpriority)
+                + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    category="2.D",
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over a CUBE — the disambiguation companion to
+    q_agg_cube: a NULL grouping key in a cube row is ambiguous (real
+    NULL data vs subtotal placeholder) until GROUPING() marks which
+    columns were rolled away. The combined id is computed explicitly as
+    2*g(prio)+g(status) on BOTH engines rather than via the engines'
+    native grouping_id()/GROUPING(a,b) encodings — the bit order of the
+    packed form is engine-defined, the explicit arithmetic is not.
+    Plans as the ordinary Expand + two-phase hash agg; the flags ride
+    the Expand output for free (no extra pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    gp = F.grouping("o_orderpriority").cast("bigint")
+    gs = F.grouping("o_orderstatus").cast("bigint")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            gp.alias("g_prio"),
+            gs.alias("g_status"),
+            (gp * 2 + gs).alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus",
+            "g_prio", "g_status", "gid", "n",
+        )
+    )

@@ -1649,3 +1649,70 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_24h")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_24h")))
     )
+
+
+_SEQ_PATTERN = "v[^e]*c[^e]*p"  # view -> click -> purchase, no error between
+
+
+@query(
+    "q_events_sequence_match",
+    oracle=f"""
+    WITH sess AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM sess
+    GROUP BY day
+    ORDER BY day
+    """,
+    category="2.E",
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    (user, day) session collapses to an ordered initial-letter string
+    (v/c/p/s/e), and a regular expression detects the
+    view→click→purchase conversion WITH NO ERROR IN BETWEEN —
+    order-sensitive funnel logic that plain conditional aggregation
+    cannot express (q_funnel_conversion counts stage presence;
+    this counts stage SEQUENCE). Determinism: the per-session string
+    is built from a sorted struct array with the (ts, event_id)
+    tiebreak, so both engines regex the identical string; the pattern
+    uses only portable regex atoms (character class + star). Scale
+    shape: one hash-agg shuffle on (user, day) builds the session
+    strings (each bounded by a day's events per user), the regex is a
+    codegen'd per-row op, and the daily rollup reuses nothing wider
+    than the session relation — no window, no self-join, no
+    explode-back."""
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1))
+                )
+            ),
+            lambda s: s["col3"],
+        ),
+        "",
+    )
+    sess = e.groupBy(
+        "user_id",
+        F.col("ts").cast("date").cast("timestamp").alias("day"),
+    ).agg(seq.alias("seq"))
+    return (
+        sess.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(
+                F.col("seq").rlike(_SEQ_PATTERN).cast("bigint")
+            ).alias("n_matched"),
+        )
+        .orderBy("day")
+    )
