@@ -2059,3 +2059,111 @@ def q_llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr"
         ),
     ).orderBy("probe_id", "rk")
+
+
+_RAG_BUDGET = 256  # context token budget per probe
+_RAG_POOL = 10  # relevance-ranked candidate pool per probe
+
+
+@query(
+    "q_llm_rag_context_pack",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT vec_id AS cand_id, embedding AS ce
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    ranked AS (
+      SELECT p.probe_id, c.cand_id,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY {SQL_DOT.format(a="p.pe", b="c.ce")} DESC,
+                        c.cand_id) AS rk
+      FROM probes p JOIN corpus c ON true
+    ),
+    pool AS (SELECT * FROM ranked WHERE rk <= {_RAG_POOL}),
+    rep AS (
+      SELECT doc_id % 500 AS cand_id, MIN(doc_id) AS doc_id
+      FROM documents GROUP BY doc_id % 500
+    ),
+    toks AS (
+      SELECT r.cand_id, r.doc_id,
+             CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM rep r JOIN documents d ON d.doc_id = r.doc_id
+    ),
+    packed AS (
+      SELECT p.probe_id, p.rk, t.doc_id, t.n_tokens,
+             SUM(t.n_tokens) OVER (
+               PARTITION BY p.probe_id ORDER BY p.rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM pool p JOIN toks t ON t.cand_id = p.cand_id
+    )
+    SELECT probe_id, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed
+    WHERE cum_tokens <= {_RAG_BUDGET}
+    ORDER BY probe_id, rk
+    """,
+    category="2.J",
+)
+def q_llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly — the step after retrieval: per probe, walk
+    the exact-cosine relevance ranking and admit each candidate's
+    representative document (min doc_id in its embedding class,
+    doc_id % 500 — the envelope mapping q_llm_multimodal_pack pins)
+    while the running whitespace-token total stays within the
+    {budget}-token context budget. Greedy budget packing is ONE window
+    cumsum over the rank order (the q_scale_compaction_plan
+    formulation) — no iterative assembler — so assembling contexts for
+    a million queries is a broadcast-probe scan + WindowGroupLimit +
+    one bounded window, never a driver loop. Exact integer tokens;
+    ranking ties broken by candidate id.""".format(budget=_RAG_BUDGET)
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    pool = (
+        corpus.crossJoin(F.broadcast(probes))
+        .withColumn("sim", dot_double("pe", "ce"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RAG_POOL)
+        .select("probe_id", "cand_id", "rk")
+    )
+    rep = docs.groupBy((F.col("doc_id") % 500).alias("cand_id")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    toks = rep.join(docs.select("doc_id", "text"), "doc_id").select(
+        "cand_id",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    wc = (
+        Window.partitionBy("probe_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = pool.join(F.broadcast(toks), "cand_id").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wc)
+    )
+    return (
+        packed.where(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select(
+            "probe_id",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+        )
+        .orderBy("probe_id", "rk")
+    )

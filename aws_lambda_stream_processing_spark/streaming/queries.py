@@ -1429,3 +1429,70 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "q_stream_chained_aggs",
+    oracle="""
+    WITH wm AS (SELECT max(ts) AS w FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly CROSS JOIN wm
+    WHERE day + INTERVAL 1 DAY <= wm.w
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    category="2.I",
+)
+def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming aggregations (multiple stateful operators,
+    SPARK-40925): hour × type counts re-aggregated to day × type
+    totals INSIDE one streaming query — the window(window, '1 day')
+    re-window carries event time through the first agg so the second
+    gets a proper watermark. Until 3.4 this required two queries with
+    an intermediate sink; the chained form keeps the rollup
+    exactly-once end to end. Append mode: a day emits only once the
+    final watermark (max ts, 0s delay) passes its window end, so the
+    oracle is the batch day rollup RESTRICTED to watermark-closed
+    days — the trailing open day stays in state, by design. Two
+    ordered micro-batches prove cross-batch state in both operators.
+    Scale: state is hours×types (first op) + days×types (second),
+    both calendar-bounded; the 100 TB posture is the same two
+    RocksDB-backed aggs with more shuffle partitions."""
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    try:
+        hourly = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        daily = (
+            hourly.groupBy(
+                F.window(F.col("window"), "1 day"), "event_type"
+            )
+            .agg(F.sum("n").alias("n"), F.count("*").alias("n_hours"))
+            .select(
+                F.col("window.start").alias("day"),
+                "event_type",
+                "n",
+                "n_hours",
+            )
+        )
+        out = run_to_memory(daily, output_mode="append")
+        return out.orderBy("day", "event_type")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
