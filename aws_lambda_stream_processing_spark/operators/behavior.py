@@ -1716,3 +1716,106 @@ def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_TYPE_IDX = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+
+def _audience_overlap_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{t}' THEN {i}" for t, i in sorted(_TYPE_IDX.items())
+    )
+    arms = []
+    types = sorted(_TYPE_IDX)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ba, bb = 1 << _TYPE_IDX[a], 1 << _TYPE_IDX[b]
+            arms.append(f"""
+      SELECT '{a}' AS type_a, '{b}' AS type_b,
+             CAST(SUM(CASE WHEN mask & {ba} > 0 AND mask & {bb} > 0
+                           THEN n_users ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN mask & {ba} > 0 OR mask & {bb} > 0
+                           THEN n_users ELSE 0 END) AS BIGINT) AS n_either
+      FROM hist""")
+    return f"""
+    WITH masks AS (
+      SELECT user_id,
+             bit_or(1 << (CASE event_type {case} END)) AS mask
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      GROUP BY user_id
+    ),
+    hist AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM masks GROUP BY mask
+    )
+    SELECT type_a, type_b, n_both, n_either,
+           floor(CAST(n_both AS DOUBLE) / CAST(n_either AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM ({" UNION ALL ".join(arms)})
+    ORDER BY type_a, type_b
+    """
+
+
+@query(
+    "q_events_audience_overlap",
+    oracle=_audience_overlap_oracle(),
+    category="2.D",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap Jaccard for every event-type pair — 'do my
+    clickers also purchase?' — over the day-1 slice (the full 30-day
+    corpus saturates every user's type set; one day keeps the masks
+    discriminating), computed WITHOUT ten COUNT(DISTINCT) joins: one hash-agg folds each user's type set into a 5-bit mask
+    (bit_or is associative — map-side combinable), a second collapses
+    the masks to a <=32-row histogram, and all ten pairwise
+    intersection/union counts are integer sums over that histogram —
+    the pair fan-out costs nothing because it runs on 32 rows. Exact
+    integers; Jaccard is one IEEE division floor-6dp. At 100 TB the
+    shape is unchanged: user-mask agg (one shuffle), constant-size
+    histogram, constant pair table — the distinct-set problem never
+    materializes a set."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    idx = F.when(F.lit(False), F.lit(0))
+    for t, i in sorted(_TYPE_IDX.items()):
+        idx = idx.when(F.col("event_type") == t, F.lit(i))
+    masks = (
+        e.withColumn("type_idx", idx)
+        .groupBy("user_id")
+        .agg(F.bit_or(F.expr("shiftleft(1, type_idx)")).alias("mask"))
+    )
+    hist = masks.groupBy("mask").agg(F.count("*").alias("n_users"))
+    types = sorted(_TYPE_IDX)
+    arms = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ba, bb = 1 << _TYPE_IDX[a], 1 << _TYPE_IDX[b]
+            both = (
+                (F.col("mask").bitwiseAND(F.lit(ba)) > 0)
+                & (F.col("mask").bitwiseAND(F.lit(bb)) > 0)
+            ).cast("bigint")
+            either = (
+                (F.col("mask").bitwiseAND(F.lit(ba)) > 0)
+                | (F.col("mask").bitwiseAND(F.lit(bb)) > 0)
+            ).cast("bigint")
+            arms.append(
+                hist.agg(
+                    F.lit(a).alias("type_a"),
+                    F.lit(b).alias("type_b"),
+                    F.sum(both * F.col("n_users")).alias("n_both"),
+                    F.sum(either * F.col("n_users")).alias("n_either"),
+                )
+            )
+    out = arms[0]
+    for x in arms[1:]:
+        out = out.unionAll(x)
+    jac = F.col("n_both").cast("double") / F.col("n_either").cast("double")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_either",
+        (F.floor(jac * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("jaccard"),
+    ).orderBy("type_a", "type_b")

@@ -2325,3 +2325,96 @@ def q_agg_theil_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             r8(F.col("vb")).alias("theil_between"),
         )
     )
+
+
+_CM_PAIRS = [
+    ("qty", "disc"), ("qty", "tax"), ("qty", "dom"),
+    ("disc", "tax"), ("disc", "dom"), ("tax", "dom"),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    arms = []
+    for x, y in _CM_PAIRS:
+        arms.append(f"""
+      SELECT '{x}' AS x_name, '{y}' AS y_name, n,
+             floor((n * s_{x}_{y} - s_{x} * s_{y})
+                   / sqrt(CAST(n * s_{x}_{x} - s_{x} * s_{x} AS DOUBLE)
+                          * CAST(n * s_{y}_{y} - s_{y} * s_{y} AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS r
+      FROM m""")
+    sums = []
+    meas = {
+        "qty": "CAST(l_quantity AS BIGINT)",
+        "disc": "CAST(round(l_discount * 1000) AS BIGINT)",
+        "tax": "CAST(round(l_tax * 1000) AS BIGINT)",
+        "dom": "CAST(date_part('day', l_shipdate) AS BIGINT)",
+    }
+    for k, e in meas.items():
+        sums.append(f"SUM({e}) AS s_{k}")
+        sums.append(f"SUM(({e}) * ({e})) AS s_{k}_{k}")
+    for x, y in _CM_PAIRS:
+        sums.append(f"SUM(({meas[x]}) * ({meas[y]})) AS s_{x}_{y}")
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {", ".join(sums)}
+      FROM lineitem
+    )
+    SELECT * FROM ({" UNION ALL ".join(arms)})
+    ORDER BY x_name, y_name
+    """
+
+
+@query("q_agg_corr_matrix", oracle=_corr_matrix_oracle(), category="2.D")
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX of four lineitem measures
+    (quantity, discount mils, tax mils, ship day-of-month) in ONE scan:
+    15 exact int64 moments (n, four sums, four sum-of-squares, six
+    cross-products) accumulate in a single hash-agg pass — the
+    q_agg_corr_exact discipline widened from one pair to the full
+    matrix without extra scans. Every measure lives on a small integer
+    grid (max 1000), so worst-case n·Sxy ≈ 6e5·(1000·1000·6e5) ≈ 4e17
+    < 2^63 at sf0.1 with headroom; at 100 TB the moments move to
+    DECIMAL(38), same single-pass shape. Each r is one fixed IEEE
+    expression over identical integers, floor-6dp; the pair unpivot is
+    a 6-element inline array explode of the one moments row — no
+    joins, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    meas = {
+        "qty": F.col("l_quantity").cast("bigint"),
+        "disc": F.round(F.col("l_discount") * 1000).cast("bigint"),
+        "tax": F.round(F.col("l_tax") * 1000).cast("bigint"),
+        "dom": F.dayofmonth("l_shipdate").cast("bigint"),
+    }
+    aggs = [F.count("*").alias("n")]
+    for k, e in meas.items():
+        aggs.append(F.sum(e).alias(f"s_{k}"))
+        aggs.append(F.sum(e * e).alias(f"s_{k}_{k}"))
+    for x, y in _CM_PAIRS:
+        aggs.append(F.sum(meas[x] * meas[y]).alias(f"s_{x}_{y}"))
+    m = li.agg(*aggs)
+
+    def r_expr(x: str, y: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        dx = (n * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+        dy = (n * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        r = num / F.sqrt(dx.cast("double") * dy.cast("double"))
+        return F.floor(r * 1000000 + F.lit(0.5)) / 1000000.0
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("x_name"),
+                F.lit(y).alias("y_name"),
+                F.col("n").alias("n"),
+                r_expr(x, y).alias("r"),
+            )
+            for x, y in _CM_PAIRS
+        ]
+    )
+    return (
+        m.select(F.explode(pairs).alias("p"))
+        .select("p.x_name", "p.y_name", "p.n", "p.r")
+        .orderBy("x_name", "y_name")
+    )
