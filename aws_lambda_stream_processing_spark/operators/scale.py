@@ -686,3 +686,71 @@ def q_scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key", "target_file")
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CASE WHEN date_part('isodow', CAST(ts AS DATE)) = 6 THEN 7
+                  WHEN date_part('isodow', CAST(ts AS DATE)) = 7 THEN 1
+             END AS dow
+      FROM events
+      WHERE date_part('isodow', CAST(ts AS DATE)) IN (6, 7)
+    )
+    SELECT d.dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.day
+    GROUP BY d.dow
+    ORDER BY d.dow
+    """,
+    category="2.C",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime sibling of static
+    partition pruning (q_sink_partitioned) and THE star-join scale
+    feature: the fact lands partitioned by day, the dim is the weekend
+    calendar (unknowable at planning time — it comes from data), and
+    Spark injects a dynamicpruningexpression into the fact scan's
+    PartitionFilters so only the ~2/7 of partitions matching the
+    broadcast dim's keys are ever READ. The plan gate asserts the
+    pruning subquery non-vacuously. At 100 TB this is the difference
+    between scanning a month and scanning the two weekend-days the dim
+    selects — the fact I/O scales with the dim's selectivity, not the
+    table. Weekend sets are identical on both engines (Spark dayofweek
+    1/7 = DuckDB isodow 7/6, mapped explicitly); exact integer cents.
+    The sink dir is fixed per applicationId (the q_sink_partitioned
+    isolation note) and the returned frame stays LAZY so the gate sees
+    the pruned scan."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_dpp_sink_{spark.sparkContext.applicationId}",
+    )
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        e.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .withColumn("dow", F.dayofweek("day"))
+        .where(F.col("dow").isin(1, 7))
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("dow")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("dow")
+    )

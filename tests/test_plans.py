@@ -738,3 +738,23 @@ def test_ndcg_probes_broadcast_topk_group_limited(spark, registry):
     )
     assert has_operator(df, "WindowGroupLimit")
     assert not has_operator(df, "SortMergeJoin")
+
+
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark, registry):
+    """q_join_dpp: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression fed by the broadcast weekend dim —
+    runtime pruning, not a static filter. Negative control: the same
+    fact scanned without the dim join has no dynamic pruning."""
+    df = registry["q_join_dpp"].fn(spark, SF_DIR)
+    plan = plan_string(df).lower()
+    assert "dynamicpruning" in plan, plan[:3000]
+
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_dpp_sink_{spark.sparkContext.applicationId}",
+    )
+    plain = spark.read.parquet(out).groupBy().count()
+    assert "dynamicpruning" not in plan_string(plain).lower()
