@@ -754,3 +754,75 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
         .orderBy("dow")
     )
+
+
+_HRW_A = 2654435761  # Knuth multiplicative constant
+_HRW_B = 40503
+_HRW_M = 2147483647
+
+
+def _hrw_key(n_shards: int) -> str:
+    """Portable max-of-(h*16+s) rendezvous key over s in [0, n)."""
+    h = f"((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M})"
+    return (
+        f"list_max(list_transform(generate_series(0, {n_shards - 1}), "
+        f"s -> {h} * 16 + s))"
+    )
+
+
+@query(
+    "q_scale_rendezvous_shard",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             {_hrw_key(8)} % 16 AS shard8,
+             {_hrw_key(9)} % 16 AS shard9
+      FROM documents
+    )
+    SELECT shard8,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM assigned
+    GROUP BY shard8
+    ORDER BY shard8
+    """,
+    category="2.D",
+)
+def q_scale_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — stable shard
+    assignment under resharding: each doc goes to argmax_s h(doc, s),
+    so growing 8 → 9 shards moves ONLY the docs the new shard wins
+    (~1/9 of them), never a wholesale rehash (the mod-N pitfall where
+    adding one shard moves 8/9 of the corpus). The argmax is computed
+    portably as max over the packed key h·16 + s (lexicographic
+    (h, s) with the id tiebreak embedded — no struct-comparison
+    semantics to trust), with h a Knuth multiplicative hash in exact
+    int64 (doc_id·2654435761 ≲ 2.7e14 ≪ 2^63). Output: per-shard doc
+    counts under 8 shards and how many of each shard's docs the 9th
+    shard steals — the minimal-movement property, measured. Shuffle-
+    free per-row math + one hash agg; the shard count is a constant,
+    so the transform costs one bounded array per row at any corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    k8 = F.expr(
+        "array_max(transform(sequence(0, 7), "
+        f"s -> ((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M}) * 16 + s))"
+    )
+    k9 = F.expr(
+        "array_max(transform(sequence(0, 8), "
+        f"s -> ((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M}) * 16 + s))"
+    )
+    assigned = d.select(
+        (k8 % 16).alias("shard8"), (k9 % 16).alias("shard9")
+    )
+    return (
+        assigned.groupBy("shard8")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("shard8") != F.col("shard9")).cast("bigint")
+            ).alias("n_moved"),
+        )
+        .orderBy("shard8")
+    )

@@ -1606,3 +1606,85 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT event_type, n, n_users, cents
         """
     )
+
+
+@query(
+    "q_sql_within_group",
+    oracle="""
+    SELECT event_type,
+           floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                 * 1000000 + 0.5) / 1000000 AS median_v,
+           floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY value)
+                 * 1000000 + 0.5) / 1000000 AS p90_v,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1_disc
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.A",
+)
+def q_sql_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates in SQL-standard WITHIN GROUP syntax —
+    percentile_cont (interpolating) and percentile_disc (selecting) as
+    the IDENTICAL text on both engines, the ISO form of what
+    q_agg_percentile/q_agg_percentile_disc exercise through the
+    function API. percentile_disc is pure selection (bit-exact);
+    percentile_cont's interpolation lower + (upper-lower)·frac runs on
+    identical doubles, pinned at floor-6dp. One hash-ordered agg per
+    type; Spark executes it as a sort-based aggregate within the
+    group — no global sort."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("wg_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                     * 1000000 + 0.5) / 1000000 AS median_v,
+               floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY value)
+                     * 1000000 + 0.5) / 1000000 AS p90_v,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1_disc
+        FROM wg_events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+@query(
+    "q_sql_lateral_alias",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(floor(cents / n) AS BIGINT) AS avg_cents,
+           CAST(floor(avg_cents / 100) AS BIGINT) AS avg_dollars
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4, SPARK-27561): a SELECT item
+    referencing a sibling alias — including aliases OF AGGREGATES
+    (avg_cents built from cents/n, avg_dollars from avg_cents) —
+    run as the IDENTICAL text on both engines, pinning that the
+    left-to-right alias resolution and the implied projection layering
+    agree. Derived ratios go through explicit floor() — CAST(double
+    AS BIGINT) is an engine-divergence trap (DuckDB rounds half-even,
+    Spark truncates; measured one-off on every avg in this query). Compiles to the ordinary
+    hash agg + one stacked projection — the aliases are syntax, not
+    extra passes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               CAST(floor(cents / n) AS BIGINT) AS avg_cents,
+               CAST(floor(avg_cents / 100) AS BIGINT) AS avg_dollars
+        FROM la_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
