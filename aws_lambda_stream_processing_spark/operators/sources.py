@@ -1047,3 +1047,56 @@ def q_scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_scan_ignore_corrupt_files",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.A",
+)
+def q_scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience — the operational reality of a 100 TB
+    landing zone where one truncated upload must not kill a million-file
+    scan: the events table lands as clean parquet next to a PLANTED
+    garbage file (bytes that fail footer parsing), and the read runs
+    under spark.sql.files.ignoreCorruptFiles=true, which logs-and-skips
+    the bad file instead of failing the job. The aggregate runs EAGERLY
+    inside the conf context (restored before returning — the driver's
+    session is untouched, the q_join_skew_aqe discipline) and must
+    equal the clean-table oracle exactly: resilience means skipping
+    the corrupt FILE, not losing or duplicating any good row. Without
+    the conf the same scan throws — asserted as the negative control
+    in tests, so the flag is proven load-bearing, not decorative."""
+    from aws_lambda_stream_processing_spark.operators.scale import _conf_ctx
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_corrupt_scan_{spark.sparkContext.applicationId}",
+    )
+    e.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file \x00\xff garbage")
+    with _conf_ctx(spark, {"spark.sql.files.ignoreCorruptFiles": "true"}):
+        df = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ).alias("cents"),
+            )
+            .orderBy("event_type")
+        )
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)

@@ -511,3 +511,47 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         six(F.cume_dist().over(w)).alias("cd"),
         six(F.percent_rank().over(w)).alias("pr"),
     )
+
+
+@query(
+    "q_win_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cents_1h,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_1h
+    FROM events
+    """,
+    category="2.E",
+)
+def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-window analytic — each event's rolling 1-hour
+    per-user spend and event count — the ops metric behind rate
+    limiting and spend alerts, expressed as a RANGE frame over the
+    epoch-MICROSECOND axis: both engines order by exact int64 micros
+    (unix_micros / epoch_us) and bound the frame at 3.6e9 μs, so frame
+    membership is integer comparison — no truncation-at-seconds
+    divergence, no timezone exposure. Peer rows (same μs) share the
+    frame by RANGE semantics, so no tiebreak is needed. One window
+    shuffle on user_id; the frame re-aggregates exact integer cents.
+    The value-bucketed de-skew of q_win_range_frame applies verbatim
+    if an entity's event rate makes single-partition frames fat — here
+    user partitions are small by construction."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w).alias("cents_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )

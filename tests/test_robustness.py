@@ -188,3 +188,29 @@ def test_skew_aqe_query_restores_session_confs(spark, registry):
         except Exception:  # noqa: BLE001
             now = None
         assert now == v, f"conf {k} leaked: {v!r} -> {now!r}"
+
+
+def test_corrupt_file_fails_without_flag_and_conf_restored(spark, registry):
+    """q_scan_ignore_corrupt_files: the planted garbage file must make
+    the same scan THROW without ignoreCorruptFiles (the flag is
+    load-bearing), the query must leave the session conf exactly as it
+    found it, and the resilient read must lose no good rows."""
+    import os
+    import tempfile
+
+    import pytest
+
+    before = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    df = registry["q_scan_ignore_corrupt_files"].fn(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == before
+    total = sum(r["n"] for r in df.collect())
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_corrupt_scan_{spark.sparkContext.applicationId}",
+    )
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        spark.read.parquet(out).groupBy().count().collect()
