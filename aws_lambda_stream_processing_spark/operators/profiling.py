@@ -2418,3 +2418,88 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.x_name", "p.y_name", "p.n", "p.r")
         .orderBy("x_name", "y_name")
     )
+
+
+_GEN_K = 5
+
+
+@query(
+    "q_anon_generalization",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS q1, c_mktsegment AS q2
+      FROM customer
+    ),
+    l1 AS (
+      SELECT CAST(n.n_regionkey AS VARCHAR) AS q1, c.c_mktsegment AS q2
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    l2 AS (
+      SELECT CAST(n.n_regionkey AS VARCHAR) AS q1, '*' AS q2
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rep AS (
+      SELECT 0 AS level, q1, q2, COUNT(*) AS n FROM l0 GROUP BY q1, q2
+      UNION ALL
+      SELECT 1, q1, q2, COUNT(*) FROM l1 GROUP BY q1, q2
+      UNION ALL
+      SELECT 2, q1, q2, COUNT(*) FROM l2 GROUP BY q1, q2
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_GEN_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN n < {_GEN_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows
+    FROM rep
+    GROUP BY level
+    ORDER BY level
+    """,
+    category="2.D",
+)
+def q_anon_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier GENERALIZATION ladder — the anonymization move
+    q_anon_kanonymity (which only reports) stops short of: walk a fixed
+    domain hierarchy (nation → region → any; segment → any) and report,
+    per generalization level, how many quasi-identifier groups remain,
+    how many still violate k={k}, and how many rows those violations
+    expose. The publisher picks the first level with zero exposure —
+    the ladder makes the utility-vs-privacy tradeoff a table instead
+    of a guess. All integer counts; the hierarchy step is a broadcast
+    dim join (nation is 25 rows), each level one hash agg — three
+    bounded-domain aggs and a 3-level rollup, shuffle volume capped by
+    the QI domain, not the table.""".format(k=_GEN_K)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    cr = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    levels = [
+        c.select(
+            F.col("c_nationkey").cast("string").alias("q1"),
+            F.col("c_mktsegment").alias("q2"),
+        ).withColumn("level", F.lit(0)),
+        cr.select(
+            F.col("n_regionkey").cast("string").alias("q1"),
+            F.col("c_mktsegment").alias("q2"),
+        ).withColumn("level", F.lit(1)),
+        cr.select(
+            F.col("n_regionkey").cast("string").alias("q1"),
+            F.lit("*").alias("q2"),
+        ).withColumn("level", F.lit(2)),
+    ]
+    rep = levels[0].unionAll(levels[1]).unionAll(levels[2]).groupBy(
+        "level", "q1", "q2"
+    ).agg(F.count("*").alias("n"))
+    k = F.lit(_GEN_K)
+    return (
+        rep.groupBy("level")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n") < k).cast("bigint")).alias("n_violating"),
+            F.sum(
+                F.when(F.col("n") < k, F.col("n")).otherwise(0)
+            ).alias("n_exposed_rows"),
+        )
+        .orderBy("level")
+    )

@@ -826,3 +826,63 @@ def q_scale_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard8")
     )
+
+
+_AQE_COALESCE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # the oversized pre-shuffle partition count AQE is expected to repair
+    "spark.sql.shuffle.partitions": "200",
+}
+
+
+@query(
+    "q_scale_aqe_coalesce",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MAX(n) AS BIGINT) AS max_user_events
+    FROM per_user
+    """,
+    category="2.D",
+)
+def q_scale_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition coalescing — the other half of the adaptive story
+    next to q_join_skew_aqe: a per-user aggregate deliberately planned
+    with 200 shuffle partitions (the classic oversized static default)
+    runs under adaptive.coalescePartitions, and the runtime re-planner
+    merges the undersized post-shuffle partitions into a few
+    advisory-sized reads — the executed plan carries an AQEShuffleRead
+    with `coalesced` (plan-gated non-vacuously: present under the conf
+    ladder, absent with coalescing disabled). This is the 100 TB
+    posture in miniature: pick shuffle.partitions for the biggest
+    stage and let AQE shrink every smaller one, instead of hand-tuning
+    per query. Runs EAGERLY inside the restored conf context
+    (q_join_skew_aqe discipline); exact integer result, identical to
+    the static plan's."""
+    with _conf_ctx(spark, _AQE_COALESCE_CONFS):
+        per_user = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ).alias("cents"),
+            )
+        )
+        df = per_user.agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.max("n").alias("max_user_events"),
+        )
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)

@@ -758,3 +758,39 @@ def test_dpp_injects_dynamic_pruning_into_fact_scan(spark, registry):
     )
     plain = spark.read.parquet(out).groupBy().count()
     assert "dynamicpruning" not in plan_string(plain).lower()
+
+
+def test_aqe_coalesce_merges_shuffle_partitions(spark, registry):
+    """q_scale_aqe_coalesce: under the conf ladder the executed
+    adaptive plan must carry an AQEShuffleRead with `coalesced`;
+    with coalescing disabled the same frame must not — both
+    directions, so the gate is matchable AND meaningful. Results
+    identical either way."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _AQE_COALESCE_CONFS,
+        _conf_ctx,
+    )
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    def frame():
+        per_user = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return per_user.agg(F.sum("n").alias("n_events"))
+
+    with _conf_ctx(spark, _AQE_COALESCE_CONFS):
+        df = frame()
+        on_rows = df.collect()
+        assert "coalesced" in plan_string(df), plan_string(df)[:2000]
+
+    off_confs = dict(_AQE_COALESCE_CONFS)
+    off_confs["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+    with _conf_ctx(spark, off_confs):
+        df2 = frame()
+        off_rows = df2.collect()
+        assert "coalesced" not in plan_string(df2)
+    assert on_rows == off_rows
