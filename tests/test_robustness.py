@@ -64,6 +64,15 @@ SAMPLE = [
     "q_ts_anomaly_ensemble",  # integer cross-multiplied votes, median chain
     "q_scale_zorder_layout",  # 32-term bit interleave under any partitioning
     "q_llm_multimodal_decode",  # mapInPandas batch boundaries must not matter
+    # round-6 hazards:
+    "q_llm_mmr_diversify",  # 3-stage float argmax chain, id tie-breaks
+    "q_ts_theil_sen",  # median selection over pairwise-slope multiset
+    "q_graph_kcore",  # synchronized peel must not depend on partitioning
+    "q_llm_ndcg_eval",  # 5-term DCG sums + rank ties at equal cosine
+    "q_scale_rendezvous_shard",  # packed argmax key under any layout
+    "q_win_time_range_frame",  # int64-micros frame membership, peer rows
+    "q_events_sequence_match",  # sorted-struct string build per session
+    "q_agg_corr_matrix",  # 15-moment single pass + fixed IEEE tree
 ]
 
 
