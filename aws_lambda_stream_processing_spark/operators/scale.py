@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
 
+_SESSION_SINKS: set[str] = set()
+
+
+def _cleanup_sink_at_exit(path: str) -> None:
+    """Defer removal of a per-applicationId sink dir to interpreter exit.
+
+    The dirs (alsp_dpp_sink_*, alsp_corrupt_scan_*) must OUTLIVE their
+    query — plan gates and tests re-read the lazy frames built over
+    them — so a finally-block rmtree would break the gates. atexit is
+    the earliest safe point; without it repeated sessions accumulate
+    orphaned partitioned-parquet dirs under /tmp."""
+    if not _SESSION_SINKS:
+        import atexit
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _SESSION_SINKS
+            ]
+        )
+    _SESSION_SINKS.add(path)
+
 
 @query(
     "q_sink_partitioned",
@@ -525,13 +546,20 @@ class _conf_ctx:
         self.spark, self.confs = spark, confs
 
     def __enter__(self):
+        # Exception-safe: if a conf.set fails partway, __exit__ would
+        # never run (the with-body is never entered), so roll back the
+        # already-applied confs here before re-raising.
         self.saved = {}
-        for k, v in self.confs.items():
-            try:
-                self.saved[k] = self.spark.conf.get(k)
-            except Exception:  # noqa: BLE001 - unset conf
-                self.saved[k] = None
-            self.spark.conf.set(k, v)
+        try:
+            for k, v in self.confs.items():
+                try:
+                    self.saved[k] = self.spark.conf.get(k)
+                except Exception:  # noqa: BLE001 - unset conf
+                    self.saved[k] = None
+                self.spark.conf.set(k, v)
+        except BaseException:
+            self.__exit__()
+            raise
 
     def __exit__(self, *exc):
         for k, v in self.saved.items():
@@ -730,6 +758,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"alsp_dpp_sink_{spark.sparkContext.applicationId}",
     )
+    _cleanup_sink_at_exit(out)
     (
         e.select(
             "event_id",
@@ -756,14 +785,22 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HRW_A = 2654435761  # Knuth multiplicative constant
+# Knuth multiplicative constant. doc_id * _HRW_A overflows int64 once
+# doc_id exceeds ~3.5e9 — non-ANSI Spark would wrap silently while DuckDB
+# raises, so BOTH engines compute the product in 128-bit (DECIMAL(38,0) /
+# HUGEINT, the bigram-PMI guard pattern) and only the bounded %-residue
+# (< 2^31) comes back down to int64.
+_HRW_A = 2654435761
 _HRW_B = 40503
 _HRW_M = 2147483647
 
 
 def _hrw_key(n_shards: int) -> str:
     """Portable max-of-(h*16+s) rendezvous key over s in [0, n)."""
-    h = f"((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M})"
+    h = (
+        f"CAST((CAST(doc_id AS HUGEINT) * {_HRW_A} + s * {_HRW_B})"
+        f" % {_HRW_M} AS BIGINT)"
+    )
     return (
         f"list_max(list_transform(generate_series(0, {n_shards - 1}), "
         f"s -> {h} * 16 + s))"
@@ -797,21 +834,27 @@ def q_scale_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     adding one shard moves 8/9 of the corpus). The argmax is computed
     portably as max over the packed key h·16 + s (lexicographic
     (h, s) with the id tiebreak embedded — no struct-comparison
-    semantics to trust), with h a Knuth multiplicative hash in exact
-    int64 (doc_id·2654435761 ≲ 2.7e14 ≪ 2^63). Output: per-shard doc
+    semantics to trust), with h a Knuth multiplicative hash whose
+    product runs in 128-bit on BOTH engines (DECIMAL(38,0) here,
+    HUGEINT in the oracle) so doc_id is unbounded — int64 would wrap
+    on Spark but raise on DuckDB past doc_id ≈ 3.5e9, the same
+    engine-divergence class the bigram-PMI guard closed. Only the
+    %-residue (< 2^31) returns to int64. Output: per-shard doc
     counts under 8 shards and how many of each shard's docs the 9th
     shard steals — the minimal-movement property, measured. Shuffle-
     free per-row math + one hash agg; the shard count is a constant,
     so the transform costs one bounded array per row at any corpus
     size."""
     d = load_table(spark, sf_dir, "documents")
+    h128 = (
+        f"CAST((CAST(doc_id AS DECIMAL(38,0)) * {_HRW_A} + s * {_HRW_B})"
+        f" % {_HRW_M} AS BIGINT)"
+    )
     k8 = F.expr(
-        "array_max(transform(sequence(0, 7), "
-        f"s -> ((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M}) * 16 + s))"
+        f"array_max(transform(sequence(0, 7), s -> {h128} * 16 + s))"
     )
     k9 = F.expr(
-        "array_max(transform(sequence(0, 8), "
-        f"s -> ((doc_id * {_HRW_A} + s * {_HRW_B}) % {_HRW_M}) * 16 + s))"
+        f"array_max(transform(sequence(0, 8), s -> {h128} * 16 + s))"
     )
     assigned = d.select(
         (k8 % 16).alias("shard8"), (k9 % 16).alias("shard9")

@@ -1074,13 +1074,17 @@ def q_scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corrupt FILE, not losing or duplicating any good row. Without
     the conf the same scan throws — asserted as the negative control
     in tests, so the flag is proven load-bearing, not decorative."""
-    from aws_lambda_stream_processing_spark.operators.scale import _conf_ctx
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _cleanup_sink_at_exit,
+        _conf_ctx,
+    )
 
     e = load_table(spark, sf_dir, "events")
     out = os.path.join(
         tempfile.gettempdir(),
         f"alsp_corrupt_scan_{spark.sparkContext.applicationId}",
     )
+    _cleanup_sink_at_exit(out)
     e.select("event_id", "event_type", "value").write.mode(
         "overwrite"
     ).parquet(out)

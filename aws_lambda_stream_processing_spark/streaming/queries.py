@@ -1188,11 +1188,17 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         run_foreach_batch(stream, handler)
-        out_deltas = sorted(
-            f"{state_base}/{p}/out"
-            for p in os.listdir(state_base)
-            if p.startswith("v")
-        )
+        # Numeric version order (the SCD2 handler's discipline) — a
+        # lexicographic sort reads v10 before v2 past 9 batches, which
+        # is latent misordering if delta order ever becomes load-bearing.
+        out_deltas = [
+            f"{state_base}/v{b}/out"
+            for b in sorted(
+                int(p[1:])
+                for p in os.listdir(state_base)
+                if p.startswith("v")
+            )
+        ]
         final = spark.read.parquet(*out_deltas)
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
@@ -1325,8 +1331,6 @@ def q_stream_checkpoint_recovery(
     At 100 TB the checkpoint (offsets + HDFS-backed state store) is
     exactly what survives executor loss and planned redeploys; the
     two-run split here exercises the same code path."""
-    import os
-
     agg_cols = [
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
