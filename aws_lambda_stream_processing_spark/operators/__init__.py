@@ -8,13 +8,20 @@ and behavior ~0.5-2 s; sources pay sink round-trips (~2-4 s);
 the graph family LAST here — its queries share a ~4 s edge-relation
 build that would otherwise sit in the middle of the sample prefix.
 
-Round-6 rotation (see registry.load_all): `windows` moved to the head
-so the never-driver-certified §2.E family lands inside the driver's
-~50-query sample prefix; the r1-r5-certified aggregate/filter block
-shifts behind it.
+Round-7 rotation (see registry.load_all): `sqlfront` (the TPC-H/
+TPC-DS/SQL-surface family — 42 queries, ALL never driver-certified
+through r6, every one ≤2.2 s at sf0.01) moves to the head, followed
+by `sketches` (3, never certified) and `profiling` (first 5 in file
+order never certified) — a first-50 prefix of 50 first-time IDs.
+The §2.H/§2.E block certified in r6 shifts behind them. Rotation
+only permutes dict insertion order; every query keeps its ID,
+oracle, and behavior.
 """
 
 from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
+    sqlfront,
+    sketches,
+    profiling,
     windows,
     aggregates,
     relational,
@@ -22,9 +29,6 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     setops,
     joins,
     behavior,
-    profiling,
-    sqlfront,
-    sketches,
     scale,
     sources,
     graphs,

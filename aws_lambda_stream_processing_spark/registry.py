@@ -81,15 +81,17 @@ def load_all() -> dict[str, QuerySpec]:
     The cheap-family order ROTATES between rounds: the driver's sweep
     budget covers ~50 queries, so keeping one fixed prefix would leave
     the rest of the registry driver-certified never (r5 verdict: the
-    r04 and r05 samples were the identical 50 IDs). Round 6 moves the
-    scalar-function (§2.H, 26 queries, 0.1-2.3 s each at sf0.01) and
-    window (§2.E, 14 queries, 0.2-0.7 s) families — never sampled in
-    r1-r5 — ahead of the aggregate/filter block certified in earlier
-    rounds. Rotation only permutes dict insertion order; every query
-    keeps its ID, oracle, and behavior.
+    r04 and r05 samples were the identical 50 IDs). Round 6 moved the
+    scalar-function (§2.H) and window (§2.E) families into the prefix
+    (43 first-time certifications). Round 7 moves `operators` ahead of
+    `functions` and rotates sqlfront + sketches + profiling to the head
+    of `operators` — 50 more never-certified sub-second IDs in the
+    first-50 prefix (see operators/__init__.py). Rotation only permutes
+    dict insertion order; every query keeps its ID, oracle, and
+    behavior.
     """
-    import aws_lambda_stream_processing_spark.functions  # noqa: F401
     import aws_lambda_stream_processing_spark.operators  # noqa: F401
+    import aws_lambda_stream_processing_spark.functions  # noqa: F401
     import aws_lambda_stream_processing_spark.llm  # noqa: F401
     import aws_lambda_stream_processing_spark.udf  # noqa: F401
     import aws_lambda_stream_processing_spark.streaming  # noqa: F401
