@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import query, track_cache
 from aws_lambda_stream_processing_spark.tables import load_table
 
 JACCARD_TAU = 0.95
@@ -163,8 +163,10 @@ def _deletion_neighborhood_pairs(docs: DataFrame, tau: float) -> DataFrame:
     # cache: every branch of this DAG (hash pipeline, both sides of the
     # identical-sets join, deletion explode, the two verification joins)
     # re-derives `docs`, whose element arrays come from an interpreted
-    # transform — pay that once
+    # transform — pay that once (query-local; the registry janitor frees
+    # it when the next query builds)
     docs = docs.cache()
+    track_cache(docs.unpersist)
     # codegen'd hash pipeline: one row per (doc, element)
     ph = docs.select(
         "doc_id", F.explode("s").alias("e")
@@ -1052,9 +1054,11 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # cached: BOTH the signature agg (mh) and the truth-side shingle
         # sets (sh) consume this stream — without the cache the whole
-        # token-hash pipeline runs twice.
+        # token-hash pipeline runs twice. Query-local; janitor-freed at
+        # the next build.
         .cache()
     )
+    track_cache(gh.unpersist)
     mh = gh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("gh") + F.lit(b)) % _MH_P).alias(f"h{i}")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import query, track_cache
 from aws_lambda_stream_processing_spark.tables import load_table
 
 
@@ -68,6 +68,15 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     _EDGE_MEMO[key] = edges
+
+    def _release(key=key, edges=edges):
+        _EDGE_MEMO.pop(key, None)
+        edges.unpersist()
+
+    # family-scoped: lives while consecutive graph queries share it, is
+    # released by the registry janitor on the first non-graph build (the
+    # r6 aged-suite tail traced to session-lifetime cached blocks).
+    track_cache(_release, scope="graphs")
     return edges
 
 
@@ -221,6 +230,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
         .cache()
     )
+    track_cache(edges.unpersist)  # query-local: janitor frees it next build
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     n = deg.agg(F.count("*").alias("n_nodes"))
     pr = (
@@ -849,6 +859,7 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
         .cache()
     )
+    track_cache(edges.unpersist)  # query-local: janitor frees it next build
     lab = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -937,6 +948,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
         .cache()
     )
+    track_cache(edges.unpersist)  # query-local: janitor frees it next build
     cur = edges
     stats = []
     for i in range(1, _KCORE_ITERS + 1):

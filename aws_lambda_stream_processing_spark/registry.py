@@ -29,6 +29,42 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# ---------------------------------------------------------------------------
+# Cache janitor. Operators that persist() intermediates register a release
+# callback here; the @query wrapper sweeps pending releases when the NEXT
+# query builds. Rationale (r6 verdict item 2): a driver runs the registry
+# sequentially, and caches left pinned for the session evict each other's
+# blocks — the measured aged-suite bench tail. The sweep point is the next
+# build because a query returns a LAZY frame: its caches materialize during
+# the DRIVER's collect, so the earliest in-engine moment they are provably
+# dead is when the driver comes back for another query.
+#
+#   scope=""        — single-query cache: released at the very next build.
+#   scope="<family>"— cross-query memo (e.g. the graphs edge relation):
+#                     survives while consecutive queries of the same family
+#                     run, released on the first foreign build. Registration
+#                     order groups families, so sharing is preserved exactly
+#                     where it pays.
+_CACHE_JANITOR: list[tuple[str, Callable[[], None]]] = []
+
+
+def track_cache(release: Callable[[], None], scope: str = "") -> None:
+    """Register a cache/memo release callback (see _CACHE_JANITOR)."""
+    _CACHE_JANITOR.append((scope, release))
+
+
+def _sweep_caches(family: str) -> None:
+    keep: list[tuple[str, Callable[[], None]]] = []
+    for scope, release in _CACHE_JANITOR:
+        if scope and scope == family:
+            keep.append((scope, release))
+            continue
+        try:
+            release()
+        except Exception:  # noqa: BLE001 - a dead session is not our problem
+            pass
+    _CACHE_JANITOR[:] = keep
+
 
 def query(
     name: str,
@@ -42,6 +78,8 @@ def query(
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
 
+        family = fn.__module__.rsplit(".", 1)[-1]
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The driver may pass a session we didn't build; pin the confs
             # that result parity depends on (UTC, AQE) before planning.
@@ -52,6 +90,7 @@ def query(
             # noise against any query's plan+execute time.
             from aws_lambda_stream_processing_spark.session import apply_runtime_confs
 
+            _sweep_caches(family)
             apply_runtime_confs(spark)
             return fn(spark, sf_dir)
 

@@ -223,3 +223,40 @@ def test_corrupt_file_fails_without_flag_and_conf_restored(spark, registry):
     )
     with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
         spark.read.parquet(out).groupBy().count().collect()
+
+
+def test_cache_janitor_releases_persisted_blocks(spark, registry):
+    """r6 verdict item 2: caches pinned for the session evict each
+    other's blocks over a 427-query sweep (the measured aged-suite
+    bench tail). The registry janitor must (a) keep the shared edge
+    memo alive across CONSECUTIVE graph queries — the sharing is the
+    point of the memo — and (b) leave ZERO persistent RDDs once a
+    foreign query builds."""
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # establish a clean baseline (earlier tests may hold caches)
+    registry["q_filter_cmp"].fn(spark, SF_DIR).collect()
+    base = n_persistent()
+    assert base == 0, f"baseline persistent RDDs: {base}"
+
+    registry["q_graph_triangles"].fn(spark, SF_DIR).collect()
+    assert n_persistent() >= 1  # the memoized edge relation is pinned
+    registry["q_graph_pagerank"].fn(spark, SF_DIR).collect()
+    # pagerank must REUSE the memo, not rebuild it (janitor kept it)
+    from aws_lambda_stream_processing_spark.operators.graphs import (
+        _EDGE_MEMO,
+    )
+
+    assert any(k[1] == SF_DIR for k in _EDGE_MEMO)
+
+    # first foreign build sweeps everything: memo + query-local caches
+    registry["q_filter_cmp"].fn(spark, SF_DIR).collect()
+    assert n_persistent() == 0
+    assert not _EDGE_MEMO
+
+    # dedup's intra-query caches are freed by the next build too
+    registry["q_llm_minhash_lsh"].fn(spark, SF_DIR).collect()
+    registry["q_filter_cmp"].fn(spark, SF_DIR).collect()
+    assert n_persistent() == 0
