@@ -790,6 +790,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LPA_ITERS = 3
+_LPA_PIN_EVERY = 4  # lineage-pin cadence for deep LPA runs (see _lpa_labels)
 # deterministic sparsifier: the raw co-occurrence graph is so dense
 # (median degree ~119) that min-label flooding converges to one giant
 # community in ~2 hops; keeping ~9% of edges by a fixed hash keeps the
@@ -860,10 +861,33 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     track_cache(edges.unpersist)  # query-local: janitor frees it next build
+    lab = _lpa_labels(edges, _LPA_ITERS)
+    return (
+        lab.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+def _lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
+    """The unrolled min-label propagation chain with a lineage guard.
+
+    Every _LPA_PIN_EVERY-th round (never the last) is localCheckpoint-
+    pinned, the k-core discipline — EXCEPT that at the query's shipped
+    depth (3 < _LPA_PIN_EVERY rounds) no pin fires at all, keeping the
+    build fully lazy: under AQE, even eager=False checkpointing calls
+    .rdd, which materializes every upstream shuffle stage at BUILD time
+    (measured: 16 jobs for the 3-round chain) and would break the
+    zero-jobs-until-collect contract the registry's lazy builders keep.
+    The guard exists so a deeper run (iters > _LPA_PIN_EVERY) bounds
+    Catalyst's re-analysis cost instead of compounding a 2^rounds
+    left-join lineage — tests/test_plans.py drives this path directly
+    and asserts the pin engages."""
     lab = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(_LPA_ITERS):
+    for i in range(iters):
         neigh = (
             edges.join(lab, lab["node"] == edges["u"])
             .groupBy(edges["v"])
@@ -874,12 +898,9 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.least(F.col("lbl"), F.coalesce("minl", "lbl")).alias("lbl"),
         )
-    return (
-        lab.groupBy(F.col("lbl").alias("community"))
-        .agg(F.count("*").alias("n_members"))
-        .orderBy(F.desc("n_members"), "community")
-        .limit(20)
-    )
+        if (i + 1) % _LPA_PIN_EVERY == 0 and (i + 1) < iters:
+            lab = lab.localCheckpoint(eager=False)
+    return lab
 
 
 _KCORE_K = 8

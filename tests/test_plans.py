@@ -794,3 +794,39 @@ def test_aqe_coalesce_merges_shuffle_partitions(spark, registry):
         off_rows = df2.collect()
         assert "coalesced" not in plan_string(df2)
     assert on_rows == off_rows
+
+
+def test_lpa_lineage_guard(spark, registry):
+    """q_graph_lpa_communities's lineage guard (_lpa_labels): at the
+    shipped 3-round depth NO pin fires — the plan keeps its full lazy
+    join chain, bit-identical to pre-guard (under AQE even eager=False
+    checkpointing runs every upstream shuffle stage at build time, so a
+    pin here would break the zero-jobs contract _MUST_BE_LAZY asserts).
+    Past _LPA_PIN_EVERY rounds the pin MUST engage: the deep chain's
+    plan aggregates a Scan of a pinned RDD instead of re-analyzing all
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.graphs import (
+        _LPA_EDGE_PRED,
+        _LPA_PIN_EVERY,
+        _lpa_labels,
+        _part_edges,
+    )
+
+    df = registry["q_graph_lpa_communities"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "Scan ExistingRDD" not in plan, plan[:2000]
+
+    half = _part_edges(spark, SF_DIR).where(F.expr(_LPA_EDGE_PRED))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).coalesce(8)
+    deep = _lpa_labels(edges, _LPA_PIN_EVERY + 2)
+    deep_plan = plan_string(deep, "simple")
+    assert "Scan ExistingRDD" in deep_plan, deep_plan[:2000]
+    # everything before the pin is hidden behind the RDD scan: only the
+    # post-pin rounds' joins remain (2 rounds x (neigh + merge), plus
+    # plan-string re-prints of the pinned branch) — an unpinned 6-round
+    # chain would carry 12+.
+    assert deep_plan.count("Join") <= 8, deep_plan[:2000]
