@@ -160,3 +160,77 @@ def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.sum("order_violations").alias("order_violations"),
     )
+
+
+def _keyset_page(o: DataFrame, bound, n: int) -> DataFrame:
+    """One keyset page: rows strictly after `bound` = (cents, orderkey)
+    in the (cents DESC, o_orderkey ASC) total order, top-n. The seek
+    predicate makes every page a plain filter + TakeOrderedAndProject
+    (per-partition top-n, driver merges n·partitions rows) — no offset,
+    so page depth never enters the cost. bound=None is page 1."""
+    if bound is not None:
+        last_cents, last_key = bound
+        o = o.where(
+            (F.col("cents") < last_cents)
+            | (
+                (F.col("cents") == last_cents)
+                & (F.col("o_orderkey") > last_key)
+            )
+        )
+    return o.orderBy(F.desc("cents"), "o_orderkey").limit(n)
+
+
+@query(
+    "q_limit_keyset",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(1 AS INTEGER) AS page, * FROM
+      (SELECT * FROM r ORDER BY cents DESC, o_orderkey LIMIT 20)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS page, * FROM
+      (SELECT * FROM r ORDER BY cents DESC, o_orderkey LIMIT 20 OFFSET 20)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER) AS page, * FROM
+      (SELECT * FROM r ORDER BY cents DESC, o_orderkey LIMIT 20 OFFSET 40)
+    """,
+    category="2.F",
+)
+def q_limit_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset/seek pagination — the plan q_limit_offset's docstring
+    prescribes for deep pages, promoted to a first-class rung: three
+    chained 20-row pages of orders by (cents DESC, o_orderkey), where
+    each page's cursor is the LAST (cents, orderkey) of the previous
+    page and the next page is `WHERE (cents, key) after cursor ORDER BY
+    … LIMIT 20`. Every page therefore executes as filter +
+    TakeOrderedAndProject(limit=20) — per-partition top-20 and a
+    60-row driver merge — while the OFFSET formulation (the oracle,
+    same rows by construction over the unique total order) pays a
+    top-(20·page) scan that grows linearly with depth. The seek
+    predicate also reaches the scan as a DataFilter, so a layout sorted
+    or Z-ordered by the sort key skips non-qualifying row groups
+    entirely — at 100 TB page 1000 costs the same as page 1, the whole
+    point of keyset pagination. Eager by necessity (the client carries
+    the cursor between requests: 2 boundary collects of 20 rows);
+    tests/test_plans.py gates pages 2-3 as offset-free
+    TakeOrderedAndProject with the OFFSET plan as positive control."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = []
+    bound = None
+    for page in (1, 2, 3):
+        rows = _keyset_page(o, bound, 20).collect()
+        bound = (rows[-1]["cents"], rows[-1]["o_orderkey"])
+        out += [
+            (page, r["o_orderkey"], r["o_custkey"], r["cents"])
+            for r in rows
+        ]
+    return spark.createDataFrame(
+        out, "page int, o_orderkey long, o_custkey long, cents long"
+    )

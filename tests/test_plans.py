@@ -830,3 +830,35 @@ def test_lpa_lineage_guard(spark, registry):
     # plan-string re-prints of the pinned branch) — an unpinned 6-round
     # chain would carry 12+.
     assert deep_plan.count("Join") <= 8, deep_plan[:2000]
+
+
+def test_keyset_pages_are_offset_free(spark, registry):
+    """q_limit_keyset: pages 2-3 must execute as plain
+    TakeOrderedAndProject(limit=20) with a seek DataFilter — NO offset
+    in the plan (offset cost grows with page depth; seek cost doesn't).
+    Positive control: the OFFSET formulation of the same page DOES
+    plan with offset=, proving the assertion can fire."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.sorts import (
+        _keyset_page,
+    )
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    page2 = _keyset_page(o, (123456, 789), 20)
+    plan = plan_string(page2, "simple")
+    assert "TakeOrderedAndProject(limit=20," in plan, plan[:1500]
+    assert "offset=" not in plan, plan[:1500]
+    # the seek predicate must reach the scan as a DataFilter
+    assert "DataFilters: []" not in plan, plan[:1500]
+    assert "DataFilters: [((" in plan, plan[:1500]
+
+    control = (
+        o.orderBy(F.desc("cents"), "o_orderkey").offset(20).limit(20)
+    )
+    assert "offset=20" in plan_string(control, "simple")
