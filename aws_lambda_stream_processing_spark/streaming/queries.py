@@ -600,6 +600,95 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_full_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(c_ts) FROM c),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c JOIN p ON c.user_id = p.p_user
+       AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.click_id, NULL::BIGINT AS purchase_id, c.user_id
+    FROM c CROSS JOIN wm
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE c.user_id = p.p_user
+                      AND p.p_ts >= c.c_ts
+                      AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE)
+      AND c.c_ts + INTERVAL 30 MINUTE < wm.w
+    UNION ALL
+    SELECT NULL::BIGINT AS click_id, p.purchase_id, p.p_user AS user_id
+    FROM p CROSS JOIN wm
+    WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.p_user
+                      AND p.p_ts >= c.c_ts
+                      AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE)
+      AND p.p_ts < wm.w
+    """,
+    category="2.I",
+)
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the missing half of the
+    correlation family next to q_stream_stream_left_join: watermark-
+    driven null emission on BOTH sides. Each side's null-extended rows
+    are emitted only when the GLOBAL watermark (min of both sides'
+    watermarks — Spark's multipleWatermarkPolicy=min default) proves no
+    matching row can still arrive. The two sides evict at DIFFERENT
+    horizons, derived from the time-range condition
+    p_ts ∈ [c_ts, c_ts+30min): a match-less click is provably dead once
+    wm passes c_ts + 30min (no later purchase can fall in its window),
+    while a match-less purchase is dead as soon as wm passes p_ts
+    itself (any matching click would have c_ts ≤ p_ts). availableNow
+    finalizes the watermark after the data batch and runs BOTH sides'
+    eviction flush before stopping; younger rows stay in state and are
+    correctly never emitted by the bounded replay. The oracle
+    reproduces exactly that: inner matches ∪ match-less clicks past
+    c_ts+30min ∪ match-less purchases past p_ts, wm = min(max c_ts,
+    max p_ts) − 1 h. Boundary strictness declared `<` per the left-join
+    note (continuous timestamps — no corpus row sits on the boundary).
+    At 100 TB state on each side is bounded by its own watermark
+    horizon; the asymmetric eviction means the purchase side holds only
+    30 min more than the delay, independent of click volume."""
+    stream, d = _stream_split(spark, sf_dir, ["true"])
+    try:
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        out = joined.select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
+        )
+        return run_to_memory(out, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "q_stream_upsert_foreachbatch",
     oracle="""
     WITH ranked AS (

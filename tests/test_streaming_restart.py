@@ -208,3 +208,72 @@ def test_upsert_handler_is_idempotent_per_batch(spark):
         assert first == truth
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_full_outer_join_does_not_reemit_after_restart(spark, scratch_dirs):
+    """q_stream_stream_full_join's restart contract: a second run on the
+    same checkpoint with no new input must emit ZERO rows. This is
+    stricter than committed-offset replay alone — the watermark eviction
+    flush runs on every availableNow run, so null-extended rows must be
+    REMOVED from join state when first emitted, or a redeploy would
+    re-emit every match-less row a second time (duplicate nulls in the
+    sink = the at-least-once bug the checkpoint exists to prevent)."""
+    d = split_events_dir(spark, SF_DIR, ["true"])
+    ckpt = _scratch("alsp_foj_ckpt_")
+    scratch_dirs.extend([d, ckpt])
+
+    def plan():
+        stream = (
+            spark.readStream.schema(SPLIT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.col("p_ts")
+                < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "full_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
+        )
+
+    emitted: list[int] = []
+
+    def handler(batch_df, batch_id):
+        emitted.append(batch_df.count())
+
+    # foreachBatch: the memory sink does not support checkpoint recovery
+    run_foreach_batch(plan(), handler, checkpoint=ckpt)
+    n_first = sum(emitted)
+    assert n_first > 0, "run 1 emitted nothing — the probe is vacuous"
+
+    emitted.clear()
+    run_foreach_batch(plan(), handler, checkpoint=ckpt)
+    assert sum(emitted) == 0, (
+        f"restarted run re-emitted {sum(emitted)} rows "
+        f"(first run: {n_first})"
+    )
