@@ -1589,3 +1589,85 @@ def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("day", "event_type")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "q_stream_rocksdb_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY user_id
+    """,
+    category="2.I",
+)
+def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RocksDB state-store provider rung: the SAME keyed streaming
+    aggregation every other stateful rung runs on the default
+    HDFS-backed in-memory provider, executed under
+    spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider (native in Spark 4 — no external jars),
+    then read BACK through the `statestore` data source and pinned to
+    the exact batch oracle. That closes the provider-independence
+    claim with data: state correctness (no key lost, duplicated, or
+    mis-aggregated) is a property of the checkpoint contract, not of
+    the provider the micro-batch happened to commit through — the
+    statestore reader resolves the provider from checkpoint metadata
+    and decodes RocksDB snapshot zips as transparently as HDFS
+    .delta files (tests assert the .zip artifacts, so the conf is
+    proven load-bearing). The provider conf is set/restored around
+    the run via _conf_ctx — the driver's session leaves untouched.
+    At 100 TB of keyed state RocksDB is the only posture that works:
+    state spills to local SSD instead of executor heap, changelog
+    checkpointing bounds per-batch upload to the delta, and the
+    memory-bound HDFS provider becomes the thing you migrate OFF —
+    this rung is that migration's correctness proof in miniature."""
+    from aws_lambda_stream_processing_spark.operators.scale import _conf_ctx
+
+    src = _scratch("alsp_rocks_src_")
+    ckpt = _scratch("alsp_rocks_ckpt_")
+    try:
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, cents long"
+        ).parquet(src)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+        with _conf_ctx(
+            spark,
+            {"spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER},
+        ):
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                if q.isActive:
+                    q.stop()
+            state = spark.read.format("statestore").load(ckpt)
+            result = state.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("cents"),
+            )
+            rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

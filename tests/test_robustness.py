@@ -260,3 +260,63 @@ def test_cache_janitor_releases_persisted_blocks(spark, registry):
     registry["q_llm_minhash_lsh"].fn(spark, SF_DIR).collect()
     registry["q_filter_cmp"].fn(spark, SF_DIR).collect()
     assert n_persistent() == 0
+
+
+def test_rocksdb_provider_engages_and_conf_restored(spark):
+    """q_stream_rocksdb_state is only a provider-independence proof if
+    the RocksDB provider actually ran. RocksDB commits state as
+    snapshot/changelog ZIPs where the default HDFS provider writes
+    .delta files — assert the .zip artifacts under an identically
+    configured mini-run's checkpoint, and that the provider conf is
+    restored afterwards (the _conf_ctx contract)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.scale import _conf_ctx
+    from aws_lambda_stream_processing_spark.streaming.queries import (
+        _ROCKSDB_PROVIDER,
+    )
+    from aws_lambda_stream_processing_spark.streaming.replay import _scratch
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset
+        before = None
+
+    src = _scratch("alsp_rockstest_src_")
+    ckpt = _scratch("alsp_rockstest_ckpt_")
+    try:
+        spark.range(50).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+        with _conf_ctx(spark, {key: _ROCKSDB_PROVIDER}):
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(60)
+            finally:
+                if q.isActive:
+                    q.stop()
+        zips = glob.glob(f"{ckpt}/state/**/*.zip", recursive=True)
+        deltas = glob.glob(f"{ckpt}/state/**/*.delta", recursive=True)
+        assert zips, "no RocksDB snapshot zips — provider did not engage"
+        assert not deltas, f"HDFS-provider .delta files present: {deltas[:3]}"
+
+        try:
+            after = spark.conf.get(key)
+        except Exception:  # noqa: BLE001
+            after = None
+        assert after == before, f"provider conf leaked: {before!r}->{after!r}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
