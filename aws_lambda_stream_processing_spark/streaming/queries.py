@@ -887,11 +887,20 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     back during the stream — while only the one-row-per-active-user
     OPEN set carries forward; per-batch state I/O is O(batch churn +
     active users), not O(history), and the final table is
-    union-of-closed-deltas + last open set. The invariant the exact
-    oracle pins: the final incremental state is ROW-IDENTICAL to the
-    batch SCD2 over the whole history, regardless of batch boundaries.
-    At 100 TB the closed stream is a partitioned append and the open
-    set a keyed MERGE INTO; the merge math is unchanged."""
+    union-of-closed-deltas + last open set. Round 7 trims (6.6 → 4.6 s
+    best-of-2): empty micro-batches (redelivered/placeholder triggers)
+    skip the merge AND the state rewrite entirely — state is simply
+    unchanged, so version dirs may be sparse and the carry lookup takes
+    the numeric max, not batch_id - 1; each batch issues ONE state
+    write with closed/open as a `state` DATA column, which lets the adj
+    join+window subtree be computed once instead of once per
+    closed/open write action; and the final frame is returned via eager
+    localCheckpoint instead of a collect + re-createDataFrame driver
+    roundtrip. The invariant the exact oracle pins: the final
+    incremental state is ROW-IDENTICAL to the batch SCD2 over the whole
+    history, regardless of batch boundaries. At 100 TB the closed
+    stream is a partitioned append and the open set a keyed MERGE INTO;
+    the merge math is unchanged."""
     import os
 
     stream, d = _stream_split(
@@ -942,9 +951,24 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that batch, and the batch never reads them back; only the
         # OPEN set (one row per active user) is carried full. Per-batch
         # state I/O is O(batch churn + active users), not O(history).
-        prev_open = f"{state_base}/v{batch_id - 1}/open"
-        if os.path.isdir(prev_open):
-            open_v = ss.read.parquet(prev_open).select(
+        # Empty micro-batch (a redelivered/placeholder trigger with no
+        # rows): state is unchanged — skip the merge AND the open-set
+        # rewrite instead of copying state forward (r6 verdict item 7).
+        # The probe reads the already-materialized checkpoint, so it
+        # costs ~nothing on real batches. Version dirs may be sparse;
+        # the prev lookup takes the numeric max instead of batch_id - 1.
+        if not runs.take(1):
+            return
+        prevs = sorted(
+            int(p[1:])
+            for p in os.listdir(state_base)
+            if p.startswith("v")
+        )
+        prev_open = f"{state_base}/v{prevs[-1]}" if prevs else ""
+        if prev_open and os.path.isdir(prev_open):
+            open_v = ss.read.parquet(prev_open).where(
+                F.col("state") == "open"
+            ).select(
                 "user_id",
                 F.col("version").alias("o_version"),
                 F.col("event_type").alias("o_type"),
@@ -1011,36 +1035,67 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols = ["user_id", "version", "event_type",
                 "valid_from", "valid_to", "n_events"]
-        # closed-in-this-batch delta: versions the batch terminated
-        # (type change at batch head, or superseded mid-batch runs);
-        # the open set: untouched carries + each user's last batch run
-        closed_delta = (
+        # ONE write per batch with `state` as a DATA column replaces the
+        # r6 closed/open dir pair. The split form computed the adj
+        # join+window subtree TWICE (once per write action: Spark shares
+        # no work across actions); here adj's two valid_to branches are
+        # together ALL of adj, so tagging rows closed/open by
+        # valid_to-ness computes it ONCE and drops a whole job's
+        # scheduling + exchange overhead per batch. `state` stays a data
+        # column (partitionBy pays dynamic-partition staging/rename per
+        # batch — measured slower than the split writes); readers filter
+        # on it. No coalesce: narrowing here pulls the lead-window sort
+        # onto the coalesced cores (measured +5 s at coalesce(2)).
+        merged = (
             newly_closed.select(*cols)
-            .unionByName(adj.where(F.col("valid_to").isNotNull())
-                         .select(*cols))
-        )
-        open_now = (
-            untouched_open.select(*cols)
-            .unionByName(adj.where(F.col("valid_to").isNull())
-                         .select(*cols))
+            .withColumn("state", F.lit("closed"))
+            .unionByName(
+                untouched_open.select(*cols)
+                .withColumn("state", F.lit("open"))
+            )
+            .unionByName(
+                adj.select(*cols).withColumn(
+                    "state",
+                    F.when(
+                        F.col("valid_to").isNotNull(), F.lit("closed")
+                    ).otherwise(F.lit("open")),
+                )
+            )
         )
         cur = f"{state_base}/v{batch_id}"
-        closed_delta.write.mode("overwrite").parquet(f"{cur}/closed")
-        open_now.write.mode("overwrite").parquet(f"{cur}/open")
+        # repartition(4) bounds the per-version file count (the raw
+        # union carries ~20 partitions from 3 branches × stream shuffle
+        # width; ×3 versions that made the carry-read and the final
+        # union a 65-tiny-file listing). An extra round-robin exchange
+        # of a ~30k-row frame is noise; coalesce here is NOT — it
+        # narrows the lead-window stage itself (measured +5 s at
+        # coalesce(2)).
+        merged.repartition(4).write.mode("overwrite").parquet(cur)
 
     try:
         run_foreach_batch(stream, handler)
         versions = sorted(
             int(p[1:]) for p in os.listdir(state_base) if p.startswith("v")
         )
-        closed_dirs = [
-            f"{state_base}/v{b}/closed" for b in versions
-        ]
-        final = spark.read.parquet(*closed_dirs).unionByName(
-            spark.read.parquet(f"{state_base}/v{versions[-1]}/open")
+        vdirs = [f"{state_base}/v{b}" for b in versions]
+        final = (
+            spark.read.parquet(*vdirs)
+            .where(F.col("state") == "closed")
+            .unionByName(
+                spark.read.parquet(vdirs[-1]).where(
+                    F.col("state") == "open"
+                )
+            )
+            .drop("state")
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # Eager localCheckpoint instead of collect + createDataFrame:
+        # the result must outlive the state dir's rmtree below, but a
+        # driver roundtrip of the full interval table (~80k rows at
+        # sf0.1) costs ~0.9 s + a re-parallelize on the caller's
+        # collect; block-manager materialization is ~0.2 s and the
+        # caller reads the blocks directly (best-of-2 7.3 → 4.6 s with
+        # the repartition(4) layout fix).
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
