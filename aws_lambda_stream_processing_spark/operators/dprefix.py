@@ -146,6 +146,45 @@ def two_phase_cumsum(
     return out_df.drop("__pid", "__lc", "__off")
 
 
+def two_phase_cummax(
+    df: DataFrame,
+    order: OrderSpec,
+    value_col: str,
+    out: str = "cummax",
+    n_parts: int = DEFAULT_PARTS,
+) -> DataFrame:
+    """Global EXCLUSIVE running max of `value_col` in `order` (max over
+    all strictly-earlier rows; NULL on the global first row), distributed
+    like two_phase_cumsum: per-partition local window + a triangular
+    broadcast prefix-max over the #partitions-row per-partition maxima.
+    The skyline operator (q_sort_skyline) is the consumer: a point is
+    Pareto-dominated iff its y is <= the running max of y over all
+    better-x points."""
+    parts = ranged(df, order, n_parts)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*_sort_exprs(order))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("__lm", F.max(value_col).over(w_local))
+    totals = parts.groupBy("__pid").agg(F.max(value_col).alias("__pt"))
+    lower = totals.select(
+        F.col("__pid").alias("__lpid"), F.col("__pt").alias("__lpt")
+    )
+    offs = (
+        totals.join(
+            F.broadcast(lower), F.col("__lpid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.max("__lpt").alias("__om"))
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, F.greatest("__lm", "__om"))
+        .drop("__pid", "__lm", "__om")
+    )
+
+
 def ntile_from_rank(rn: str, n: str, k: int) -> Column:
     """SQL ntile(k) reconstructed from a global rank column `rn` and a
     total-count column `n` (both int64, referenced by NAME so the whole

@@ -234,3 +234,59 @@ def q_limit_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "page int, o_orderkey long, o_custkey long, cents long"
     )
+
+
+@query(
+    "q_sort_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    sky AS (
+      SELECT *,
+             MAX(size) OVER (
+               ORDER BY price ASC, size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      FROM pts
+    )
+    SELECT price, size, n_parts
+    FROM sky WHERE cm IS NULL OR size > cm
+    """,
+    category="2.F",
+)
+def q_sort_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al., ICDE 2001):
+    the parts no other part beats on BOTH dimensions — cheaper-or-equal
+    price AND larger-or-equal size with one strict. The classic
+    formulation is an O(n^2) dominance anti-join; sorted by (price ASC,
+    size DESC) it collapses to "keep a point iff its size exceeds the
+    running max of size over all strictly-earlier points" — O(n log n),
+    and the running max is the two-phase distributed cummax
+    (operators/dprefix.py two_phase_cummax): range-shuffle on the sort
+    key, per-partition local window, triangular broadcast prefix-max
+    over the 8-row per-partition maxima — no partition-less WindowExec
+    anywhere (plan-gated). Duplicate (price, size) points are collapsed
+    first (GROUP BY with a count), which both removes the tie ambiguity
+    of the sorted scan and bounds the frontier input to distinct points.
+    At 100 TB the dominance join is impossible and this shape is the
+    only one that survives: one range shuffle + one broadcast."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cummax,
+    )
+
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count("*").alias("n_parts"))
+    )
+    sky = two_phase_cummax(
+        pts, [("price", True), ("size", False)], "size", out="cm"
+    )
+    return sky.where(
+        F.col("cm").isNull() | (F.col("size") > F.col("cm"))
+    ).select("price", "size", "n_parts")

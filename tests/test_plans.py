@@ -473,6 +473,23 @@ def test_quality_calibration_offsets_broadcast(spark, registry):
     assert "CartesianProduct" not in plan
 
 
+def test_skyline_is_two_phase(spark, registry):
+    """q_sort_skyline: the Pareto frontier must run as the two-phase
+    cummax — ONE range exchange over the distinct points, prefix maxima
+    broadcast back, no O(n^2) dominance join (cartesian / non-equi
+    nested loop over the data-scaled relation) and no partition-less
+    window (the full-surface audit also covers that)."""
+    plan = plan_string(registry["q_sort_skyline"].fn(spark, SF_DIR))
+    import re
+
+    assert "CartesianProduct" not in plan, plan
+    n_range = len(re.findall(r"rangepartitioning\(price", plan))
+    assert n_range >= 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        plan
+    )
+
+
 def test_sort_within_partitions_has_no_exchange(spark, registry):
     """q_sort_within_partitions: the local sort must not shuffle — an
     Exchange before the Sort means Catalyst promoted it to a global
