@@ -224,3 +224,68 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_str_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                  WHEN event_id % 3 = 1
+                    THEN upper(substr(event_type, 1, 1))
+                         || substr(event_type, 2)
+                  ELSE event_type END AS label
+      FROM events
+    )
+    SELECT min(label) AS canon,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_variants
+    FROM mixed
+    GROUP BY lower(label)
+    """,
+    category="2.H",
+)
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 string collations): group a
+    mixed-case label column under UTF8_LCASE so 'CLICK'/'Click'/'click'
+    are ONE group — the collation travels with the column through the
+    hash aggregate instead of a lower() wrapper around every reference.
+    Mixed case is synthesized deterministically from event_id (the
+    corpus ships lowercase-only strings). The output canonicalizes each
+    group via min(label) under binary collation — a deterministic
+    representative; the raw UTF8_LCASE group key is a nondeterministic
+    first-seen representative AND would carry a collated string type
+    into the result schema, so it is dropped. The oracle is the
+    classic lower()-key formulation. At 100 TB the collated groupBy
+    hashes the collation key directly in Tungsten rows — same shuffle
+    volume as the lower() rewrite, but filters/joins on the column stay
+    sargable and readable."""
+    e = load_table(spark, sf_dir, "events")
+    label = (
+        F.when(
+            F.col("event_id") % 3 == 0, F.upper("event_type")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substr(event_type, 2)"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+    )
+    return (
+        e.select(label.alias("label"))
+        .groupBy(F.collate("label", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.col("label").cast("string COLLATE UTF8_BINARY"))
+            .alias("canon"),
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.col("label").cast("string COLLATE UTF8_BINARY")
+            ).alias("n_variants"),
+        )
+        .drop("k")
+        .select("canon", "n", "n_variants")
+    )

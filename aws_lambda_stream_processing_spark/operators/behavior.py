@@ -1819,3 +1819,63 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_either",
         (F.floor(jac * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "q_agg_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    category="2.E",
+)
+def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation on the BATCH engine — the same
+    30-min-gap semantics as q_ts_sessionize_batch but through Spark's
+    dedicated session-window primitive instead of the hand-rolled
+    gaps-and-islands: `groupBy(user_id, session_window(ts, gap))`
+    compiles to ONE hash-partition-by-user exchange plus an in-partition
+    sort-and-merge of overlapping windows — no lag pass, no running-sum
+    window pass, so two whole WindowExec stages disappear versus the
+    manual formulation. `session_window.end` is defined as last event +
+    gap, which the oracle reproduces explicitly (max(ts) + 30 min over
+    gaps-and-islands sessions). Events sharing a timestamp merge into
+    one session under both formulations (the oracle's running sum
+    orders by ts alone for the same reason), so the outputs agree
+    row-for-row. At 100 TB this is the sessionization you want: one
+    shuffle keyed by user, merging local to each partition, and the
+    session struct usable directly as a join key for downstream
+    attribution."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
