@@ -1688,3 +1688,37 @@ def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_sql_star_except",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 450.0
+    ORDER BY event_id, user_id, event_type, value
+    """,
+    category="2.A",
+)
+def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern projection surface: `SELECT * EXCEPT (…)` (drop the wide
+    payload columns by NAME instead of enumerating the keepers — the
+    schema-evolution-proof way to strip `props`/`ts` from a 200-column
+    event table) combined with `ORDER BY ALL` (deterministic total
+    order over every projected column, no alias repetition). The oracle
+    spells both out the classic way — an explicit column list and an
+    explicit ORDER BY — pinning that EXCEPT resolves to exactly the
+    complement in declaration order and that ORDER BY ALL sorts by the
+    projected columns left-to-right. Catalyst rewrites EXCEPT at
+    analysis time: the physical plan is an ordinary pruned scan (only
+    the 4 kept columns are read — column pruning still reaches
+    parquet), so the convenience costs nothing at 100 TB."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("se_events")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (ts, props)
+        FROM se_events
+        WHERE event_type = 'purchase' AND value > 450.0
+        ORDER BY ALL
+        """
+    )

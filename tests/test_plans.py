@@ -12,6 +12,7 @@ from aws_lambda_stream_processing_spark.plans import (
     has_operator,
     plan_string,
     pushed_filters,
+    read_schemas,
     scan_columns,
 )
 
@@ -471,6 +472,20 @@ def test_quality_calibration_offsets_broadcast(spark, registry):
     plan = plan_string(registry["q_llm_quality_calibration"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_except_prunes_scan(spark, registry):
+    """q_sql_star_except: `SELECT * EXCEPT (ts, props)` must resolve at
+    analysis time — the parquet scan reads ONLY the 4 kept columns and
+    the WHERE predicates still push down (the docstring's
+    convenience-costs-nothing claim)."""
+    df = registry["q_sql_star_except"].fn(spark, SF_DIR)
+    schemas = read_schemas(df)
+    assert schemas and all(
+        "props" not in s and "ts" not in s for s in schemas
+    ), schemas
+    pf = pushed_filters(df)
+    assert any("event_type" in f for f in pf), pf
 
 
 def test_skyline_is_two_phase(spark, registry):
