@@ -254,9 +254,13 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(extra, ignore_errors=True)
         # run 2: restart from checkpoint — restored watermark drops day 2
         run_foreach_batch(plan(), handler, checkpoint=ckpt)
-        result = spark.read.parquet(sink).select("window_start", "cnt")
-        rows = result.collect()
-        return spark.createDataFrame(rows, "window_start TIMESTAMP, cnt BIGINT")
+        result = spark.read.parquet(sink).select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -761,8 +765,9 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
             F.col("ts").alias("last_ts"),
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1344,8 +1349,9 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
         final = spark.read.parquet(*out_deltas)
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1436,8 +1442,9 @@ def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").alias("cents"),
             )
         )
-        rows = audit.collect()
-        return spark.createDataFrame(rows, audit.schema)
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return audit.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(sink_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1515,8 +1522,9 @@ def q_stream_checkpoint_recovery(
         final = spark.read.parquet(f"{out}/latest").select(
             "event_type", "n", "cents"
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
@@ -1572,8 +1580,9 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("key.event_type").alias("event_type"),
             F.col("value.count").alias("n"),
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # eager localCheckpoint: outlives the finally-rmtree without a
+        # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1721,8 +1730,12 @@ def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value.count").alias("n"),
                 F.col("value.sum").alias("cents"),
             )
-            rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+            # eager localCheckpoint INSIDE the conf ctx (the provider
+            # conf governs the statestore read): outlives the
+            # finally-rmtree without a driver roundtrip (the
+            # q_stream_scd2_foreachbatch r7 pattern)
+            out = result.localCheckpoint(eager=True)
+        return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
