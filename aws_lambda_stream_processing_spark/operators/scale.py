@@ -985,3 +985,68 @@ def q_scale_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_3pct"),
         )
     )
+
+
+# Static broadcast OFF, runtime (AQE) broadcast ON: the planner must pick
+# sort-merge from static estimates, then convert to broadcast-hash after
+# the map stage reveals the dim's true shuffle size. localShuffleReader
+# turns the already-mapped fact side into mapper-local reads so the
+# conversion also deletes the fact-side network shuffle.
+_AQE_RUNTIME_BHJ_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10m",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+}
+
+
+def _runtime_bhj_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        e.join(c, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_scale_aqe_runtime_broadcast",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="2.D",
+)
+def q_scale_aqe_runtime_broadcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AQE runtime join-strategy conversion — the third adaptive rung
+    beside skew splitting (q_join_skew_aqe) and partition coalescing
+    (q_scale_aqe_coalesce): with STATIC broadcast disabled (the
+    estimate-unavailable posture — think a filtered subquery or a JDBC
+    source whose stats the planner can't see), the initial plan is a
+    sort-merge join; after the dim's map stage runs, AQE reads the TRUE
+    shuffle size, converts the join to broadcast-hash, and the
+    localShuffleReader replaces the fact side's network shuffle with
+    mapper-local reads. Runtime statistics beating static estimates is
+    the core AQE bet, and this rung pins it in both directions
+    (tests/test_plans.py: BroadcastHashJoin in the executed adaptive
+    plan under the ladder, SortMergeJoin with runtime conversion also
+    disabled — results identical). Runs EAGERLY inside the restored
+    conf context (q_join_skew_aqe discipline). At 100 TB this is why
+    you leave AQE on instead of hand-placing broadcast() on every
+    filtered dim: the 10 MB runtime check is made against reality, not
+    against a cardinality guess that degrades with every stacked
+    filter."""
+    with _conf_ctx(spark, _AQE_RUNTIME_BHJ_CONFS):
+        df = _runtime_bhj_frame(spark, sf_dir)
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)

@@ -655,6 +655,39 @@ def test_aqe_skew_join_splits_hot_partition(spark, registry):
     assert skewed_rows == plain_rows
 
 
+def test_aqe_runtime_broadcast_converts_smj(spark, registry):
+    """q_scale_aqe_runtime_broadcast: with static broadcast off and the
+    adaptive threshold on, the EXECUTED plan must have converted the
+    sort-merge join to BroadcastHashJoin; with BOTH thresholds off the
+    same frame must stay SortMergeJoin — two directions, identical
+    results (the q_join_skew_aqe gate discipline)."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _AQE_RUNTIME_BHJ_CONFS,
+        _conf_ctx,
+        _runtime_bhj_frame,
+    )
+
+    def final_plan(df):
+        # adaptive explain prints Final Plan then Initial Plan; the
+        # conversion claim is about what actually EXECUTED
+        return plan_string(df).split("== Initial Plan ==")[0]
+
+    with _conf_ctx(spark, _AQE_RUNTIME_BHJ_CONFS):
+        df = _runtime_bhj_frame(spark, SF_DIR)
+        converted_rows = sorted(map(tuple, df.collect()))
+        plan = final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    off = dict(_AQE_RUNTIME_BHJ_CONFS)
+    off["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+    with _conf_ctx(spark, off):
+        df2 = _runtime_bhj_frame(spark, SF_DIR)
+        static_rows = sorted(map(tuple, df2.collect()))
+        plan2 = final_plan(df2)
+    assert "SortMergeJoin" in plan2, plan2[:3000]
+    assert converted_rows == static_rows
+
+
 def test_join_hints_steer_both_strategies(spark, registry):
     """q_sql_join_hints: the hints must actually steer the planner.
     SHUFFLE_MERGE(c) forces the customer|>orders side to sort-merge —
