@@ -1106,3 +1106,146 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe", "cand", "cn", "jaccard", "rk")
         .orderBy("probe", "rk")
     )
+
+
+@query(
+    "q_graph_harmonic_centrality",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM half
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM half
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY node
+    ),
+    probes AS (
+      SELECT node AS probe FROM deg
+      ORDER BY degree DESC, node LIMIT 20
+    ),
+    d1 AS (
+      SELECT p.probe, a.nbr AS node
+      FROM probes p JOIN adj a ON a.node = p.probe
+      GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT probe, node FROM d1
+      UNION SELECT probe, probe FROM probes
+    ),
+    d2 AS (
+      SELECT d1.probe, a.nbr AS node
+      FROM d1 JOIN adj a ON a.node = d1.node
+      WHERE NOT EXISTS (SELECT 1 FROM s1
+                        WHERE s1.probe = d1.probe AND s1.node = a.nbr)
+      GROUP BY 1, 2
+    ),
+    s2 AS (SELECT probe, node FROM s1 UNION SELECT probe, node FROM d2),
+    d3 AS (
+      SELECT d2.probe, a.nbr AS node
+      FROM d2 JOIN adj a ON a.node = d2.node
+      WHERE NOT EXISTS (SELECT 1 FROM s2
+                        WHERE s2.probe = d2.probe AND s2.node = a.nbr)
+      GROUP BY 1, 2
+    ),
+    cnt AS (
+      SELECT p.probe,
+             (SELECT COUNT(*) FROM d1 WHERE d1.probe = p.probe) AS n1,
+             (SELECT COUNT(*) FROM d2 WHERE d2.probe = p.probe) AS n2,
+             (SELECT COUNT(*) FROM d3 WHERE d3.probe = p.probe) AS n3
+      FROM probes p
+    )
+    SELECT probe, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(n3 AS BIGINT) AS n3,
+           floor((n1 + n2 / 2.0 + n3 / 3.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS harmonic
+    FROM cnt ORDER BY probe
+    """,
+    category="2.C",
+)
+def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality HC_3(p) = Σ_{{d(p,u)<=3}} 1/d(p,u)
+    for the 20 highest-degree probes — the centrality that, unlike
+    closeness, is defined on disconnected graphs (unreached nodes
+    contribute 0, no infinite distance to patch). Multi-source
+    level-synchronous BFS: ONE frontier relation keyed (probe, node)
+    advances all 20 probes together — k hops cost k edge joins total,
+    not k x 20 — with the q_graph_bfs_3hop discipline per level
+    (broadcast delta frontier into the edge join, broadcast anti-join
+    against the per-probe seen set, localCheckpoint the delta, release
+    every pin before returning). Exact distances truncate at 3: the
+    per-level counts ARE the distance histogram, and the harmonic sum
+    n1 + n2/2 + n3/3 is one deterministic double expression (fixed
+    operand order, round-half-up at 1e-6 — the repo's float-emission
+    convention). At 100 TB probes stay a bounded panel; the frontier
+    relation scales with (panel x vocabulary), never fact-table rows,
+    and each hop is the same broadcast join Pregel would schedule."""
+    half = _part_edges(spark, sf_dir)
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).coalesce(8).cache()
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    probes = (
+        deg.orderBy(F.desc("degree"), "node")
+        .limit(20)
+        .select(F.col("node").alias("probe"))
+        .localCheckpoint()
+    )
+    pins = [probes]
+    try:
+        seen = probes.select("probe", F.col("probe").alias("node"))
+        frontier = seen
+        counts = []  # (dist, per-probe count frame)
+        for dist in (1, 2, 3):
+            frontier = (
+                edges.join(
+                    F.broadcast(frontier.withColumnRenamed("node", "u")),
+                    "u",
+                )
+                .select("probe", F.col("v").alias("node"))
+                .join(F.broadcast(seen), ["probe", "node"], "left_anti")
+                .distinct()
+                .localCheckpoint()
+            )
+            pins.append(frontier)
+            seen = seen.unionAll(frontier)
+            counts.append(
+                frontier.groupBy("probe").agg(
+                    F.count("*").alias(f"n{dist}")
+                )
+            )
+        hc = probes
+        for c in counts:
+            hc = hc.join(F.broadcast(c), "probe", "left")
+        hc = hc.select(
+            "probe",
+            *[F.coalesce(f"n{d}", F.lit(0)).alias(f"n{d}") for d in (1, 2, 3)],
+        ).select(
+            "probe",
+            "n1",
+            "n2",
+            "n3",
+            (
+                F.floor(
+                    (
+                        F.col("n1")
+                        + F.col("n2") / 2.0
+                        + F.col("n3") / 3.0
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("harmonic"),
+        )
+        # ONE action; the result is a 20-row local frame, so every pin
+        # can be released before returning.
+        rows = hc.orderBy("probe").collect()
+        return spark.createDataFrame(rows, hc.schema)
+    finally:
+        for fr in pins:
+            fr.unpersist()
+        edges.unpersist()

@@ -535,6 +535,7 @@ def test_ts_filter_reaches_parquet_scan(spark, registry):
 # class (bfs 5 eager counts -> 2x wall time) blows straight through it.
 _BUILDER_JOB_BUDGET = {
     "q_graph_bfs_3hop": 30,     # measured 18
+    "q_graph_harmonic_centrality": 32,  # measured 21
     "q_llm_dedup_cc": 65,       # measured 45
 }
 
