@@ -1050,3 +1050,59 @@ def q_scale_aqe_runtime_broadcast(
         df = _runtime_bhj_frame(spark, sf_dir)
         rows = df.collect()
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "q_agg_approx_top_k",
+    oracle="""
+    -- dayofweek: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 — shift +1
+    SELECT event_type || '|' || CAST(dayofweek(ts) + 1 AS VARCHAR) AS item,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS est_exact
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC, item
+    """,
+    category="2.D",
+)
+def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches frequent-items heavy hitters (Spark 4
+    `approx_top_k`) run in its EXACT regime: maxItemsTracked (100) is
+    sized above the item cardinality (35 (type, dow) composites), so
+    the sketch never evicts, every returned count is exact, and the
+    result is insertion-order-invariant — which is what lets the
+    verdict be hashed (the q_scale_hll_partitioned evaluation-rung
+    pattern: the approximate operator judged in-query against exact
+    truth, here per item via a broadcast join). Below capacity this IS
+    the exact answer computed in one pass with bounded memory; above
+    capacity the same call degrades gracefully to guaranteed-error
+    heavy hitters — the knob a 100 TB top-k dashboard turns, keeping
+    one code path for both regimes. Ranking ties are broken by item in
+    BOTH engines before comparison, so equal counts can never reorder
+    the hash."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        F.concat(
+            F.col("event_type"), F.lit("|"),
+            F.dayofweek("ts").cast("string"),
+        ).alias("item")
+    ).createOrReplaceTempView("atk_items")
+    est = spark.sql(
+        """
+        SELECT t.entry.item AS item, t.entry.count AS est
+        FROM (SELECT approx_top_k(item, 40, 100) AS tk FROM atk_items) s
+        LATERAL VIEW explode(s.tk) t AS entry
+        """
+    )
+    exact = (
+        spark.table("atk_items")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.join(F.broadcast(est), "item")
+        .select(
+            "item", "n", (F.col("est") == F.col("n")).alias("est_exact")
+        )
+        .orderBy(F.desc("n"), "item")
+    )

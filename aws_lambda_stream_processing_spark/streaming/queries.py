@@ -1782,3 +1782,66 @@ def q_stream_dedup_within_watermark(
         return run_to_memory(deduped, output_mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_stream_semi_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts < c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+    category="2.I",
+)
+def q_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — the existence-only quarter of the
+    correlation family (inner / left outer / full outer are the other
+    rungs): emit each click AT MOST ONCE as soon as any in-window
+    purchase arrives, never materializing the match multiplicity. The
+    emission trigger is MATCH ARRIVAL (like inner), not watermark
+    eviction (like the outer variants) — so under an availableNow
+    replay every qualifying click is emitted and no watermark-horizon
+    term enters the oracle: it is the plain EXISTS formulation. The
+    watermarks still matter for the part the oracle can't see: they
+    bound BOTH state stores (clicks await possible matches, purchases
+    age out of the probe set), which is what makes existence
+    correlation runnable forever at 100 TB. Semi is also the cheaper
+    plan where it fits (funnel reached-next-stage flags, fraud
+    any-trigger alerts): one output row per left row, no pair
+    explosion through a hot user."""
+    stream, d = _stream_split(spark, sf_dir, ["true"])
+    try:
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_semi",
+        )
+        return run_to_memory(joined, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
