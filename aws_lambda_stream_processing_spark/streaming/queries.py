@@ -1845,3 +1845,142 @@ def q_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(joined, output_mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_state_timeout",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) AS last_event, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid
+    ),
+    lastsess AS (SELECT user_id, MAX(sid) AS m FROM sess GROUP BY user_id),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT sess.user_id, session_start, last_event, n_events,
+           CASE WHEN sid = m THEN 'timeout' ELSE 'gap' END AS closed_by
+    FROM sess JOIN lastsess USING (user_id) CROSS JOIN wm
+    WHERE sid < m
+       OR last_event + INTERVAL 30 MINUTE < wm.w
+    """,
+    category="2.I",
+)
+def q_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMEOUT state — the GroupStateTimeout half of
+    arbitrary stateful streaming that q_stream_custom_state
+    (NoTimeout) leaves uncovered: per-user 30-min sessions carried in
+    applyInPandasWithState, where a session closes EITHER because the
+    user's next event reveals the gap (handler sees data) OR because
+    the WATERMARK passes last_event + 30 min while the user is silent
+    (handler fires with hasTimedOut=True, no data — Spark only
+    delivers timeouts to groups absent from the batch, so the two
+    paths are mutually exclusive per batch and the split maps them
+    exactly: non-final sessions close by gap, each user's final
+    session by timeout). availableNow finalizes the watermark to
+    max(ts) − 1 h after the last data batch and runs the timeout sweep
+    before stopping (verified empirically: 931 gap + 13 timeout = all
+    sessions eligible under the final watermark at sf0.001), so the
+    oracle is gaps-and-islands sessions minus final sessions still
+    inside the horizon, with closed_by reproduced from sid = max(sid).
+    This rung is the idle-session reaper every Lambda shop builds with
+    DynamoDB TTLs: here it is engine state + one timestamp per key,
+    RocksDB-spillable, and the timeout scan is part of the micro-batch
+    instead of a second system."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "last_event": [pd.Timestamp(last, unit="us")],
+                    "n_events": [int(n)],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for ts in rows["ts"]:
+            t = ts.value // 1000  # pandas ns -> event-time micros
+            if last is not None and t - last >= GAP_US:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+        state.update((start, last, n))
+        # timeout timestamps are epoch millis; floor keeps the
+        # strictly-after-the-gap semantics
+        state.setTimeoutTimestamp(last // 1000 + 30 * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "last_event": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [int(c) for _, _, c in closed],
+                    "closed_by": ["gap"] * len(closed),
+                }
+            )
+
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    try:
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessions,
+                outputStructType=(
+                    "user_id BIGINT, session_start TIMESTAMP, "
+                    "last_event TIMESTAMP, n_events BIGINT, "
+                    "closed_by STRING"
+                ),
+                stateStructType="start BIGINT, last BIGINT, n BIGINT",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        return run_to_memory(out, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
