@@ -73,6 +73,13 @@ SAMPLE = [
     "q_win_time_range_frame",  # int64-micros frame membership, peer rows
     "q_events_sequence_match",  # sorted-struct string build per session
     "q_agg_corr_matrix",  # 15-moment single pass + fixed IEEE tree
+    # round-7 hazards:
+    "q_sort_skyline",  # two-phase cummax: range boundaries must not matter
+    "q_graph_harmonic_centrality",  # multi-source frontier + per-level anti
+    "q_scale_hll_partitioned",  # HLL register max() order-invariance claim
+    "q_agg_approx_top_k",  # frequent-items exact regime: no eviction ties
+    "q_agg_session_window",  # native session merge across partitionings
+    "q_str_collation",  # collated groupBy: min-under-binary representative
 ]
 
 
