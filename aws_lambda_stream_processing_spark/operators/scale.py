@@ -1106,3 +1106,81 @@ def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "item")
     )
+
+
+# Runtime bloom-filter semi-join reduction. The scan-size gate defaults
+# to 10 GB — sized for real tables, far above any test SF — so the
+# ladder zeroes it; production keeps the default and the 10 MB creation
+# cap so filters are only built from genuinely selective build sides.
+# Broadcast stays off: the bloom filter targets SHUFFLE joins (a
+# broadcast join already prunes at the probe).
+_RUNTIME_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _runtime_bloom_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 500000.0)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderkey")
+    )
+    return (
+        e.join(o, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_pairs"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_scale_runtime_bloom_filter",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events) e
+    JOIN (SELECT o_custkey AS user_id, o_orderkey
+          FROM orders WHERE o_totalprice > 500000.0) o
+    USING (user_id)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    category="2.D",
+)
+def q_scale_runtime_bloom_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction — the optimizer-injected
+    row-level runtime filter (Spark's InjectRuntimeFilter): the
+    selective orders side builds a bloom_filter_agg over its join keys
+    and the events scan is pre-filtered with might_contain BEFORE its
+    shuffle, so fact rows that cannot join never cross the wire. This
+    is the fourth runtime-adaptivity rung (after AQE skew / coalesce /
+    broadcast-conversion) and the one that attacks SHUFFLE VOLUME
+    rather than partitioning: at 100 TB a 1%-selective dim filter means
+    ~99% of the fact shuffle evaporates for the cost of one ~8 MB
+    bloom broadcast. The ladder zeroes the application-side scan-size
+    gate (defaults to 10 GB, far above any test SF — production keeps
+    it so small scans skip the overhead); results are
+    filter-transparent by construction (bloom false positives only
+    pass extra rows INTO the exact join), pinned by the exact oracle,
+    and the injection is plan-gated in both directions
+    (tests/test_plans.py)."""
+    with _conf_ctx(spark, _RUNTIME_BLOOM_CONFS):
+        df = _runtime_bloom_frame(spark, sf_dir)
+        rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)

@@ -689,6 +689,33 @@ def test_aqe_runtime_broadcast_converts_smj(spark, registry):
     assert converted_rows == static_rows
 
 
+def test_runtime_bloom_filter_injected(spark, registry):
+    """q_scale_runtime_bloom_filter: under the ladder the optimized plan
+    must carry the injected bloom_filter_agg build and a might_contain
+    pre-filter on the events side; with the flag off (same broadcast
+    suppression) neither appears — two directions, identical results."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _RUNTIME_BLOOM_CONFS,
+        _conf_ctx,
+        _runtime_bloom_frame,
+    )
+
+    with _conf_ctx(spark, _RUNTIME_BLOOM_CONFS):
+        df = _runtime_bloom_frame(spark, SF_DIR)
+        on_rows = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().toString()
+    assert "bloom_filter_agg" in plan, plan[:3000]
+    assert "might_contain" in plan, plan[:3000]
+    off = dict(_RUNTIME_BLOOM_CONFS)
+    off["spark.sql.optimizer.runtime.bloomFilter.enabled"] = "false"
+    with _conf_ctx(spark, off):
+        df2 = _runtime_bloom_frame(spark, SF_DIR)
+        off_rows = sorted(map(tuple, df2.collect()))
+        plan2 = df2._jdf.queryExecution().toString()
+    assert "bloom_filter_agg" not in plan2
+    assert on_rows == off_rows
+
+
 def test_join_hints_steer_both_strategies(spark, registry):
     """q_sql_join_hints: the hints must actually steer the planner.
     SHUFFLE_MERGE(c) forces the customer|>orders side to sort-merge —
