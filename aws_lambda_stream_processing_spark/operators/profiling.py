@@ -2503,3 +2503,176 @@ def q_anon_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@query(
+    "q_profile_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type
+    ),
+    cur AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type
+    ),
+    tot AS (SELECT (SELECT SUM(n) FROM ref) AS rt,
+                   (SELECT SUM(n) FROM cur) AS ct)
+    SELECT ref.event_type,
+           ref.n AS n_ref, cur.n AS n_cur,
+           floor((CAST(cur.n AS DOUBLE) / ct - CAST(ref.n AS DOUBLE) / rt)
+                 * ln((CAST(cur.n AS DOUBLE) / ct)
+                      / (CAST(ref.n AS DOUBLE) / rt))
+                 * 100000000.0 + 0.5) / 100000000.0 AS psi_term
+    FROM ref JOIN cur USING (event_type) CROSS JOIN tot
+    ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the drift monitor every production
+    scoring pipeline runs between a reference window and the current
+    one: psi_term = (p_cur − p_ref) · ln(p_cur / p_ref) per category,
+    summed for the drift verdict (>0.2 = retrain). Computed here over
+    the event_type mix of the first vs second half-month. Two
+    category-sized aggregates joined with two broadcast scalar totals —
+    the whole monitor is one pass per window regardless of data volume,
+    and at 100 TB the windows are partition-pruned date ranges of the
+    same table. Shares and the log are evaluated in one fixed-shape
+    IEEE expression (int64 counts in, round-half-up at 1e-8 — the repo
+    float-emission convention; every category is present in both halves
+    at every test SF, so no zero-share epsilon is needed and the oracle
+    pins that too)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16 00:00:00"
+    ref = (
+        e.where(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    cur = (
+        e.where(F.col("ts") >= cut)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    joined = (
+        ref.join(cur, "event_type")
+        .crossJoin(
+            F.broadcast(ref.agg(F.sum("n_ref").alias("rt")))
+        )
+        .crossJoin(
+            F.broadcast(cur.agg(F.sum("n_cur").alias("ct")))
+        )
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("rt")
+    p_cur = F.col("n_cur").cast("double") / F.col("ct")
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return joined.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (F.floor(term * 100000000.0 + F.lit(0.5)) / 100000000.0)
+        .alias("psi_term"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_profile_constraint_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_failed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_totalprice_le_500k', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice > 500000.0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events_pk_unique', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_value_in_band', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value < 0.0 OR value > 450.0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    ORDER BY rule
+    """,
+    category="2.D",
+)
+def q_profile_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ pattern as
+    one query): six constraints over two tables — primary-key
+    uniqueness, NOT NULL, referential integrity (FK orphans via a
+    broadcast left join's null count, never a per-row subquery), and
+    two business-band expectations — each reported as (rule, n_checked,
+    n_failed). The integrity rules pin ZERO failures (the corpus is
+    clean and the audit proves it); the band expectations genuinely
+    fire (totalprice > 500k and value > 450 rows exist at every SF), so
+    a silently broken counter cannot hide in an all-zero report. Costs
+    ONE aggregate pass per table plus one broadcast join — the audit a
+    100 TB lake runs after every load, scaling with table count, not
+    rule count. Uniqueness is counted as count − distinct inside the
+    same pass (no self-join); every count is exact int64."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    e = load_table(spark, sf_dir, "events")
+    n = F.count("*").cast("long")
+    orders_rules = o.agg(
+        n.alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long").alias("orders_pk_unique"),
+        F.sum(F.col("o_custkey").isNull().cast("long"))
+        .cast("long").alias("orders_custkey_not_null"),
+        F.sum((F.col("o_totalprice") > 500000.0).cast("long"))
+        .cast("long").alias("orders_totalprice_le_500k"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            n.alias("n_checked"),
+            F.sum(F.col("c_custkey").isNull().cast("long"))
+            .cast("long").alias("n_failed"),
+        )
+        .select(F.lit("orders_fk_customer").alias("rule"),
+                "n_checked", "n_failed")
+    )
+    events_rules = e.agg(
+        n.alias("n_checked"),
+        (F.count("*") - F.countDistinct("event_id"))
+        .cast("long").alias("events_pk_unique"),
+        F.sum(((F.col("value") < 0.0) | (F.col("value") > 450.0))
+              .cast("long")).cast("long").alias("events_value_in_band"),
+    )
+
+    def unpivot(agg_df: DataFrame, rules: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{r}', {r}" for r in rules)
+        return agg_df.selectExpr(
+            f"stack({len(rules)}, {pairs}) AS (rule, n_failed)",
+            "n_checked",
+        ).select("rule", "n_checked", "n_failed")
+
+    return (
+        unpivot(orders_rules, [
+            "orders_pk_unique",
+            "orders_custkey_not_null",
+            "orders_totalprice_le_500k",
+        ])
+        .unionByName(orphans)
+        .unionByName(unpivot(events_rules, [
+            "events_pk_unique", "events_value_in_band",
+        ]))
+        .orderBy("rule")
+    )
