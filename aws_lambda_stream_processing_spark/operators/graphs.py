@@ -1249,3 +1249,128 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fr in pins:
             fr.unpersist()
         edges.unpersist()
+
+
+# Engine-portable walk hash: products stay below 2^63 for part-key ids
+# (< ~2e5 even at sf0.1 x 100), so non-ANSI Spark and overflow-raising
+# DuckDB compute identical values (the q_llm_bigram_pmi discipline).
+_WALK_HASH = (
+    "(cur * 2654435761 + nxt * 40503 + step * 97) % 1000000007"
+)
+
+
+@query(
+    "q_graph_random_walk",
+    oracle=f"""
+    WITH half AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM half
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM half
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY node
+    ),
+    probes AS (
+      SELECT node AS walk_id FROM deg
+      ORDER BY degree DESC, node LIMIT 20
+    ),
+    w0 AS (SELECT walk_id, walk_id AS node FROM probes),
+    s1 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT w0.walk_id, a.nbr,
+               row_number() OVER (
+                 PARTITION BY w0.walk_id
+                 ORDER BY (w0.node * 2654435761 + a.nbr * 40503 + 1 * 97)
+                          % 1000000007, a.nbr) AS rk
+        FROM w0 JOIN adj a ON a.node = w0.node
+      ) WHERE rk = 1
+    ),
+    s2 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT s1.walk_id, a.nbr,
+               row_number() OVER (
+                 PARTITION BY s1.walk_id
+                 ORDER BY (s1.node * 2654435761 + a.nbr * 40503 + 2 * 97)
+                          % 1000000007, a.nbr) AS rk
+        FROM s1 JOIN adj a ON a.node = s1.node
+      ) WHERE rk = 1
+    ),
+    s3 AS (
+      SELECT walk_id, nbr AS node FROM (
+        SELECT s2.walk_id, a.nbr,
+               row_number() OVER (
+                 PARTITION BY s2.walk_id
+                 ORDER BY (s2.node * 2654435761 + a.nbr * 40503 + 3 * 97)
+                          % 1000000007, a.nbr) AS rk
+        FROM s2 JOIN adj a ON a.node = s2.node
+      ) WHERE rk = 1
+    )
+    SELECT walk_id, 0 AS step, node FROM w0
+    UNION ALL SELECT walk_id, 1, node FROM s1
+    UNION ALL SELECT walk_id, 2, node FROM s2
+    UNION ALL SELECT walk_id, 3, node FROM s3
+    ORDER BY walk_id, step
+    """,
+    category="2.C",
+)
+def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks — how a reproducible
+    node2vec/DeepWalk training corpus is sampled DISTRIBUTED: the walk
+    never calls a stateful RNG (which would make the corpus depend on
+    task placement); the next hop from node n at step k is the
+    neighbor minimizing an engine-portable integer hash of
+    (n, neighbor, step), so any executor, any retry, any engine
+    re-derives the identical path. One 3-step walk per top-20-degree
+    probe; ALL walks advance together — step k is ONE broadcast join
+    of the 20-row walk head against the adjacency relation plus a
+    per-walk argmin (row_number over hash, neighbor tiebreak), the
+    multi-source frontier shape of q_graph_harmonic_centrality. Hash
+    products stay below 2^63 for part-key ids (the bigram-PMI overflow
+    discipline), so wrap-silent Spark and raise-on-overflow DuckDB
+    agree exactly. At 100 TB: heads are (n_walks) rows, the join is
+    against the same shared edge relation, and walk count scales
+    embarrassingly."""
+    half = _part_edges(spark, sf_dir)
+    adj = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    probes = (
+        deg.orderBy(F.desc("degree"), "node")
+        .limit(20)
+        .select(F.col("node").alias("walk_id"))
+    )
+    head = probes.select("walk_id", F.col("walk_id").alias("node"))
+    out = head.select("walk_id", F.lit(0).alias("step"), "node")
+    for k in (1, 2, 3):
+        w = Window.partitionBy("walk_id").orderBy("score", "nbr")
+        head = (
+            adj.join(
+                F.broadcast(head.withColumnRenamed("node", "u")), "u"
+            )
+            .select(
+                "walk_id",
+                F.col("u").alias("cur"),
+                F.col("v").alias("nbr"),
+            )
+            .withColumn(
+                "score",
+                (
+                    F.col("cur") * F.lit(2654435761)
+                    + F.col("nbr") * F.lit(40503)
+                    + F.lit(k * 97)
+                )
+                % F.lit(1000000007),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("walk_id", F.col("nbr").alias("node"))
+        )
+        out = out.unionByName(
+            head.select("walk_id", F.lit(k).alias("step"), "node")
+        )
+    return out.orderBy("walk_id", "step")

@@ -80,6 +80,7 @@ SAMPLE = [
     "q_agg_approx_top_k",  # frequent-items exact regime: no eviction ties
     "q_agg_session_window",  # native session merge across partitionings
     "q_str_collation",  # collated groupBy: min-under-binary representative
+    "q_graph_random_walk",  # hash-argmin hops must not depend on layout
 ]
 
 
