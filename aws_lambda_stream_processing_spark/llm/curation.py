@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.parity import fround
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.tables import load_table
 
 # Held-out eval sources: the contamination check treats these as the
@@ -743,7 +746,7 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-explode the corpus; materialize the slim (doc, lang, bucket)
     # stream once (the dprefix `materialize` rationale — measured 8.5 s →
     # ~2 s at sf0.1).
-    bg = bg.localCheckpoint(eager=False)
+    bg = tracked_local_checkpoint(bg, eager=False)
     raw = bg.groupBy("bucket").agg(F.count("*").alias("r"))
     tgt = (
         bg.where(F.col("lang") == "en")

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query, track_cache
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    track_cache,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.tables import load_table
 
 JACCARD_TAU = 0.95
@@ -630,10 +634,9 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
     keyed = docs.select(
         "doc_id", "s", F.sha2(F.concat_ws("\x01", "s"), 256).alias("k")
     )
-    reps = (
+    reps = tracked_local_checkpoint(
         keyed.groupBy("k")
         .agg(F.min("doc_id").alias("doc_id"), F.first("s").alias("s"))
-        .localCheckpoint()
     )
     member = keyed.select("doc_id", "k").join(
         reps.select("k", F.col("doc_id").alias("rep")), "k"
@@ -706,9 +709,9 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
         )
         return member, labels
 
-    labels = rep_docs.select(
+    labels = tracked_local_checkpoint(rep_docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    ))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):
         neighbor_min = (
@@ -725,13 +728,12 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
         ptr = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        labels = (
+        labels = tracked_local_checkpoint(
             stepped.join(ptr, stepped.label == ptr.pnode, "left")
             .select(
                 "node",
                 F.coalesce("plabel", "label").alias("label"),
             )
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -23,7 +23,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.tables import load_table
 
 
@@ -1991,8 +1994,8 @@ def q_llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _MMR_POOL)
         .select("probe_id", "cand_id", "ce", "sim_p", "rnk")
-        .localCheckpoint(eager=False)
     )
+    cand = tracked_local_checkpoint(cand, eager=False)
     a = cand.select(
         "probe_id", F.col("cand_id").alias("a_id"), F.col("ce").alias("ae")
     )
@@ -2006,8 +2009,8 @@ def q_llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "a_id", "b_id",
             dot_double("ae", "be").alias("sim_cc"),
         )
-        .localCheckpoint(eager=False)
     )
+    cc = tracked_local_checkpoint(cc, eager=False)
     s1 = cand.where(F.col("rnk") == 1).select(
         "probe_id", F.col("cand_id").alias("pick"),
         F.col("sim_p").alias("score"),

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.tables import load_table
 
 
@@ -1068,7 +1071,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(spark.sparkContext.defaultParallelism),
     )
     try:
-        tr = trans.join(tot, "prev_type").localCheckpoint(eager=True)
+        tr = tracked_local_checkpoint(trans.join(tot, "prev_type"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     states = tr.select(F.col("prev_type").alias("st")).distinct()

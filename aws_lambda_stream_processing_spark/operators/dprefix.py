@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_lambda_stream_processing_spark.registry import tracked_local_checkpoint
+
 # Partition count for the range shuffle. On a real cluster this is sized
 # like any shuffle (2-3x cores); 8 keeps local-mode task overhead low
 # while still exercising the multi-partition merge in every test run.
@@ -92,10 +94,11 @@ def two_phase_row_number(
     when `df` is itself an expensive pipeline — q_llm_perplexity_band's
     corpus-trained LM scoring, q_rfm_segmentation's chained ranks — one
     bounded materialization beats recomputing the chain per branch. The
-    persisted blocks are released by the ContextCleaner once the query's
-    references drop (session.py pins periodicGC to 60 s)."""
+    checkpoint blocks are janitor-released when the next query builds
+    (registry.tracked_local_checkpoint — r7: GC-timed release made
+    "zero persistent RDDs after a foreign build" flaky)."""
     if materialize:
-        df = df.localCheckpoint(eager=False)
+        df = tracked_local_checkpoint(df, eager=False)
     parts = ranged(df, order, n_parts)
     w_local = Window.partitionBy("__pid").orderBy(*_sort_exprs(order))
     local = parts.withColumn("__lrn", F.row_number().over(w_local))
@@ -124,7 +127,7 @@ def two_phase_cumsum(
     exclusive frame), distributed exactly like two_phase_row_number —
     including its `materialize` input-checkpoint option."""
     if materialize:
-        df = df.localCheckpoint(eager=False)
+        df = tracked_local_checkpoint(df, eager=False)
     parts = ranged(df, order, n_parts)
     end = 0 if inclusive else -1
     w_local = (

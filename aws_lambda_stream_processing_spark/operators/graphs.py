@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query, track_cache
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    track_cache,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.tables import load_table
 
 
@@ -899,7 +903,7 @@ def _lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
             F.least(F.col("lbl"), F.coalesce("minl", "lbl")).alias("lbl"),
         )
         if (i + 1) % _LPA_PIN_EVERY == 0 and (i + 1) < iters:
-            lab = lab.localCheckpoint(eager=False)
+            lab = tracked_local_checkpoint(lab, eager=False)
     return lab
 
 
@@ -978,7 +982,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.join(keep, "u", "semi").join(
             keep.select(F.col("u").alias("v")), "v", "semi"
         )
-        cur = cur.localCheckpoint(eager=False)
+        cur = tracked_local_checkpoint(cur, eager=False)
         stats.append(
             cur.agg(
                 F.lit(i).alias("iteration"),

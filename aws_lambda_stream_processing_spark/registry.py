@@ -53,6 +53,32 @@ def track_cache(release: Callable[[], None], scope: str = "") -> None:
     _CACHE_JANITOR.append((scope, release))
 
 
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint with janitor-registered block release.
+
+    A localCheckpoint pins its blocks in executor storage until the
+    JVM ContextCleaner happens to run — over a 400+-query sweep those
+    orphaned blocks are the measured aged-suite eviction tail (r6
+    verdict item 2), and GC timing makes "zero persistent RDDs after a
+    foreign build" flaky rather than guaranteed. This wrapper grabs
+    the checkpointed plan's internal RDD handle (the LogicalRDD's rdd —
+    DataFrame.unpersist() does NOT release checkpoint blocks) and
+    registers its unpersist with the cache janitor, so the blocks die
+    deterministically when the NEXT query builds.
+
+    Contract (same as every janitor release): the caller's frame must
+    be collected before another query builds. Unlike a released
+    cache — which silently recomputes — a released local checkpoint
+    CANNOT recompute (lineage is truncated), so holding a returned
+    frame across a subsequent build and then collecting it is an
+    error; sequential drivers (driver_sim, bench, the test suite)
+    never do this."""
+    out = df.localCheckpoint(eager=eager)
+    jrdd = out._jdf.queryExecution().analyzed().rdd()
+    track_cache(lambda: jrdd.unpersist(False))
+    return out
+
+
 def _sweep_caches(family: str) -> None:
     keep: list[tuple[str, Callable[[], None]]] = []
     for scope, release in _CACHE_JANITOR:

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.parity import DEC
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import (
+    query,
+    tracked_local_checkpoint,
+)
 from aws_lambda_stream_processing_spark.streaming.replay import (
     _scratch,
     events_stream,
@@ -260,7 +263,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return result.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(result)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -767,7 +770,7 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return result.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(result)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -950,7 +953,7 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured 7.4 → 11.8 s at sf0.1 when the split-write form
         # first landed). The checkpoint is bounded: one row per
         # (user, run) in the batch.
-        runs = local_runs(batch_df).localCheckpoint(eager=True)
+        runs = tracked_local_checkpoint(local_runs(batch_df))
         # Delta state (r6, r4 ask 3 discipline): CLOSED versions are
         # append-only — each version dir stores only the rows closed IN
         # that batch, and the batch never reads them back; only the
@@ -1100,7 +1103,7 @@ def q_stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collect; block-manager materialization is ~0.2 s and the
         # caller reads the blocks directly (best-of-2 7.3 → 4.6 s with
         # the repartition(4) layout fix).
-        return final.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(final)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1260,7 +1263,7 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and Spark reuses nothing across actions — without the pin each
         # batch pays it three times. Bounded: one row per surviving doc
         # in the batch.
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = tracked_local_checkpoint(fresh)
         carry = (
             ss.read.parquet(prev_carry)
             if os.path.isdir(prev_carry)
@@ -1351,7 +1354,7 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.read.parquet(*out_deltas)
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return final.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(final)
     finally:
         shutil.rmtree(state_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1444,7 +1447,7 @@ def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return audit.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(audit)
     finally:
         shutil.rmtree(sink_base, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
@@ -1524,7 +1527,7 @@ def q_stream_checkpoint_recovery(
         )
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return final.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(final)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
@@ -1582,7 +1585,7 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager localCheckpoint: outlives the finally-rmtree without a
         # driver roundtrip (the q_stream_scd2_foreachbatch r7 pattern)
-        return result.localCheckpoint(eager=True)
+        return tracked_local_checkpoint(result)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1734,7 +1737,7 @@ def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             # conf governs the statestore read): outlives the
             # finally-rmtree without a driver roundtrip (the
             # q_stream_scd2_foreachbatch r7 pattern)
-            out = result.localCheckpoint(eager=True)
+            out = tracked_local_checkpoint(result)
         return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
