@@ -655,8 +655,9 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
         )
         .withColumnRenamed("doc_a", "src")
         .withColumnRenamed("doc_b", "dst")
-        .localCheckpoint()  # pin the pair join; the loop re-reads it each round
     )
+    # pin the pair join; the loop re-reads it each round
+    edges = tracked_local_checkpoint(edges)
     # Adaptive strategy (the AQE philosophy applied to the CC loop): the
     # contracted graph is usually RADICALLY smaller than the corpus —
     # identical-set contraction already collapsed the duplicate mass, and
@@ -1522,9 +1523,10 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic dense token ids (sorted) — vocabulary-bounded
     toks = classes.select(F.explode("s").alias("tok")).distinct()
     w_tok = Window.orderBy("tok")
-    tdict = toks.select(
+    # vocabulary-sized; read twice (masks + nc probe)
+    tdict = tracked_local_checkpoint(toks.select(
         "tok", (F.row_number().over(w_tok) - 1).alias("idx")
-    ).localCheckpoint()  # vocabulary-sized; read twice (masks + nc probe)
+    ))
     rt = classes.select("rep", F.explode("s").alias("tok")).join(
         F.broadcast(tdict), "tok"
     )

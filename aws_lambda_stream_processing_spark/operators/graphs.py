@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import (
     query,
+    release_local_checkpoint,
     track_cache,
     tracked_local_checkpoint,
 )
@@ -441,7 +442,7 @@ def q_graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # release EVERY pinned intermediate (round-2 advice: leaked
         # frames accumulate in executor storage across a suite run).
         for fr in frontiers:
-            fr.unpersist()
+            release_local_checkpoint(fr)
         edges.unpersist()
 
 
@@ -1251,7 +1252,7 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, hc.schema)
     finally:
         for fr in pins:
-            fr.unpersist()
+            release_local_checkpoint(fr)
         edges.unpersist()
 
 
