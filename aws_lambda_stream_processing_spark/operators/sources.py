@@ -1104,3 +1104,63 @@ def q_scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = df.collect()
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "q_sink_dynamic_overwrite",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+       OR ts < TIMESTAMP '2024-01-21 00:00:00'
+    """,
+    category="2.A",
+)
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write mode a
+    partitioned 100 TB lake lives by: `partitionOverwriteMode=dynamic`
+    makes `mode("overwrite")` replace ONLY the partitions the incoming
+    frame touches, instead of truncating the whole table (static mode's
+    famous foot-gun). Exercised end to end: a first write lands the
+    early window (ts < 01-21) across ALL event_type partitions, a second
+    overwrite carries the FULL date range for just purchase + click —
+    after it, those two partitions hold the full range while every
+    other type still holds only the early window, exactly the oracle's
+    disjunction. The reread is partition-pruned the same as
+    q_sink_partitioned. The mode is conf-scoped and restored
+    (_conf_ctx): a backfill job sets it per write, not session-wide.
+    At 100 TB this is how a late-arriving day is re-landed without
+    rewriting (or locking) the other 10,000 partitions."""
+    from aws_lambda_stream_processing_spark.operators.scale import (
+        _cleanup_sink_at_exit,
+        _conf_ctx,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"alsp_dynov_sink_{spark.sparkContext.applicationId}",
+    )
+    _cleanup_sink_at_exit(out)
+    early = e.where(F.col("ts") < "2024-01-21 00:00:00")
+    backfill = e.where(F.col("event_type").isin("purchase", "click"))
+    with _conf_ctx(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        # static-mode first write is fine (it creates the layout);
+        # dynamic governs the second, partial overwrite
+        early.drop("ts").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+        backfill.drop("ts").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+    return spark.read.parquet(out).select(
+        "event_id", "event_type", "cents"
+    )
