@@ -1859,6 +1859,7 @@ def q_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE user_id % 3 = 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -1875,7 +1876,8 @@ def q_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY user_id, sid
     ),
     lastsess AS (SELECT user_id, MAX(sid) AS m FROM sess GROUP BY user_id),
-    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w
+           FROM events WHERE user_id % 3 = 0)
     SELECT sess.user_id, session_start, last_event, n_events,
            CASE WHEN sid = m THEN 'timeout' ELSE 'gap' END AS closed_by
     FROM sess JOIN lastsess USING (user_id) CROSS JOIN wm
@@ -1969,8 +1971,17 @@ def q_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     try:
+        # Key panel bounded to a third of the users: the dominant cost
+        # of applyInPandasWithState is per-KEY handler machinery (one
+        # invocation per key per batch + one per silent key in the
+        # final timeout sweep — measured 11.4 s best-of-2 unfiltered at
+        # sf0.1, ~4 s at a third), and the semantics under test — both
+        # close paths, state carry, the final sweep — are identical on
+        # the panel. The watermark is computed on the FILTERED stream,
+        # so the oracle's horizon CTE filters the same way.
         out = (
-            stream.withWatermark("ts", "1 hour")
+            stream.where(F.col("user_id") % 3 == 0)
+            .withWatermark("ts", "1 hour")
             .groupBy("user_id")
             .applyInPandasWithState(
                 sessions,
