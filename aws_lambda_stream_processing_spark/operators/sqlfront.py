@@ -1722,3 +1722,43 @@ def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q_sql_distribute_by",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    """,
+    category="2.A",
+)
+def q_sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DISTRIBUTE BY` + `SORT BY` — the SQL spelling of
+    repartition + sortWithinPartitions, i.e. the writer-prep idiom
+    (co-locate one key's rows on one partition, order them inside it,
+    then hand the layout to a partitioned/bucketed sink or a
+    partition-local kernel). The semantic contract is that it changes
+    LAYOUT, not content: the oracle is the bare filtered projection,
+    and the multiset compare pins content-neutrality while the plan
+    gate (tests/test_plans.py) pins the layout — exactly one
+    hashpartitioning exchange on user_id, an intra-partition
+    (global=false) sort, and NO rangepartitioning anywhere: if
+    Catalyst ever promoted SORT BY to a global ORDER BY, the rung
+    fails. At 100 TB this is the cheap half of the sort story —
+    ~log(rows/partition) comparisons per row and no global merge,
+    which is why every large-scale writer prep uses it over ORDER
+    BY."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "db_events"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM db_events
+        WHERE event_type IN ('view', 'click')
+        DISTRIBUTE BY user_id SORT BY user_id, cents
+        """
+    )

@@ -1998,3 +1998,79 @@ def q_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_rate_source",
+    oracle="""
+    WITH v AS (SELECT value FROM range(0, 6000) t(value)),
+    r AS (
+      SELECT value,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL 1 HOUR * CAST(value // 2000 AS INTEGER) AS hour
+      FROM v
+    )
+    SELECT hour,
+           value % 7 AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(value) AS BIGINT) AS sum_value
+    FROM r
+    GROUP BY hour, bucket
+    """,
+    category="2.I",
+)
+def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate-micro-batch` source — the deterministic synthetic stream
+    generator (the soak/load-test source you point a pipeline at to
+    exercise it at a controlled rate without touching production
+    topics). Unlike `rate`, whose row count depends on wall-clock,
+    rate-micro-batch is fully deterministic: batch N carries values
+    [N*rowsPerBatch, (N+1)*rowsPerBatch) all stamped
+    startTimestamp + N*advanceMillisPerBatch — so the stream is
+    REPLAYABLE and a closed-form oracle exists (probed: two
+    trigger-once runs on one checkpoint yield batches 0 and 1
+    exactly). Three trigger-once runs against a SHARED checkpoint
+    drive the batch counter 0 → 1 → 2 (offset persistence across
+    restarts — the same contract q_stream_checkpoint_recovery pins
+    for file sources), each appending its batch to a parquet sink;
+    the final batch read aggregates per (hour, value%7). At 100 TB
+    this is the source for throughput calibration: rowsPerBatch and
+    numPartitions size the per-core generator, no input I/O at all,
+    and the generated rows flow through the same sink/agg plan the
+    production stream uses."""
+    ckpt = _scratch("alsp_rate_ckpt_")
+    sink = _scratch("alsp_rate_sink_")
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 1704067200000)
+        .option("advanceMillisPerBatch", 3600000)
+        .load()
+    )
+    try:
+        for run in range(3):
+            q = (
+                src.selectExpr("timestamp AS hour", "value")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(once=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+        agg = (
+            spark.read.parquet(sink)
+            .groupBy("hour", (F.col("value") % 7).alias("bucket"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        return tracked_local_checkpoint(agg)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

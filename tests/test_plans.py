@@ -955,3 +955,36 @@ def test_keyset_pages_are_offset_free(spark, registry):
         o.orderBy(F.desc("cents"), "o_orderkey").offset(20).limit(20)
     )
     assert "offset=20" in plan_string(control, "simple")
+
+def test_distribute_by_is_local_sort(spark, registry):
+    """q_sql_distribute_by: DISTRIBUTE BY must lower to exactly one
+    hashpartitioning exchange on user_id and SORT BY to an
+    intra-partition (global=false) sort — no rangepartitioning, which
+    would mean Catalyst promoted it to a global ORDER BY. Positive
+    control: the ORDER BY spelling of the same query DOES
+    rangepartition, proving the detector can fire."""
+    import re
+
+    plan = plan_string(registry["q_sql_distribute_by"].fn(spark, SF_DIR))
+    head = plan.split("== Physical Plan ==")[-1]
+    n = len(re.findall(r"hashpartitioning\(user_id", head))
+    assert n == 1, f"{n} user_id hash exchanges\n{head}"
+    assert "rangepartitioning" not in head, head
+    assert re.search(
+        r"\[user_id#\d+\w* ASC NULLS FIRST, cents#\d+\w* ASC NULLS FIRST\],"
+        r" false, 0",
+        head,
+    ), head
+
+    ctl = plan_string(
+        spark.sql(
+            """
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM db_events
+            WHERE event_type IN ('view', 'click')
+            ORDER BY user_id, cents
+            """
+        )
+    )
+    assert "rangepartitioning" in ctl.split("== Physical Plan ==")[-1], ctl

@@ -81,6 +81,7 @@ SAMPLE = [
     "q_agg_session_window",  # native session merge across partitionings
     "q_str_collation",  # collated groupBy: min-under-binary representative
     "q_graph_random_walk",  # hash-argmin hops must not depend on layout
+    "q_sql_distribute_by",  # layout-only op: content identical at any width
 ]
 
 
@@ -102,7 +103,8 @@ def test_deterministic_across_partitioning(spark, registry, name):
 @pytest.mark.parametrize(
     "name",
     ["q_date_extract", "q_ts_convert", "q_stream_tumbling",
-     "q_ts_heatmap_hod_dow", "q_ts_calendar_scaffold"],
+     "q_ts_heatmap_hod_dow", "q_ts_calendar_scaffold",
+     "q_stream_rate_source"],  # LTZ epoch timestamps from the rate source
 )
 def test_hostile_session_timezone(spark, registry, name):
     """Timezone-sensitive queries must pin UTC themselves — the driver's
