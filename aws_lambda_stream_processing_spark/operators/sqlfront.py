@@ -1762,3 +1762,54 @@ def q_sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY user_id SORT BY user_id, cents
         """
     )
+
+
+@query(
+    "q_sql_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+    """,
+    category="2.C",
+)
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated `EXISTS` + `NOT EXISTS` in one predicate — the third
+    member of the correlated-subquery trio next to the scalar form
+    (q_sql_correlated_subquery) and NOT IN (q_sql_not_in_nulls):
+    customers with at least one big order and no finalized order.
+    Catalyst decorrelates both quantifiers into hash joins — EXISTS to
+    a LEFT SEMI, NOT EXISTS to a LEFT ANTI (which, unlike NOT IN, is
+    null-safe by construction: no three-valued-logic trap to guard) —
+    so the nested-loop a naive reading implies never executes; the
+    plan gate (tests/test_plans.py) pins one semi + one anti join and
+    no nested loop. At 100 TB both probes are the same broadcast/
+    shuffled hash joins every semi/anti rewrite uses, and the two
+    subqueries share the orders scan via exchange reuse."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ex_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM ex_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM ex_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM ex_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F'
+              )
+        """
+    )

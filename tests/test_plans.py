@@ -988,3 +988,14 @@ def test_distribute_by_is_local_sort(spark, registry):
         )
     )
     assert "rangepartitioning" in ctl.split("== Physical Plan ==")[-1], ctl
+
+def test_exists_subquery_decorrelates(spark, registry):
+    """q_sql_exists_subquery: EXISTS must lower to a LEFT SEMI hash
+    join and NOT EXISTS to a LEFT ANTI — no nested loop over the
+    correlated predicate."""
+    plan = plan_string(registry["q_sql_exists_subquery"].fn(spark, SF_DIR))
+    head = plan.split("== Physical Plan ==")[-1]
+    assert "LeftSemi" in head, head
+    assert "LeftAnti" in head, head
+    assert "BroadcastNestedLoopJoin" not in head, head
+    assert "CartesianProduct" not in head, head
