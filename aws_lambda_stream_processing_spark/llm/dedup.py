@@ -383,23 +383,27 @@ def q_llm_neardup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-sensitive where token-set Jaccard is not (doc reorderings stop
     matching). Same exact deletion-neighborhood plan as
     q_llm_neardup_jaccard; exactness precondition max |shingle-set union| <
-    2/(1-0.985) ≈ 133 holds (corpus max is 98, measured at all SFs)."""
+    2/(1-0.985) ≈ 133 holds (corpus max is 98, measured at all SFs).
+
+    Shingle construction is posexplode → lag window → collect_set, all
+    whole-stage-codegen + one doc_id shuffle that the per-doc hash agg
+    downstream REUSES — not an array HOF: the index-lambda transform
+    (element_at per position) runs interpreted and measured 5.9 s for
+    this build at sf0.1 vs 2.0 s for this form (zip_with over two
+    slices, also interpreted, measured 3.2 s — rejected too). Docs
+    with <2 tokens drop out naturally (no lag row), matching the old
+    size>=2 filter."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    shingles = F.sort_array(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(2), F.size(toks)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i - F.lit(1)),
-                    F.element_at(toks, i),
-                ),
-            )
-        )
-    )
-    docs = d.where(F.size(toks) >= 2).select(
-        "doc_id", shingles.alias("s")
+    tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = tr.select(
+        "doc_id", F.lag("tok").over(wdoc).alias("p"), "tok"
+    ).where(F.col("p").isNotNull())
+    docs = big.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_set(F.concat_ws(" ", "p", "tok"))
+        ).alias("s")
     )
     return _deletion_neighborhood_pairs(docs, _SHINGLE_TAU).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
