@@ -2074,3 +2074,65 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+@query(
+    "q_stream_union_sources",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+    category="2.I",
+)
+def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two independent streaming sources into one stateful
+    agg — the multi-topic fan-in every real deployment has (clicks
+    from one Kinesis stream, purchases from another, one consumer):
+    each source keeps ITS OWN offset log inside the shared checkpoint
+    (sources/0 and sources/1), so recovery resumes both legs
+    independently — the contract this rung pins beyond what any
+    single-source rung can. The two legs here split the corpus by
+    event type and each arrives as 2 ordered micro-batches with
+    different file boundaries (uneven-progress fan-in, not lockstep);
+    the union is a stateless DAG merge — no shuffle until the ONE
+    downstream agg, exactly as cheap at 100 TB as a single source
+    with the same row count."""
+    sa, da = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "event_type IN ('purchase', 'click') "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "event_type IN ('purchase', 'click') "
+            "AND ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    sb, db = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "event_type NOT IN ('purchase', 'click') "
+            "AND ts < TIMESTAMP '2024-02-01 00:00:00'",
+            "event_type NOT IN ('purchase', 'click') "
+            "AND ts >= TIMESTAMP '2024-02-01 00:00:00'",
+        ],
+    )
+    try:
+        agg = (
+            sa.unionByName(sb)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        return run_to_memory(agg, output_mode="complete")
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
