@@ -1164,3 +1164,137 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "event_type", "cents"
     )
+
+
+@query(
+    "q_source_wholetext",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    category="2.A",
+)
+def q_source_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`wholetext` read — the one-row-per-FILE ingestion shape an LLM
+    corpus lands in (one document per .txt, newlines and all, exactly
+    as crawled): 100 documents are written one-file-per-doc under
+    doc_id=<n>/ dirs (the partitioned layout doubles as the id
+    carrier), read back with `option("wholetext", true)` so each file
+    becomes ONE row regardless of embedded newlines (the plain text
+    reader would split them), id recovered from the partition dir via
+    input_file_name(), and the header fields re-parsed from the
+    content — the oracle over the ORIGINAL table matches iff the
+    file-granularity read is lossless. A newline is injected into
+    every body before writing, so a line-splitting reader would break
+    the header row apart and the parse would fail — the
+    one-row-per-file contract is load-bearing, not decorative. Scale
+    note: wholetext, like multiLine CSV, makes each file one task held
+    in memory whole — the 100 TB posture is many small files packed
+    by maxPartitionBytes and a parquet landing zone one hop later;
+    this rung pins the ingestion hop itself."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(
+                "if(instr(text, ' ') > 0, "
+                "concat(left(text, instr(text, ' ') - 1), '\\n', "
+                "substring(text, instr(text, ' ') + 1)), text)"
+            ).alias("body"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="alsp_wholetext_")
+    try:
+        d.select(
+            "doc_id",
+            F.concat_ws("|", "lang", "n_chars", "body").alias("value"),
+        ).repartition("doc_id").write.mode("overwrite").partitionBy(
+            "doc_id"
+        ).text(out)
+        # NB: must be the reader KWARG — .option("wholetext", ...) is
+        # silently ignored by this Spark build (probed: 200 rows from
+        # 100 two-line files via option, 100 via kwarg).
+        back = spark.read.text(out, wholetext=True).withColumn(
+            "doc_id",
+            F.regexp_extract(
+                F.input_file_name(), r"doc_id=(\d+)", 1
+            ).cast("long"),
+        )
+        fields = F.split(F.col("value"), r"\|", 3)
+        parsed = back.select(
+            "doc_id",
+            fields.getItem(0).alias("lang"),
+            fields.getItem(1).cast("long").alias("n_chars"),
+        )
+        return parsed.localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q_source_glob_recursive",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+    category="2.A",
+)
+def q_source_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`recursiveFileLookup` + `pathGlobFilter` — the data-lake
+    directory-sprawl read: files land under arbitrary nested dirs
+    (date=…/source=… trees that are NOT registered partitions), and
+    the reader must (a) find parquet files at ANY depth and (b) skip
+    the non-data files beside them (.json manifests, stray .csv
+    exports). The fixture writes purchase and click events into two
+    differently-shaped nested trees plus a decoy .csv and a manifest
+    .json; the read pins that recursion finds exactly the two parquet
+    leaves and the glob drops both decoys — over-inclusion
+    double-counts, under-recursion loses a type, either breaks the
+    exact oracle. Scale note: recursive listing parallelizes past the
+    driver-listing threshold (InMemoryFileIndex runs a distributed
+    list job); at 100 TB you still prefer explicit partition
+    registration — this rung is the it-landed-messy recovery path."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    base = tempfile.mkdtemp(prefix="alsp_glob_rec_")
+    try:
+        (
+            e.where(F.col("event_type") == "purchase")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(f"{base}/zone=eu/day_2024-01-01/batch_0")
+        )
+        (
+            e.where(F.col("event_type") == "click")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(f"{base}/zone=us/deep/nested/day_2024-01-02")
+        )
+        with open(f"{base}/zone=eu/manifest.json", "w") as f:
+            f.write('{"files": 1}\n')
+        with open(f"{base}/zone=us/deep/stray_export.csv", "w") as f:
+            f.write("event_id,event_type,value\n0,purchase,1.0\n")
+        back = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(base)
+        )
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents"),
+        )
+        return agg.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
