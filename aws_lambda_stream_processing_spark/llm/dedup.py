@@ -1809,3 +1809,115 @@ def q_llm_neardup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("dist") >= 0) & (F.col("dist") <= 5))
         .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(FLOOR(0.6 * (MAX(doc_id) + 1)) AS BIGINT) AS cut
+      FROM documents
+    ),
+    corpus AS (
+      SELECT DISTINCT text FROM documents, t WHERE doc_id < cut
+    ),
+    batch AS (
+      SELECT doc_id, source, text FROM documents, t WHERE doc_id >= cut
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.source, b.text,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+               AS in_index
+      FROM batch b
+    ),
+    fresh AS (
+      SELECT source, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+               AS rn
+      FROM flagged WHERE NOT in_index
+    )
+    SELECT source,
+           CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+             AS admitted,
+           CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)
+             AS dup_within,
+           CAST((SELECT COUNT(*) FROM flagged f
+                 WHERE f.in_index AND f.source = fresh.source) AS BIGINT)
+             AS dup_vs_index
+    FROM fresh
+    GROUP BY source
+    """,
+    category="2.J",
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the production posture
+    q_llm_exact_dedup's whole-corpus pass cannot afford at 100 TB: a
+    standing content-hash INDEX (here: the distinct sha256 digests of
+    the first 60% of the corpus, WRITTEN TO PARQUET and read back —
+    the index is a durable artifact that outlives the job, not a
+    runtime frame) and a new ingest batch deduplicated in two stages
+    against it: (1) LEFT ANTI join on the digest drops every batch
+    copy of an already-indexed text (dup_vs_index — only 32-byte
+    digests ride the shuffle, never documents), (2) the survivors
+    dedup within-batch by min-doc_id survivorship (dup_within). The
+    per-source admission report is the ingest dashboard. The oracle
+    recomputes both stages by TEXT equality — the digest is an
+    implementation detail, so a hash-semantics bug (truncation,
+    casing, encoding) breaks the match. At 100 TB the index grows by
+    exactly the admitted digests per ingest (append, no rewrite), the
+    anti join is digest-keyed and AQE-broadcastable when the batch is
+    small, and nothing ever re-reads the historical corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = (
+        d.agg(
+            F.floor(0.6 * (F.max("doc_id") + 1)).cast("long").alias("c")
+        ).collect()[0]["c"]
+    )
+    idx_dir = None
+    try:
+        import tempfile
+
+        idx_dir = tempfile.mkdtemp(prefix="alsp_dedup_idx_")
+        (
+            d.where(F.col("doc_id") < cut)
+            .select(F.sha2("text", 256).alias("h"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx_dir)
+        )
+        index = spark.read.parquet(idx_dir)
+        batch = d.where(F.col("doc_id") >= cut).select(
+            "doc_id", "source", F.sha2("text", 256).alias("h")
+        )
+        vs_index = (
+            batch.join(index, "h", "left_semi")
+            .groupBy("source")
+            .agg(F.count("*").alias("dup_vs_index"))
+        )
+        fresh = batch.join(index, "h", "left_anti")
+        w = Window.partitionBy("h").orderBy("doc_id")
+        ranked = fresh.withColumn("rn", F.row_number().over(w))
+        within = ranked.groupBy("source").agg(
+            F.sum(F.when(F.col("rn") == 1, 1)).cast("long").alias(
+                "admitted"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 1, 1)), F.lit(0)
+            ).cast("long").alias("dup_within"),
+        )
+        report = within.join(
+            F.broadcast(vs_index), "source", "left"
+        ).select(
+            "source",
+            "admitted",
+            "dup_within",
+            F.coalesce("dup_vs_index", F.lit(0)).cast("long").alias(
+                "dup_vs_index"
+            ),
+        )
+        return tracked_local_checkpoint(report)
+    finally:
+        if idx_dir:
+            import shutil as _sh
+
+            _sh.rmtree(idx_dir, ignore_errors=True)

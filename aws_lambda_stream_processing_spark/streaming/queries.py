@@ -2136,3 +2136,113 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+@query(
+    "q_stream_python_datasource",
+    oracle="""
+    WITH g AS (SELECT value AS gid FROM range(0, 2400) t(value))
+    SELECT CAST((gid % 1200) // 300 AS INTEGER) AS shard,
+           COUNT(*) AS n,
+           CAST(SUM((gid * 37) % 1000) AS BIGINT) AS total_tenths
+    FROM g
+    GROUP BY shard
+    """,
+    category="2.I",
+)
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Spark 4 Python DataSource
+    API — the streaming half of q_source_python_datasource's
+    kinesis-like batch connector, i.e. the consumer prototype you
+    write before committing to a JVM DSv2 implementation: a
+    SimpleDataSourceStreamReader whose offset is the batch counter
+    ({"b": N} → records [N*1200, (N+1)*1200) across 4 shards), with
+    readBetweenOffsets supplying the replay path recovery uses. Two
+    trigger-once runs against ONE checkpoint drive the offset 0→1 —
+    probed: each run's batch carries exactly its 1200-gid slice, so
+    the engine persisted and resumed the CUSTOM offset JSON across
+    restarts, which is the contract this rung pins (the rate-source
+    rung proves it for a built-in source; this proves it for
+    user-defined offsets). Deterministic records make the oracle a
+    closed-form range() twin. Scale note: the simple reader prefetches
+    on the DRIVER — right for prototypes and control streams; the
+    partition-parallel DataSourceStreamReader (partitions() per
+    shard, executor-side read) is the volume path, with this class as
+    its behavioral spec."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"b": 0}
+
+        @staticmethod
+        def _batch(b: int):
+            # a LIST, not a generator: the simple reader's prefetch
+            # cache pickles the returned rows (generators can't)
+            return [
+                (
+                    shard,
+                    b * 1200 + shard * 300 + i,
+                    ((b * 1200 + shard * 300 + i) * 37) % 1000,
+                )
+                for shard in range(4)
+                for i in range(300)
+            ]
+
+        def read(self, start):
+            b = start["b"]
+            return self._batch(b), {"b": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["b"], end["b"]):
+                rows.extend(self._batch(b))
+            return rows
+
+    class FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "alsp_feed_sim"
+
+        def schema(self):
+            return "shard int, gid long, tenths long"
+
+        def simpleStreamReader(self, schema):
+            return FeedReader()
+
+    spark.dataSource.register(FeedSource)
+    ckpt = _scratch("alsp_pysrc_ckpt_")
+    sink = _scratch("alsp_pysrc_sink_")
+    try:
+        # 2 runs, not more: each restart pays the full Python-source
+        # micro-batch machinery (~3.3 s); two runs are the minimum
+        # that proves custom-offset persistence across a restart
+        for _run in range(2):
+            q = (
+                spark.readStream.format("alsp_feed_sim")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(once=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+        agg = (
+            spark.read.parquet(sink)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("tenths").alias("total_tenths"),
+            )
+        )
+        return tracked_local_checkpoint(agg)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
