@@ -32,4 +32,5 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     scale,
     sources,
     graphs,
+    modernsql,
 )

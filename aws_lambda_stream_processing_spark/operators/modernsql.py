@@ -1,0 +1,263 @@
+"""Spark-4 "programmable SQL" surface (SURVEY.md §2.A): session
+variables, EXECUTE IMMEDIATE, SQL-defined scalar/table functions, the
+IDENTIFIER() clause, and procedural SQL scripting (BEGIN…END).
+
+These are the session-scripting features an analyst-facing engine needs
+so that parameterized report logic lives in SQL itself instead of a
+Python templating layer: a variable is set once and referenced by many
+statements, EXECUTE IMMEDIATE runs text assembled at run time with safe
+parameter binding (USING) and safe identifier binding (IDENTIFIER()),
+and CREATE FUNCTION … RETURN makes reusable business logic a catalog
+object rather than a copy-pasted expression.
+
+Correctness story: every rung's oracle is plain ANSI SQL with the
+variables / function bodies / script result INLINED — so the match pins
+that the indirection layer (variable resolution, parameter binding,
+UDF inlining, script control flow) is semantically transparent: the
+programmable spelling computes exactly what the static spelling does.
+
+Scale story: all of these resolve at ANALYSIS time — variables fold to
+literals, SQL UDFs inline into the plan (they are not black-box UDFs:
+Catalyst sees through them, so predicate pushdown and codegen are
+unaffected), IDENTIFIER() resolves before optimization, and a script
+drives ordinary one-statement plans. The physical plans below are the
+same scans/aggregations the static queries produce — zero per-row
+overhead at 100 TB.
+
+All session-level objects (variables, temp functions) use
+OR REPLACE + rung-unique names: queries must be re-runnable in one
+long-lived session (bench/driver sweeps) without state collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.tables import load_table
+
+
+@query(
+    "q_sql_session_variables",
+    oracle="""
+    WITH params AS (
+        SELECT CAST(round(AVG(o_totalprice) * 100) AS BIGINT) / 100.0
+                   AS price_floor
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o, params p
+    WHERE o.o_totalprice > p.price_floor
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    category="2.A",
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`):
+    a data-driven parameter — the corpus-wide mean order price, rounded
+    to cents so both engines agree exactly — is computed ONCE into a
+    session variable by `SET VAR … = (scalar subquery)`, then referenced
+    by the report query. The oracle inlines the same parameter through a
+    CTE, pinning that variable resolution is semantically a literal
+    splice. Variables fold at analysis time, so the plan is an ordinary
+    filtered aggregate — the `o_totalprice > var` predicate reaches the
+    parquet scan as a pushed filter exactly as a literal would; the
+    programmable layer costs nothing at scale. DECLARE OR REPLACE keeps
+    the rung idempotent in a long-lived session."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sv_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sv_price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        """
+        SET VAR sv_price_floor =
+            (SELECT CAST(round(AVG(o_totalprice) * 100) AS BIGINT) / 100.0
+             FROM sv_orders)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM sv_orders o
+        WHERE o.o_totalprice > sv_price_floor
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_quantity > 25.0
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="2.A",
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`EXECUTE IMMEDIATE … USING` + the `IDENTIFIER()` clause — dynamic
+    SQL with SAFE binding on both axes: values bind through `?`
+    placeholders (never string-spliced, so no quoting/injection
+    hazards), and the table name binds through IDENTIFIER(?), the
+    analyzer-checked identifier constructor. This is the catalog-driven
+    report pattern: one query template, table and thresholds chosen at
+    run time. The oracle is the fully static spelling — the match pins
+    that parameter binding is a pure literal substitution. Both
+    bindings resolve at analysis time, so the executed plan is the
+    ordinary pushed-filter scan + hash aggregate; dynamic SQL adds zero
+    run-time cost at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ei_lineitem"
+    )
+    template = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM IDENTIFIER(?)
+        WHERE l_shipdate >= ? AND l_quantity > ?
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ei_template STRING DEFAULT ''"
+    )
+    spark.sql("SET VAR ei_template = ?", args=[template])
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE ei_template
+            USING 'ei_lineitem', TIMESTAMP '1995-01-01', 25.0D
+        """
+    )
+
+
+@query(
+    "q_sql_function_library",
+    oracle="""
+    WITH buckets AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice < 50000  THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'large' END AS bucket
+        FROM orders
+        WHERE o_orderstatus = 'O'
+    ),
+    tiers AS (SELECT UNNEST(['small', 'mid', 'large']) AS tier)
+    SELECT t.tier,
+           CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(round(b.o_totalprice * 100) AS BIGINT)),
+                         0) AS BIGINT) AS cents
+    FROM tiers t LEFT JOIN buckets b ON b.bucket = t.tier
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    category="2.A",
+)
+def q_sql_function_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions as catalog objects (Spark 4
+    `CREATE FUNCTION … RETURN`): a SCALAR function encapsulating the
+    price-tier business rule, and a TABLE function enumerating the tier
+    dimension — joined so every tier appears even when empty (the
+    classic report-against-dimension shape). The oracle inlines both
+    bodies (CASE expression + UNNEST literal table). Unlike Python
+    UDFs, SQL UDFs are transparent to Catalyst: the scalar body inlines
+    into the projection (whole-stage codegen keeps running, pushdown
+    unaffected) and the table function becomes a local relation — this
+    is the function-library mechanism that scales, because it adds
+    catalog-level reuse without adding a serialization boundary."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("fl_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fl_price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000  THEN 'small'
+                    WHEN p < 150000 THEN 'mid'
+                    ELSE 'large' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fl_tiers()
+        RETURNS TABLE(tier STRING)
+        RETURN SELECT explode(array('small', 'mid', 'large'))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT t.tier,
+               CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(round(b.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS cents
+        FROM fl_tiers() t
+        LEFT JOIN (
+            SELECT o_orderkey, o_totalprice,
+                   fl_price_tier(o_totalprice) AS bucket
+            FROM fl_orders
+            WHERE o_orderstatus = 'O'
+        ) b ON b.bucket = t.tier
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    SELECT CAST(round(sqrt(SUM(CAST(round(value * 100) AS BIGINT)
+                               / 100.0)) * 1000) AS BIGINT) / 1000.0
+               AS sqrt_revenue,
+           CAST(20 AS INT) AS n_iters
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    category="2.A",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL scripting (Spark 4 `BEGIN … END` with DECLARE /
+    WHILE / SET): a Newton–Raphson loop computing sqrt(total purchase
+    revenue) entirely in SQL control flow — 20 iterations from a
+    positive seed, quadratically convergent, so the scripted fixed
+    point equals the closed-form sqrt to far beyond the 1e-3 rounding
+    the rung compares at. The oracle is the closed form. The point
+    being pinned: the script's statements each compile to ordinary
+    single-statement plans (the aggregate over events runs ONCE, into
+    a local variable; the loop iterates over scalars only — no per-
+    iteration scan), i.e. scripting is a driver-side control layer
+    over the same distributed plans, exactly how an iterative
+    computation should be staged at 100 TB: heavy scan once, cheap
+    scalar recursion on the result."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sc_events")
+    return spark.sql(
+        """
+        BEGIN
+            DECLARE revenue DOUBLE DEFAULT 0.0;
+            DECLARE x DOUBLE DEFAULT 1.0;
+            DECLARE i INT DEFAULT 0;
+            SET revenue =
+                (SELECT SUM(CAST(round(value * 100) AS BIGINT) / 100.0)
+                 FROM sc_events WHERE event_type = 'purchase');
+            WHILE i < 20 DO
+                SET x = 0.5 * (x + revenue / x);
+                SET i = i + 1;
+            END WHILE;
+            -- divide by a DOUBLE literal: bigint / decimal-literal
+            -- yields DECIMAL in Spark, which type-mismatches the oracle
+            SELECT CAST(round(x * 1000) AS BIGINT) / 1000.0D
+                       AS sqrt_revenue,
+                   i AS n_iters;
+        END
+        """
+    )
