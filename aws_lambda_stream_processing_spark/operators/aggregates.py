@@ -967,3 +967,103 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_prio", "g_status", "gid", "n",
         )
     )
+
+
+@query(
+    "q_agg_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    )
+    SELECT event_type, nc, nd,
+           CASE WHEN (nc - nd) >= 0
+                THEN floor((nc - nd)
+                           / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-(nc - nd)
+                            / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2))
+                            * 1000000.0 + 0.5) / 1000000.0
+           END AS tau_b
+    FROM pairs
+    ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b — the third member of the correlation family
+    (Pearson q_agg_corr_exact, Spearman q_agg_spearman): rank
+    correlation between daily event volume and daily revenue, per
+    event type, with the tie correction (tau-b = (nc−nd)/
+    √((n0−n1)(n0−n2)), n1/n2 = x-tied/y-tied pair counts — pairs tied
+    in both count in both, per the standard definition). Both series
+    are exact integers (counts, cents), so concordance is pure integer
+    sign algebra; the single sqrt+division runs over identical
+    operands on both engines, floor-rounded half-up at 6dp with a
+    negative mirror (tau is signed). Implementation is the O(n²)
+    pair self-join — correct HERE because the series is bounded (≤31
+    points per group, ≤465 pairs); the docstring contract is that at
+    unbounded n the merge-sort inversion-count formulation replaces
+    the pair join (same answer, n·log n), exactly like the Spearman
+    rung's window path. Scale: the daily pre-aggregation is the only
+    pass over raw events; the pair join runs on 155 rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0))
+            .cast("bigint").alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0))
+            .cast("bigint").alias("nd"),
+            F.sum(F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0))
+            .cast("bigint").alias("n2"),
+            F.count("*").cast("bigint").alias("n0"),
+        )
+    )
+    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2"))
+    )
+    return pairs.select(
+        "event_type", "nc", "nd",
+        F.when(
+            (F.col("nc") - F.col("nd")) >= 0,
+            F.floor(tau * 1000000.0 + F.lit(0.5)) / 1000000.0,
+        ).otherwise(
+            -F.floor(-tau * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).alias("tau_b"),
+    ).orderBy("event_type")

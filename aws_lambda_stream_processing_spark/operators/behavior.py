@@ -1882,3 +1882,233 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_events_cuped",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u
+    ),
+    t AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+        FROM g
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS sx_v,
+               CAST(SUM(y) AS BIGINT) AS sy_v
+        FROM u GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           floor((CAST(sy_v AS DOUBLE) / n_users) * 1000000.0 + 0.5)
+               / 1000000.0 AS post_mean_cents,
+           CASE WHEN (CAST(sy_v AS DOUBLE) / n_users
+                      - t.theta * (CAST(sx_v AS DOUBLE) / n_users
+                                   - CAST(t.sx AS DOUBLE) / t.n)) >= 0
+                THEN floor((CAST(sy_v AS DOUBLE) / n_users
+                            - t.theta * (CAST(sx_v AS DOUBLE) / n_users
+                                         - CAST(t.sx AS DOUBLE) / t.n))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-(CAST(sy_v AS DOUBLE) / n_users
+                              - t.theta * (CAST(sx_v AS DOUBLE) / n_users
+                                           - CAST(t.sx AS DOUBLE) / t.n))
+                            * 1000000.0 + 0.5) / 1000000.0
+           END AS adj_mean_cents,
+           CASE WHEN t.theta >= 0
+                THEN floor(t.theta * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-t.theta * 1000000.0 + 0.5) / 1000000.0
+           END AS theta
+    FROM v, t
+    ORDER BY v.variant
+    """,
+    category="2.D",
+)
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    experimentation-platform estimator): per-user PRE-period spend is
+    the control covariate for the POST-period metric; theta =
+    cov(pre,post)/var(pre) fitted on ALL users (variant-blind, so the
+    adjustment is unbiased), adjusted mean per variant =
+    mean(Y) − theta·(mean(X) − mean(X_all)). Determinism contract:
+    per-user pre/post totals are EXACT integer cents, all five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact BIGINTs, and
+    theta/means are derived from those identical operands in double —
+    cast to double BEFORE the cross-products (n·Σxy overflows int64
+    around sf1), floor-rounded half-up at 6dp with an explicit
+    negative-branch mirror. Scale: one hash agg keyed by user (partial
+    map-side), then TWO single-row reductions (global stats, per-variant
+    stats) — the covariate fit never shuffles raw events twice, and the
+    driver sees five numbers, not users."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        e.groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < pre, cents)), F.lit(0)
+            ).cast("bigint").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= pre, cents)), F.lit(0)
+            ).cast("bigint").alias("y"),
+        )
+    )
+    g = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    t = g.select(
+        "n", "sx",
+        (
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("theta"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx_v"),
+        F.sum("y").cast("bigint").alias("sy_v"),
+    )
+
+    def round6(c):
+        return F.when(
+            c >= 0, F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).otherwise(-F.floor(-c * 1000000.0 + F.lit(0.5)) / 1000000.0)
+
+    post_mean = F.col("sy_v").cast("double") / F.col("n_users")
+    adj = post_mean - F.col("theta") * (
+        F.col("sx_v").cast("double") / F.col("n_users")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    return (
+        v.crossJoin(t)
+        .select(
+            "variant", "n_users",
+            round6(post_mean).alias("post_mean_cents"),
+            round6(adj).alias("adj_mean_cents"),
+            round6(F.col("theta")).alias("theta"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "q_events_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS period,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT
+          MAX(CASE WHEN variant=1 AND period=1
+                   THEN CAST(cents AS DOUBLE)/n END) AS t_post,
+          MAX(CASE WHEN variant=1 AND period=0
+                   THEN CAST(cents AS DOUBLE)/n END) AS t_pre,
+          MAX(CASE WHEN variant=0 AND period=1
+                   THEN CAST(cents AS DOUBLE)/n END) AS c_post,
+          MAX(CASE WHEN variant=0 AND period=0
+                   THEN CAST(cents AS DOUBLE)/n END) AS c_pre
+        FROM cells
+    )
+    SELECT floor(t_pre  * 1000000.0 + 0.5) / 1000000.0 AS treat_pre,
+           floor(t_post * 1000000.0 + 0.5) / 1000000.0 AS treat_post,
+           floor(c_pre  * 1000000.0 + 0.5) / 1000000.0 AS ctrl_pre,
+           floor(c_post * 1000000.0 + 0.5) / 1000000.0 AS ctrl_post,
+           CASE WHEN ((t_post - t_pre) - (c_post - c_pre)) >= 0
+                THEN floor(((t_post - t_pre) - (c_post - c_pre))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-((t_post - t_pre) - (c_post - c_pre))
+                            * 1000000.0 + 0.5) / 1000000.0
+           END AS did
+    FROM m
+    """,
+    category="2.D",
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the other workhorse causal estimator
+    next to CUPED (q_events_cuped): mean purchase cents per
+    variant×period cell (variant = user_id parity, period split at the
+    Jan-16 midpoint), DiD = (treat_post − treat_pre) −
+    (ctrl_post − ctrl_pre). Each cell mean is exact-integer cents / an
+    exact count — the only float ops are four divisions and three
+    subtractions over identical operands, floor-rounded half-up at 6dp
+    (negative-mirrored for the estimate, which can legitimately be
+    negative). Scale: ONE hash agg over the filtered fact produces four
+    cells; everything after is a single-row pivot — the estimator costs
+    one scan regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cells = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        ).otherwise(1).alias("period"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def cell(vv, pp):
+        return F.max(
+            F.when(
+                (F.col("variant") == vv) & (F.col("period") == pp),
+                F.col("cents").cast("double") / F.col("n"),
+            )
+        )
+
+    m = cells.agg(
+        cell(1, 1).alias("t_post"), cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"), cell(0, 0).alias("c_pre"),
+    )
+
+    def round6pos(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    return m.select(
+        round6pos(F.col("t_pre")).alias("treat_pre"),
+        round6pos(F.col("t_post")).alias("treat_post"),
+        round6pos(F.col("c_pre")).alias("ctrl_pre"),
+        round6pos(F.col("c_post")).alias("ctrl_post"),
+        F.when(did >= 0, round6pos(did))
+        .otherwise(-F.floor(-did * 1000000.0 + F.lit(0.5)) / 1000000.0)
+        .alias("did"),
+    )
