@@ -747,3 +747,108 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(fresh, F.col("cand_id")).alias("last_click_id"),
     )
+
+
+@query(
+    "q_join_geo_radius",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               (c_custkey * 7919 % 1200) / 10.0 - 60.0   AS lat,
+               (c_custkey * 104729 % 3600) / 10.0 - 180.0 AS lon
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 12553 % 1200) / 10.0 - 60.0  AS lat,
+               (s_suppkey * 30011 % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_nationkey,
+               2.0 * 6371.0 * asin(sqrt(least(1.0,
+                   sin(radians(s.lat - c.lat) / 2)
+                     * sin(radians(s.lat - c.lat) / 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * sin(radians(s.lon - c.lon) / 2)
+                     * sin(radians(s.lon - c.lon) / 2)))) AS dist_km
+        FROM cust c, supp s
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(floor(dist_km * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS dist_cm_sum
+    FROM pairs
+    WHERE dist_km <= 150.0
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    category="2.C",
+)
+def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join (customers within 150 km of a supplier)
+    with GRID-CELL BLOCKING — the canonical spatial-join decomposition:
+    synthetic-but-deterministic coordinates derive from the keys by
+    pure modular arithmetic (identical expression both engines;
+    latitudes capped to ±60° so a 150 km disc spans < 3° of longitude
+    even at the cap). The small side explodes to its 3×3 cell
+    neighborhood on a 3° grid — longitude cells wrap modulo 120 so
+    antimeridian pairs are kept, matching haversine's inherent
+    periodicity — then BROADCASTS; the probe is a cell equi-join
+    followed by the exact haversine filter (guarded by least(1.0,·)
+    against asin-domain float spill). The oracle brute-forces the
+    cross join: the match proves the candidate set is LOSSLESS, i.e.
+    blocking changed cost, not semantics. Scale: O(n·m) → O(matching
+    cells); for fact-fact spatial joins the same cell key becomes the
+    shuffle partition key instead of a broadcast — the plan shape big
+    geo engines (Sedona et al.) bottom out to. Distances aggregate as
+    exact integer centimeters-of-km; the single trig pipeline runs
+    over identical operands on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        ((F.col("c_custkey") * 7919 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 12553 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("s_suppkey") * 30011 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    # 3° grid: lat cell is plain floor (no wrap needed at ±60), lon cell
+    # wraps modulo 120 so the ±180° seam joins correctly.
+    cust_cells = cust.select(
+        "c_nationkey", "lat", "lon",
+        F.floor(F.col("lat") / 3.0).alias("clat"),
+        ((F.floor(F.col("lon") / 3.0) + 120) % 120).alias("clon"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dlat")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dlon"))
+    )
+    supp_cells = supp.crossJoin(F.broadcast(off)).select(
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        (F.floor(F.col("lat") / 3.0) + F.col("dlat")).alias("clat"),
+        ((F.floor(F.col("lon") / 3.0) + F.col("dlon") + 240) % 120)
+        .alias("clon"),
+    )
+    j = cust_cells.join(F.broadcast(supp_cells), ["clat", "clon"])
+    dlat2 = F.radians(F.col("s_lat") - F.col("lat")) / 2
+    dlon2 = F.radians(F.col("s_lon") - F.col("lon")) / 2
+    a = F.least(
+        F.lit(1.0),
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.col("s_lat")))
+        * F.sin(dlon2) * F.sin(dlon2),
+    )
+    dist = 2.0 * 6371.0 * F.asin(F.sqrt(a))
+    return (
+        j.select("c_nationkey", dist.alias("dist_km"))
+        .where(F.col("dist_km") <= 150.0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.floor(F.col("dist_km") * 100.0 + 0.5).cast("bigint"))
+            .cast("bigint").alias("dist_cm_sum"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1184,3 +1184,82 @@ def q_scale_runtime_bloom_filter(
         df = _runtime_bloom_frame(spark, sf_dir)
         rows = df.collect()
     return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "q_scale_cbo_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_v,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_v,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(MIN(o_orderkey) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    ORDER BY col_name
+    """,
+    category="2.F",
+)
+def q_scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics layer the cost-based optimizer feeds on, certified
+    for EXACTNESS: the orders fact is registered as an external parquet
+    catalog table, `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` runs
+    the distributed stats job, and the rung's RESULT is the catalog's
+    recorded per-column min / max / null-count + table row count, read
+    back via DESCRIBE EXTENDED and compared against the oracle's direct
+    aggregation of the same parquet. That is the trust chain for every
+    CBO decision (join reordering, broadcast selection, filter
+    selectivity): stats that drive plans must equal the data, and this
+    pins the exact fields (distinct_count is HLL-approximate by design
+    and deliberately NOT compared). Scale: ANALYZE is itself a
+    distributed one-pass agg (min/max/null partials per partition); the
+    catalog keeps O(columns) bytes per table — the 100 TB pattern is
+    nightly ANALYZE on hot facts so Catalyst plans from yesterday's
+    truth instead of rowcount guesses. Catalog object is per-run-unique
+    and dropped in a finally block (idempotent under re-run)."""
+    out = tempfile.mkdtemp(prefix="alsp_cbo_")
+    tbl = "alsp_cbo_orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    o.write.mode("overwrite").parquet(out)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{out}'")
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey, o_custkey"
+        )
+        n_rows = None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+            if r["col_name"] == "Statistics":
+                # "N bytes, M rows"
+                n_rows = int(r["data_type"].split(",")[1].split()[0])
+        rows = []
+        for col in ("o_custkey", "o_orderkey"):
+            info = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {tbl} {col}"
+                ).collect()
+            }
+            rows.append(
+                (col, int(info["min"]), int(info["max"]),
+                 int(info["num_nulls"]), n_rows)
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "col_name string, min_v bigint, max_v bigint, "
+        "n_nulls bigint, n_rows bigint",
+    ).orderBy("col_name")

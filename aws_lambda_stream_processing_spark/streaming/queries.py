@@ -31,6 +31,7 @@ from aws_lambda_stream_processing_spark.registry import (
 )
 from aws_lambda_stream_processing_spark.streaming.replay import (
     _scratch,
+    _stream_shuffle_conf,
     events_stream,
     run_foreach_batch,
     run_to_memory,
@@ -2246,3 +2247,98 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+class _PartitionFileWriter:
+    """ForeachWriter for q_stream_foreach_writer: one instance per task,
+    buffering rows through open()/process() and committing ATOMICALLY in
+    close() — write to a tmp path, then rename onto the deterministic
+    (epoch, partition) name. The rename-as-commit makes task retries
+    idempotent (at-least-once execution, exactly-once OUTPUT), which is
+    the contract every per-row sink (DynamoDB writer, KV store, webhook)
+    has to build itself — foreachBatch gets it from batch-id bookkeeping,
+    foreach() pushes it down to the writer. Must live at module top
+    level: the instance pickles to executors."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        self.pid, self.epoch, self.rows = partition_id, epoch_id, []
+        return True  # accept every partition, even empty ones
+
+    def process(self, row) -> None:
+        self.rows.append(f"{row.event_id},{row.user_id},{row.cents}")
+
+    def close(self, error) -> None:
+        if error is not None:
+            return  # failed task: leave nothing visible
+        import os
+        import uuid as _uuid
+
+        final = os.path.join(
+            self.out_dir, f"e{self.epoch}_p{self.pid}.csv"
+        )
+        tmp = final + "." + _uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(self.rows) + ("\n" if self.rows else ""))
+        os.replace(tmp, final)
+
+
+@query(
+    "q_stream_foreach_writer",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    category="2.I",
+)
+def q_stream_foreach_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-ROW streaming sink (`writeStream.foreach(writer)`) — the
+    third member of the sink family next to built-in sinks and
+    foreachBatch: a ForeachWriter receives open(partition, epoch) /
+    process(row) / close(error) callbacks on the EXECUTORS, the shape a
+    row-oriented external system (DynamoDB puts, per-event webhooks)
+    integrates at. The writer here buffers a partition's rows and
+    commits them by atomic rename keyed on (epoch, partition) — task
+    retries overwrite instead of duplicating, turning Spark's
+    at-least-once task execution into exactly-once output; the rung
+    re-reads the committed files and aggregates, and the exact batch
+    oracle proves the full loop (stream → per-row callbacks → commit
+    protocol → re-read) loses and duplicates NOTHING. Scale: foreach()
+    is the latency path (no per-batch DataFrame machinery); writers
+    should buffer like this one does — per-row flushes to an external
+    store are the classic 100 TB sink bottleneck."""
+    out_dir = _scratch("alsp_few_")
+    try:
+        src = events_stream(spark, sf_dir).where(
+            F.col("event_type") == "purchase"
+        ).select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        with _stream_shuffle_conf(spark):
+            q = (
+                src.writeStream.foreach(_PartitionFileWriter(out_dir))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", out_dir + "/ckpt")
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+        back = spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, cents BIGINT"
+        ).csv(out_dir, pathGlobFilter="*.csv")
+        agg = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        return tracked_local_checkpoint(agg)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
