@@ -2170,3 +2170,157 @@ def q_llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rk")
     )
+
+
+@query(
+    "q_llm_linear_probe",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0 + 0.5)
+                    AS BIGINT) AS x1,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0 + 0.5)
+                    AS BIGINT) AS x2,
+               CAST(label AS BIGINT) AS y
+        FROM embeddings
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y)  AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y)  AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y)  AS BIGINT) AS s2y,
+               CAST(SUM(y * y)   AS BIGINT) AS syy
+        FROM q
+    ),
+    c AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS a11,
+               CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS a12,
+               CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS a22,
+               CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy AS b1,
+               CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy AS b2,
+               CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS tss,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS m2,
+               CAST(sy AS DOUBLE) / n AS my
+        FROM m
+    ),
+    sol AS (
+        SELECT n,
+               (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+               (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta2,
+               m1, m2, my, b1, b2, tss
+        FROM c
+    )
+    SELECT n,
+           CASE WHEN beta1 >= 0
+                THEN floor(beta1 * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-beta1 * 1000000.0 + 0.5) / 1000000.0
+           END AS beta1,
+           CASE WHEN beta2 >= 0
+                THEN floor(beta2 * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-beta2 * 1000000.0 + 0.5) / 1000000.0
+           END AS beta2,
+           CASE WHEN (my - beta1 * m1 - beta2 * m2) >= 0
+                THEN floor((my - beta1 * m1 - beta2 * m2)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-(my - beta1 * m1 - beta2 * m2)
+                            * 1000000.0 + 0.5) / 1000000.0
+           END AS intercept,
+           floor((beta1 * b1 + beta2 * b2) / tss * 1000000.0 + 0.5)
+               / 1000000.0 AS r2
+    FROM sol
+    """,
+    category="2.J",
+)
+def q_llm_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR PROBE over the embedding table — the standard
+    representation-quality diagnostic (fit a linear readout from
+    embedding dimensions to the label, report fit): two-feature OLS
+    with intercept, solved in closed form from ten EXACT sufficient
+    statistics. Determinism recipe (shared with q_llm_embed_covariance):
+    embedding floats quantize to integer milli-units FIRST, so every
+    moment (Σx, Σx², Σxy, …) is an exact BIGINT no matter the partition
+    sum order; the centered 2×2 normal equations solve by Cramer's rule
+    in double over those identical operands (beta = [n·Σxy − ΣxΣy]
+    algebra), intercept recovered from the means, R² =
+    (β₁b₁ + β₂b₂)/TSS — all floor-6dp. Scale: ONE distributed pass
+    computes the moments (partial aggregation map-side, ten numbers per
+    partition), the solve is O(1) on the driver-sized single row —
+    exactly how closed-form sketchable estimators should run at 100 TB;
+    the k-feature generalization swaps Cramer for a driver-side k×k
+    Cholesky over the same one-pass Gram matrix."""
+    q = load_table(spark, sf_dir, "embeddings").select(
+        F.floor(
+            F.element_at("embedding", 1).cast("double") * 1000.0 + 0.5
+        ).cast("bigint").alias("x1"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * 1000.0 + 0.5
+        ).cast("bigint").alias("x2"),
+        F.col("label").cast("bigint").alias("y"),
+    )
+    m = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    c = m.select(
+        "n",
+        (nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1"))
+        .alias("a11"),
+        (nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2"))
+        .alias("a12"),
+        (nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2"))
+        .alias("a22"),
+        (nd * F.col("s1y") - F.col("s1").cast("double") * F.col("sy"))
+        .alias("b1"),
+        (nd * F.col("s2y") - F.col("s2").cast("double") * F.col("sy"))
+        .alias("b2"),
+        (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        .alias("tss"),
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    sol = c.select(
+        "n",
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det)
+        .alias("beta1"),
+        ((F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det)
+        .alias("beta2"),
+        "m1", "m2", "my", "b1", "b2", "tss",
+    )
+
+    def round6(col):
+        return F.when(
+            col >= 0, F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).otherwise(-F.floor(-col * 1000000.0 + F.lit(0.5)) / 1000000.0)
+
+    icpt = (
+        F.col("my")
+        - F.col("beta1") * F.col("m1")
+        - F.col("beta2") * F.col("m2")
+    )
+    r2 = (
+        F.col("beta1") * F.col("b1") + F.col("beta2") * F.col("b2")
+    ) / F.col("tss")
+    return sol.select(
+        "n",
+        round6(F.col("beta1")).alias("beta1"),
+        round6(F.col("beta2")).alias("beta2"),
+        round6(icpt).alias("intercept"),
+        (F.floor(r2 * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("r2"),
+    )

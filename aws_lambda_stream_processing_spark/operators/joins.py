@@ -821,10 +821,14 @@ def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lat") / 3.0).alias("clat"),
         ((F.floor(F.col("lon") / 3.0) + 120) % 120).alias("clon"),
     )
-    off = spark.range(-1, 2).select(F.col("id").alias("dlat")).crossJoin(
-        spark.range(-1, 2).select(F.col("id").alias("dlon"))
-    )
-    supp_cells = supp.crossJoin(F.broadcast(off)).select(
+    # 3×3 neighborhood via two generators (not a crossJoin): keeps the
+    # physical plan free of nested-loop joins so the gate below can
+    # assert the ONLY join is the broadcast hash probe on the cell key.
+    supp_cells = supp.select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlat")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlon")
+    ).select(
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
         (F.floor(F.col("lat") / 3.0) + F.col("dlat")).alias("clat"),

@@ -999,3 +999,99 @@ def test_exists_subquery_decorrelates(spark, registry):
     assert "LeftAnti" in head, head
     assert "BroadcastNestedLoopJoin" not in head, head
     assert "CartesianProduct" not in head, head
+
+
+def test_geo_radius_probe_is_broadcast_hash_only(spark, registry):
+    """q_join_geo_radius: the customer–supplier probe must be ONE
+    broadcast hash join on the grid-cell key — no nested-loop or
+    cartesian fallback anywhere (the brute-force shape the blocking
+    exists to eliminate). Positive control: the unblocked spelling
+    (join on the distance predicate alone) IS a nested-loop join,
+    proving the detectors can fire."""
+    plan = plan_string(registry["q_join_geo_radius"].fn(spark, SF_DIR))
+    head = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in head, head
+    assert "BroadcastNestedLoopJoin" not in head, head
+    assert "CartesianProduct" not in head, head
+
+    from pyspark.sql import functions as F
+
+    cust = spark.range(100).select(
+        (F.col("id") % 60).cast("double").alias("lat"),
+        (F.col("id") % 180).cast("double").alias("lon"),
+    )
+    supp = spark.range(10).select(
+        (F.col("id") % 60).cast("double").alias("s_lat"),
+        (F.col("id") % 180).cast("double").alias("s_lon"),
+    )
+    ctl = plan_string(
+        cust.join(
+            supp,
+            (F.abs(F.col("lat") - F.col("s_lat")) < 1.5)
+            & (F.abs(F.col("lon") - F.col("s_lon")) < 3.0),
+        )
+    ).split("== Physical Plan ==")[-1]
+    assert (
+        "BroadcastNestedLoopJoin" in ctl or "CartesianProduct" in ctl
+    ), ctl
+
+
+def test_sql_function_library_inlines_no_python(spark, registry):
+    """q_sql_function_library: SQL-defined functions must inline into
+    the plan — NO Python evaluation node of any kind (that transparency
+    is the rung's whole scale claim). Positive control: a real Python
+    UDF in the same shape DOES plant a Python eval node."""
+    plan = plan_string(registry["q_sql_function_library"].fn(spark, SF_DIR))
+    head = plan.split("== Physical Plan ==")[-1]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in head, f"{marker} in plan:\n{head}"
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    py_tier = F.udf(lambda p: "small" if p < 50000 else "big", StringType())
+    ctl = plan_string(
+        spark.range(100).select(py_tier(F.col("id").cast("double")))
+    ).split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" in ctl or "ArrowEvalPython" in ctl, ctl
+
+
+def test_cbo_stats_feed_the_optimizer(spark, registry):
+    """q_scale_cbo_stats' premise: ANALYZE'd catalog stats must reach
+    Catalyst — the optimized plan of a scan over the analyzed table
+    reports the EXACT analyzed rowCount (not a size-based guess) once
+    CBO is enabled. This is the wiring between the stats the rung
+    certifies and the costs the optimizer plans from."""
+    import shutil
+    import tempfile
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="alsp_cbo_gate_")
+    tbl = "alsp_cbo_gate_orders"
+    try:
+        load_table(spark, SF_DIR, "orders").select("o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(out)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{out}'")
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        n = spark.table(tbl).count()
+        old = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table(tbl)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert (
+                stats.rowCount().isDefined()
+            ), "no rowCount despite ANALYZE + CBO"
+            assert int(str(stats.rowCount().get())) == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(out, ignore_errors=True)
