@@ -112,3 +112,60 @@ def q_cast_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "q_xml_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type AS xml_type,
+           CAST(round(value * 100) AS BIGINT) AS xml_cents,
+           event_type AS struct_type,
+           CAST(round(value * 100) AS BIGINT) AS struct_cents
+    FROM events
+    WHERE event_type IN ('signup', 'error')
+    ORDER BY event_id
+    """,
+    category="2.H",
+)
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar-function family (Spark 4 `to_xml` / `from_xml` /
+    `xpath_*`) — the third semi-structured codec next to JSON and CSV:
+    each event serializes to an XML fragment with to_xml(struct(…)),
+    then comes back TWO independent ways — XPath point extraction
+    (xpath_string / the xpath_long list form) and full from_xml parsing
+    into a typed struct. The oracle is the plain projection of the
+    source columns: matching both extraction paths proves the
+    serialize→parse loop is lossless and the two readers agree with
+    each other. DuckDB has no XML type, which is exactly why the oracle
+    pins the ROUNDTRIP rather than the wire format. Scale: all three
+    are codegen'd JVM expressions (no UDF boundary); from_xml with an
+    explicit schema is the bulk path — per-field xpath re-parses the
+    document per call, so wide extractions should parse once into a
+    struct, which is the shape this rung demonstrates."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "error")
+    )
+    xml = e.select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.xpath_string(F.col("doc"), F.lit("/ROW/etype")).alias("xml_type"),
+        F.xpath(F.col("doc"), F.lit("/ROW/cents/text()"))
+        .getItem(0).cast("bigint").alias("xml_cents"),
+        F.from_xml(
+            F.col("doc"), "etype STRING, cents BIGINT"
+        ).alias("s"),
+    )
+    return parsed.select(
+        "event_id", "xml_type", "xml_cents",
+        F.col("s.etype").alias("struct_type"),
+        F.col("s.cents").alias("struct_cents"),
+    ).orderBy("event_id")

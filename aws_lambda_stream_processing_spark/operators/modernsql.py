@@ -261,3 +261,64 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q_sql_unpivot_syntax",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id % 10 AS cohort,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS view,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS purchase
+        FROM events
+        GROUP BY 1
+    )
+    SELECT cohort, etype, cents
+    FROM wide UNPIVOT (cents FOR etype IN (click, view, purchase))
+    ORDER BY cohort, etype
+    """,
+    category="2.A",
+)
+def q_sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard `UNPIVOT (value FOR name IN (…))` as IDENTICAL query
+    text on both engines — the text-form twin of the DataFrame melt
+    (q_unpivot) and the inverse of q_sql_pivot_syntax: a conditional-agg
+    wide table melts back to long, and running the same characters
+    through both parsers pins the standard's semantics (NULL cells are
+    DROPPED by default — the wide table's missing cohort×type cells
+    must not resurface as rows). Catalyst lowers UNPIVOT to an Expand
+    node (one input row → 3 output rows, no shuffle, no generator UDF);
+    at 100 TB melt cost is pure row amplification on the map side,
+    which is why the wide aggregate runs FIRST here — melt the
+    170-row report, never the 10⁹-row fact."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "up_events"
+    )
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT user_id % 10 AS cohort,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT) END)
+                        AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT) END)
+                        AS BIGINT) AS view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT) END)
+                        AS BIGINT) AS purchase
+            FROM up_events
+            GROUP BY user_id % 10
+        )
+        SELECT cohort, etype, cents
+        FROM wide UNPIVOT (cents FOR etype IN (click, view, purchase))
+        ORDER BY cohort, etype
+        """
+    )
