@@ -2112,3 +2112,162 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.floor(-did * 1000000.0 + F.lit(0.5)) / 1000000.0)
         .alias("did"),
     )
+
+
+@query(
+    "q_events_delta_method",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u GROUP BY variant
+    ),
+    d AS (
+        SELECT variant, n,
+               CAST(sx AS DOUBLE) / sy AS r,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                   / (n - 1) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (n - 1) AS cxy,
+               CAST(sy AS DOUBLE) / n AS my
+        FROM m
+    ),
+    se AS (
+        SELECT variant, n, r,
+               sqrt((vx - 2 * r * cxy + r * r * vy) / (n * my * my)) AS s
+        FROM d
+    )
+    SELECT MAX(CASE WHEN variant = 1 THEN n END) AS n_treat,
+           MAX(CASE WHEN variant = 0 THEN n END) AS n_ctrl,
+           floor(MAX(CASE WHEN variant = 1 THEN r END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS r_treat,
+           floor(MAX(CASE WHEN variant = 0 THEN r END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS r_ctrl,
+           floor(MAX(CASE WHEN variant = 1 THEN s END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS se_treat,
+           floor(MAX(CASE WHEN variant = 0 THEN s END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS se_ctrl,
+           CASE WHEN (MAX(CASE WHEN variant = 1 THEN r END)
+                      - MAX(CASE WHEN variant = 0 THEN r END)) >= 0
+                THEN floor((MAX(CASE WHEN variant = 1 THEN r END)
+                            - MAX(CASE WHEN variant = 0 THEN r END))
+                           / sqrt(MAX(CASE WHEN variant = 1 THEN s END)
+                                  * MAX(CASE WHEN variant = 1 THEN s END)
+                                  + MAX(CASE WHEN variant = 0 THEN s END)
+                                  * MAX(CASE WHEN variant = 0 THEN s END))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -floor(-(MAX(CASE WHEN variant = 1 THEN r END)
+                              - MAX(CASE WHEN variant = 0 THEN r END))
+                            / sqrt(MAX(CASE WHEN variant = 1 THEN s END)
+                                   * MAX(CASE WHEN variant = 1 THEN s END)
+                                   + MAX(CASE WHEN variant = 0 THEN s END)
+                                   * MAX(CASE WHEN variant = 0 THEN s END))
+                            * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM se
+    """,
+    category="2.D",
+)
+def q_events_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric (revenue per event —
+    the metric class where naive per-user t-tests are WRONG because
+    numerator and denominator are correlated within user): per variant,
+    R = ΣX/ΣY and Var(R) ≈ (vx − 2R·cov + R²·vy)/(n·ȳ²) from the
+    user-level moment vector (Deng, Knoblich & Lu, KDD'18 — the
+    estimator every experimentation platform ships for sessions/user,
+    revenue/pageview metrics). Third member of the causal family with
+    q_events_ab_test (proportions) and q_events_cuped (variance
+    reduction). Determinism: per-user X (purchase cents) and Y (event
+    count) are exact integers; all six moments per variant are exact
+    BIGINTs; R, the three sample (co)variances, the two SEs and the
+    final z are double algebra over identical operands, floor-6dp with
+    a signed mirror on z. Scale: one per-user hash agg, then a
+    six-number reduction per variant — the same
+    sufficient-statistics-only pattern as CUPED, nothing
+    driver-side beyond two rows."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    m = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    d = m.select(
+        "variant", "n",
+        (F.col("sx").cast("double") / F.col("sy")).alias("r"),
+        ((F.col("sxx").cast("double")
+          - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+         / (F.col("n") - 1)).alias("vx"),
+        ((F.col("syy").cast("double")
+          - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("vy"),
+        ((F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("cxy"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+    )
+    se = d.select(
+        "variant", "n", "r",
+        F.sqrt(
+            (F.col("vx") - 2 * F.col("r") * F.col("cxy")
+             + F.col("r") * F.col("r") * F.col("vy"))
+            / (F.col("n") * F.col("my") * F.col("my"))
+        ).alias("s"),
+    )
+
+    def pick(v, c):
+        return F.max(F.when(F.col("variant") == v, F.col(c)))
+
+    def r6(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    agg = se.agg(
+        pick(1, "n").alias("n_treat"), pick(0, "n").alias("n_ctrl"),
+        pick(1, "r").alias("rt"), pick(0, "r").alias("rc"),
+        pick(1, "s").alias("st"), pick(0, "s").alias("sc"),
+    )
+    zval = (F.col("rt") - F.col("rc")) / F.sqrt(
+        F.col("st") * F.col("st") + F.col("sc") * F.col("sc")
+    )
+    return agg.select(
+        "n_treat", "n_ctrl",
+        r6(F.col("rt")).alias("r_treat"),
+        r6(F.col("rc")).alias("r_ctrl"),
+        r6(F.col("st")).alias("se_treat"),
+        r6(F.col("sc")).alias("se_ctrl"),
+        F.when(zval >= 0, r6(zval))
+        .otherwise(-F.floor(-zval * 1000000.0 + F.lit(0.5)) / 1000000.0)
+        .alias("z"),
+    )

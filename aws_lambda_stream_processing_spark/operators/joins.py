@@ -856,3 +856,115 @@ def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_join_geo_knn",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 7919 % 1200) / 10.0 - 60.0   AS lat,
+               (c_custkey * 104729 % 3600) / 10.0 - 180.0 AS lon
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 12553 % 1200) / 10.0 - 60.0  AS lat,
+               (s_suppkey * 30011 % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               2.0 * 6371.0 * asin(sqrt(least(1.0,
+                   sin(radians(s.lat - c.lat) / 2)
+                     * sin(radians(s.lat - c.lat) / 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * sin(radians(s.lon - c.lon) / 2)
+                     * sin(radians(s.lon - c.lon) / 2)))) AS dist_km
+        FROM cust c, supp s
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey,
+               CAST(floor(dist_km * 100.0 + 0.5) AS BIGINT) AS dist_cm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY dist_km, s_suppkey) AS rn
+        FROM pairs
+        WHERE dist_km <= 150.0
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_cm
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+    category="2.C",
+)
+def q_join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest-neighbor join (k=1 within 150 km) — the second
+    spatial shape after the radius join (q_join_geo_radius, which owns
+    the blocking-losslessness proof): each customer's nearest supplier
+    among the grid-blocked candidates, arg-min by (distance, suppkey)
+    through a per-customer row_number window so haversine ties break on
+    the unique key. The RADIUS BOUND is what makes grid blocking serve
+    a kNN query exactly: an unbounded nearest-neighbor needs expanding-
+    ring search (candidates may sit arbitrarily many cells away), while
+    'nearest within R' only ever inspects the 3×3 neighborhood —
+    bounded-kNN is the form that scales and the form most pipelines
+    actually mean. Customers with no supplier in range drop out, same
+    on both engines. Scale: candidates stream through the same
+    broadcast cell join; the window partitions by customer — one
+    shuffle on the probe key, state bounded by candidates-per-customer,
+    with the min_by single-pass form as the k=1 specialization when
+    the full ranking isn't needed."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 12553 % 1200) / 10.0 - 60.0).alias("lat"),
+        ((F.col("s_suppkey") * 30011 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    cust_cells = cust.select(
+        "c_custkey", "lat", "lon",
+        F.floor(F.col("lat") / 3.0).alias("clat"),
+        ((F.floor(F.col("lon") / 3.0) + 120) % 120).alias("clon"),
+    )
+    supp_cells = supp.select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlat")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlon")
+    ).select(
+        F.col("s_suppkey"),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        (F.floor(F.col("lat") / 3.0) + F.col("dlat")).alias("clat"),
+        ((F.floor(F.col("lon") / 3.0) + F.col("dlon") + 240) % 120)
+        .alias("clon"),
+    )
+    j = cust_cells.join(F.broadcast(supp_cells), ["clat", "clon"])
+    dlat2 = F.radians(F.col("s_lat") - F.col("lat")) / 2
+    dlon2 = F.radians(F.col("s_lon") - F.col("lon")) / 2
+    a = F.least(
+        F.lit(1.0),
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.col("s_lat")))
+        * F.sin(dlon2) * F.sin(dlon2),
+    )
+    cand = j.select(
+        "c_custkey", "s_suppkey",
+        (2.0 * 6371.0 * F.asin(F.sqrt(a))).alias("dist_km"),
+    ).where(F.col("dist_km") <= 150.0)
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.floor(F.col("dist_km") * 100.0 + 0.5).cast("bigint")
+            .alias("dist_cm"),
+        )
+        .orderBy("c_custkey")
+    )
