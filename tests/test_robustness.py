@@ -82,6 +82,13 @@ SAMPLE = [
     "q_str_collation",  # collated groupBy: min-under-binary representative
     "q_graph_random_walk",  # hash-argmin hops must not depend on layout
     "q_sql_distribute_by",  # layout-only op: content identical at any width
+    # round-7b hazards (this session's additions):
+    "q_events_cuped",  # theta float chain over exact-int moments
+    "q_events_delta_method",  # six-moment variant reduction, signed z
+    "q_agg_kendall_tau",  # pair-join sign algebra + single sqrt
+    "q_join_geo_radius",  # trig threshold filter under any cell layout
+    "q_join_geo_knn",  # (dist, key) argmin tie-break across layouts
+    "q_llm_linear_probe",  # Gram partials must merge exactly (milli-quant)
 ]
 
 
