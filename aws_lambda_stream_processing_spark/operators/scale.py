@@ -1263,3 +1263,100 @@ def q_scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, min_v bigint, max_v bigint, "
         "n_nulls bigint, n_rows bigint",
     ).orderBy("col_name")
+
+
+@query(
+    "q_scale_manifest_pruning",
+    oracle="""
+    WITH yrs AS (
+        SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS y FROM lineitem
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs) AS n_files_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yrs WHERE y >= 1997)
+               AS n_files_read,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+    category="2.F",
+)
+def q_scale_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL manifest pruning — the Iceberg/Delta mechanism, built
+    from parts: lineitem lands as one file per ship-year (repartition
+    by the derived column so each partition value is exactly one
+    writer task → exactly one file), a MANIFEST of per-file
+    min/max(l_shipdate) is read from the parquet FOOTERS (pyarrow,
+    metadata-only — zero data pages touched), and the 1997+ query plans
+    its scan from the manifest: only files whose max reaches the cutoff
+    are passed to the reader at all. The oracle recomputes the file
+    arithmetic from year cardinalities plus the aggregate over the
+    surviving rows — matching n_files_read proves the skip decision
+    exact, matching the aggregate proves the skipped files contained
+    nothing relevant (pruning is conservative: the in-query filter
+    still runs). Scale: THIS is the difference between 'scan 100 TB,
+    filter to 2 TB' and 'open 2 TB': footer stats are O(files) bytes,
+    the manifest build distributes trivially (it IS a metadata table),
+    and sort-on-write (here: cluster-by-year) is what makes min/max
+    ranges tight enough to skip — random layout gives every file the
+    full value range and zero skips, which is also why Z-order
+    (q_scale_zorder_layout) exists for multi-column predicates."""
+    import pyarrow.parquet as papq
+
+    out = tempfile.mkdtemp(prefix="alsp_manifest_") + "/t"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_shipdate",
+        F.year("l_shipdate").alias("ship_year"),
+    )
+    # Spark's default parquet timestamp encoding is INT96, which carries
+    # NO min/max statistics — the manifest would see None and could never
+    # skip. TIMESTAMP_MICROS is the stats-bearing (and modern-reader)
+    # encoding; at 100 TB this conf is table-format policy, not a tweak.
+    with _conf_ctx(
+        spark,
+        {"spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS"},
+    ):
+        li.repartition("ship_year").write.mode("overwrite").partitionBy(
+            "ship_year"
+        ).parquet(out)
+    try:
+        manifest = []  # (path, max_shipdate) — the skip-relevant stat
+        for root, _dirs, files in os.walk(out):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                md = papq.read_metadata(path)
+                idx = md.schema.names.index("l_shipdate")
+                mx = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                manifest.append((path, mx))
+        import datetime
+
+        cutoff = datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc)
+
+        def aware(t):  # footer stats may come back naive or UTC-aware
+            return t if t.tzinfo else t.replace(tzinfo=datetime.timezone.utc)
+
+        keep = [p for p, mx in manifest if aware(mx) >= cutoff]
+        result = (
+            spark.read.option("basePath", out)
+            .parquet(*keep)
+            .where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint").alias("sum_qty"),
+            )
+            .select(
+                F.lit(len(manifest)).cast("bigint").alias("n_files_total"),
+                F.lit(len(keep)).cast("bigint").alias("n_files_read"),
+                "n_rows", "sum_qty",
+            )
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
@@ -567,4 +567,55 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.field, t.value_lang_source "
         "FROM melt_docs, "
         "LATERAL melt_fields('lang,source', doc_id, lang, source) t"
+    )
+
+
+@query(
+    "q_udf_pandas_over_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS win_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    category="2.K",
+)
+def q_udf_pandas_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF applied OVER A WINDOW FRAME — the least-known corner
+    of the pandas-UDF surface (a GROUPED_AGG pandas_udf is legal as a
+    window function over bounded frames): a custom 5-row trailing
+    aggregate per user, Arrow-shipping each frame's slice to Python.
+    The kernel sums exact integer cents so the oracle (the plain SQL
+    window SUM over the same frame) matches bit-for-bit; what's being
+    certified is the FRAME PLUMBING — that Spark hands the UDF exactly
+    the ROWS BETWEEN 4 PRECEDING AND CURRENT ROW slice per row, in
+    user/event order. Scale: bounded-frame pandas window UDFs
+    materialize each frame as a pandas Series (O(frame) per row — fine
+    at width 5, catastrophic unbounded); the engine's guidance is
+    built-in window functions for anything expressible, this surface
+    for genuinely custom frame math (weighted decays, quantile-of-
+    frame), and NEVER growing frames in Python."""
+
+    @pandas_udf("long")
+    def frame_cents(v: pd.Series) -> int:
+        return int((v * 100).round().astype("int64").sum())
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id", "user_id",
+            frame_cents(F.col("value")).over(w).alias("win_cents"),
+        )
+        .orderBy("event_id")
     )
