@@ -2342,3 +2342,75 @@ def q_stream_foreach_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tracked_local_checkpoint(agg)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "q_stream_stream_right_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(c_ts) FROM c),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT c.click_id, p.purchase_id, p.p_user AS user_id
+    FROM c JOIN p ON c.user_id = p.p_user
+       AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT NULL::BIGINT AS click_id, p.purchase_id, p.p_user AS user_id
+    FROM p CROSS JOIN wm
+    WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.p_user
+                      AND p.p_ts >= c.c_ts
+                      AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE)
+      AND p.p_ts < wm.w
+    """,
+    category="2.I",
+)
+def q_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join — completes the stream-stream
+    join-type matrix (inner / left / full / semi / now right): null
+    extension on the PURCHASE side only. The asymmetry vs left outer is
+    the eviction horizon: a match-less purchase is provably dead as
+    soon as the global watermark passes p_ts itself (its candidate
+    clicks all precede it — the range condition is one-sided), whereas
+    a match-less click must wait out its full 30-minute forward window.
+    The oracle derives that horizon arithmetically (wm = min of side
+    maxima − 1 h, Spark's multipleWatermarkPolicy=min). Same
+    user_id-keyed state-store shuffle and watermark-bounded state as
+    the rest of the family; at 100 TB right-vs-left is a free choice —
+    the planner keys state identically and only null-extension side
+    flips."""
+    stream, d = _stream_split(spark, sf_dir, ["true"])
+    try:
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "right_outer",
+        )
+        out = joined.select(
+            "click_id", "purchase_id", F.col("p_user").alias("user_id")
+        )
+        return run_to_memory(out, output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
