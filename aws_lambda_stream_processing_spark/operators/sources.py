@@ -1298,3 +1298,115 @@ def q_source_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q_sink_python_datasource",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    category="2.A",
+)
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Spark 4 Python DataSource API — completing
+    the custom-connector matrix (batch read: q_source_python_datasource;
+    streaming read: q_stream_python_datasource): a DataSourceWriter
+    whose per-task write() stages rows to a private file and returns a
+    typed WriterCommitMessage; the driver-side commit(messages) then
+    publishes a _MANIFEST of exactly the staged files by atomic rename.
+    That is the DSv2 TWO-PHASE COMMIT protocol in miniature — task
+    output is invisible until the coordinator commits, abort() discards
+    staged files, and a reader honoring the manifest can never observe
+    a torn write. The rung re-reads ONLY manifest-listed files and
+    matches the exact batch oracle: nothing lost, nothing duplicated,
+    nothing uncommitted visible. Scale: this protocol is why
+    speculative/retried tasks are safe on any store — two attempts
+    stage two files, the single commit message that reaches the driver
+    decides the winner; a production connector swaps the manifest for
+    the catalog's atomic metadata swap (Iceberg snapshot, Delta log
+    entry)."""
+    import os as _os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class StagedFile(WriterCommitMessage):
+        path: str
+        n: int
+
+    class ManifestWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            staged = _os.path.join(
+                self.path, f"staged_{_uuid.uuid4().hex}.csv"
+            )
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    f.write(f"{row.event_id},{row.cents}\n")
+                    n += 1
+            return StagedFile(staged, n)
+
+        def commit(self, messages):
+            manifest = _os.path.join(self.path, "_MANIFEST")
+            with open(manifest + ".tmp", "w") as f:
+                for m in messages:
+                    f.write(m.path + "\n")
+            _os.replace(manifest + ".tmp", manifest)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(m.path)
+                    except OSError:
+                        pass
+
+    class ManifestSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "manifest_sink"
+
+        def writer(self, schema, overwrite):
+            return ManifestWriter(self.options)
+
+    spark.dataSource.register(ManifestSink)
+    out = tempfile.mkdtemp(prefix="alsp_pyds_sink_")
+    try:
+        clicks = load_table(spark, sf_dir, "events").where(
+            F.col("event_type") == "click"
+        ).select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        clicks.write.format("manifest_sink").mode("append").option(
+            "path", out
+        ).save()
+        with open(os.path.join(out, "_MANIFEST")) as f:
+            committed = [ln.strip() for ln in f if ln.strip()]
+        back = spark.read.schema("event_id BIGINT, cents BIGINT").csv(
+            committed
+        )
+        result = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
