@@ -322,3 +322,46 @@ def q_sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cohort, etype
         """
     )
+
+
+@query(
+    "q_sql_hint_repartition",
+    oracle="""
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    category="2.A",
+)
+def q_sql_hint_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning hints in SQL text — /*+ REPARTITION(8, user_id) */
+    and /*+ COALESCE(2) */, the layout-control surface next to the
+    join-strategy hints (q_sql_join_hints) and the DISTRIBUTE BY
+    clause: REPARTITION inserts an explicit hash exchange on the named
+    key at the named width (the writer-prep / pre-bucketing spelling),
+    COALESCE then narrows to 2 output partitions WITHOUT a second
+    shuffle (a Coalesce node, map-side merge — the small-files fix).
+    Hints steer ONLY layout, so the oracle is the bare filtered
+    projection with the hint comments invisible to DuckDB, and the
+    multiset compare pins content-neutrality while the plan gate
+    (tests/test_plans.py) pins both operators at their exact widths
+    and their order (coalesce ABOVE the exchange — reversed, the
+    shuffle would re-fan-out and the hint pair would be useless). At
+    100 TB this pair is the standard 'shuffle to layout, merge to
+    file-count' writer recipe."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "rh_events"
+    )
+    return spark.sql(
+        """
+        SELECT /*+ COALESCE(2) */ user_id, cents
+        FROM (
+            SELECT /*+ REPARTITION(8, user_id) */
+                   user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM rh_events
+            WHERE event_type = 'purchase'
+        )
+        """
+    )

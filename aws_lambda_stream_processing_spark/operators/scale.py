@@ -1360,3 +1360,62 @@ def q_scale_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_scale_cache_table",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE value > 100.0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.F",
+)
+def q_scale_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL caching surface (`CACHE TABLE` / `UNCACHE TABLE`) — the
+    user-facing spelling of the columnar in-memory layer every
+    interactive 100 TB workload leans on: an eager CACHE TABLE over the
+    filtered projection materializes Spark's compressed columnar
+    InMemoryRelation ONCE; the report aggregate then reads
+    InMemoryTableScan batches instead of re-scanning parquet (plan-
+    gated in tests/test_plans.py, including catalog.isCached
+    transitions). Caching is semantically transparent — the oracle is
+    the plain aggregate and the result is collected WHILE cached, so
+    the match certifies the cached read path byte-for-byte. UNCACHE in
+    a finally block: the engine never leaks storage into the driver's
+    session (same discipline as the cache janitor). Scale notes: cache
+    AFTER filter/projection (cache what you'll re-read, not the raw
+    fact), and treat MEMORY_AND_DISK as the default posture — an
+    evicted block silently recomputes, which is correctness-neutral
+    but latency-fatal if the upstream was expensive."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ct_events"
+    )
+    spark.sql("DROP VIEW IF EXISTS ct_hot")
+    spark.sql(
+        """
+        CACHE TABLE ct_hot AS
+        SELECT event_type, value FROM ct_events WHERE value > 100.0
+        """
+    )
+    try:
+        result = spark.sql(
+            """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM ct_hot
+            GROUP BY event_type
+            ORDER BY event_type
+            """
+        )
+        rows = result.collect()
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS ct_hot")
+        spark.sql("DROP VIEW IF EXISTS ct_hot")
+    return spark.createDataFrame(rows, result.schema)

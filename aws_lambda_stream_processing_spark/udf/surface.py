@@ -622,3 +622,52 @@ def q_udf_pandas_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_udtf_arrow",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id >= 100 AND doc_id < 200
+    )
+    SELECT doc_id, i AS pos, t[i] AS token,
+           CAST(length(t[i]) AS INTEGER) AS tok_len
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    """,
+    category="2.K",
+)
+def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (Spark 4, `@udtf(useArrow=True)`) —
+    completing the UDTF ladder exactly as q_udf_arrow_optimized
+    completes the scalar one: the computation deliberately mirrors the
+    pickle UDTF rung (q_udtf_python's tokenizer, plus a length column)
+    so the PAIR isolates the one variable that changed — the wire
+    format. Arrow batches rows both directions instead of pickling one
+    at a time; eval() is still per-row Python, so this buys transfer
+    efficiency, not vectorization (mapInPandas is the vectorized
+    tier). Arrow-ness is declared ON THE FUNCTION, not via the session
+    conf: the conf is consulted only at UDTF CREATION time (probed —
+    setting it after @udtf runs silently leaves pickle eval), which
+    makes the per-function flag the only session-clean spelling; the
+    plan gate in tests/test_plans.py pins the ArrowEvalPythonUDTF node
+    so a silent fallback can never pass."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, pos bigint, token string, tok_len int",
+        useArrow=True,
+    )
+    class TokenizeArrow:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok, len(tok)
+
+    d = load_table(spark, sf_dir, "documents")
+    d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)) \
+        .createOrReplaceTempView("udtf_arrow_docs")
+    spark.udtf.register("tokenize_arrow", TokenizeArrow)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token, t.tok_len "
+        "FROM udtf_arrow_docs, LATERAL tokenize_arrow(doc_id, text) t"
+    )

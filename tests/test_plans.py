@@ -1095,3 +1095,101 @@ def test_cbo_stats_feed_the_optimizer(spark, registry):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_udtf_arrow_eval_node_engages(spark, registry):
+    """q_udtf_arrow's premise: a UDTF declared useArrow=True must plan
+    as ArrowEvalPythonUDTF. Positive control: the same class without
+    the flag plans the pickle node (also pins that the session conf
+    default stays off, i.e. the per-function flag is what engages)."""
+    from pyspark.sql.functions import udtf
+
+    def mk(use_arrow):
+        @udtf(returnType="x int", useArrow=use_arrow)
+        class Gate:
+            def eval(self, n: int):
+                yield (n,)
+
+        return Gate
+
+    spark.range(3).createOrReplaceTempView("gate_udtf_in")
+    q = (
+        "SELECT t.x FROM gate_udtf_in, "
+        "LATERAL gate_udtf_arrow(CAST(id AS INT)) t"
+    )
+    spark.udtf.register("gate_udtf_arrow", mk(True))
+    on = plan_string(spark.sql(q)).split("== Physical Plan ==")[-1]
+    assert "ArrowEvalPythonUDTF" in on, on
+    spark.udtf.register("gate_udtf_arrow", mk(False))
+    off = plan_string(spark.sql(q)).split("== Physical Plan ==")[-1]
+    assert "BatchEvalPythonUDTF" in off, off
+
+
+def test_cache_table_uses_inmemory_scan_and_releases(spark, registry):
+    """q_scale_cache_table: while cached, a reader over the cached name
+    must plan an InMemoryTableScan (the columnar cache path, not a
+    parquet re-scan); the catalog must report it cached; and after the
+    rung completes nothing stays cached (the finally-UNCACHE
+    discipline)."""
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "ct_gate_events"
+    )
+    spark.sql("DROP VIEW IF EXISTS ct_gate_hot")
+    spark.sql(
+        "CACHE TABLE ct_gate_hot AS "
+        "SELECT event_type, value FROM ct_gate_events WHERE value > 100.0"
+    )
+    try:
+        assert spark.catalog.isCached("ct_gate_hot")
+        plan = plan_string(spark.table("ct_gate_hot")).split(
+            "== Physical Plan =="
+        )[-1]
+        assert ("InMemoryTableScan" in plan
+                or "Scan In-memory table" in plan), plan
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS ct_gate_hot")
+        spark.sql("DROP VIEW IF EXISTS ct_gate_hot")
+
+    # the rung itself must leave no cached entry behind
+    registry["q_scale_cache_table"].fn(spark, SF_DIR).collect()
+    import py4j
+
+    try:
+        leaked = spark.catalog.isCached("ct_hot")
+    except py4j.protocol.Py4JJavaError:
+        leaked = False  # view dropped — nothing to be cached
+    except Exception:
+        leaked = False
+    assert not leaked
+
+
+def test_repartition_hints_pin_exchange_and_coalesce(spark, registry):
+    """q_sql_hint_repartition: exactly one hash exchange on user_id at
+    width 8, a Coalesce 2 ABOVE it, and no second shuffle. Positive
+    control: without hints the filtered projection plans NO exchange at
+    all, proving both detectors fire only because of the hints."""
+    import re
+
+    # simple mode: "Exchange hashpartitioning" / "Coalesce 2" print
+    # inline there (formatted mode splits args onto Arguments: lines)
+    plan = plan_string(
+        registry["q_sql_hint_repartition"].fn(spark, SF_DIR), "simple"
+    ).split("== Physical Plan ==")[-1]
+    assert re.search(r"hashpartitioning\(user_id#\d+\w*, 8\)", plan), plan
+    assert "Coalesce 2" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # coalesce must sit above the exchange (narrowing the shuffle output)
+    assert plan.index("Coalesce 2") < plan.index("Exchange"), plan
+
+    ctl = plan_string(
+        spark.sql(
+            """
+            SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM rh_events WHERE event_type = 'purchase'
+            """
+        ),
+        "simple",
+    ).split("== Physical Plan ==")[-1]
+    assert "Exchange" not in ctl and "Coalesce" not in ctl, ctl
