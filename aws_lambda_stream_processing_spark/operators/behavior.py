@@ -2271,3 +2271,94 @@ def q_events_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.floor(-zval * 1000000.0 + F.lit(0.5)) / 1000000.0)
         .alias("z"),
     )
+
+
+@query(
+    "q_events_power_mde",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS x
+        FROM events
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM u
+    ),
+    d AS (
+        SELECT n, CAST(sx AS DOUBLE) / n AS mean_cents,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1) AS var_cents
+        FROM m
+    )
+    SELECT n,
+           floor(mean_cents * 1000000.0 + 0.5) / 1000000.0 AS mean_cents,
+           floor(sqrt(2.0 * var_cents / n) * (1.959964 + 0.841621)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mde_cents,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * var_cents / (0.02 * mean_cents * 0.02 * mean_cents))
+                AS BIGINT) AS n_per_arm_2pct
+    FROM d
+    """,
+    category="2.D",
+)
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment DESIGN math — power analysis from pilot moments,
+    closing the experimentation suite's loop (design here → assignment
+    → q_events_ab_test / q_events_delta_method / q_events_cuped
+    readouts): from the per-user revenue distribution's exact integer
+    moments, (a) the minimum detectable effect at the CURRENT sample
+    (MDE = (z_{α/2}+z_β)·√(2σ²/n), α=5%, power=80% — the z constants
+    are spelled as identical 6-dp literals on both engines, no inverse-
+    normal needed), and (b) the required n per arm to detect a 2% lift
+    of the mean. This is the query every experimentation platform runs
+    BEFORE an experiment — sizing from production variance, not
+    guesses. Determinism: (n, Σx, Σx²) exact BIGINTs; mean, sample
+    variance, one sqrt and one ceil'd quotient in double over identical
+    operands, floor-6dp. Scale: one per-user hash agg → a three-number
+    reduction; the ceil is the only row the driver sees."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("x")
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = m.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_cents"),
+        ((F.col("sxx").cast("double")
+          - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+         / (F.col("n") - 1)).alias("var_cents"),
+    )
+    z = F.lit(1.959964) + F.lit(0.841621)
+
+    def r6(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    mde = F.sqrt(2.0 * F.col("var_cents") / F.col("n")) * z
+    n_req = F.ceil(
+        2.0 * z * z * F.col("var_cents")
+        / (0.02 * F.col("mean_cents") * 0.02 * F.col("mean_cents"))
+    ).cast("bigint")
+    return d.select(
+        "n",
+        r6(F.col("mean_cents")).alias("mean_cents"),
+        r6(mde).alias("mde_cents"),
+        n_req.alias("n_per_arm_2pct"),
+    )
