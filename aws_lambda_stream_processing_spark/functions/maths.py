@@ -329,3 +329,53 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(cents, F.col("event_id") % 5).alias("safe_div"),
         F.col("event_type").try_cast("date").cast("string").alias("bad_date"),
     )
+
+
+@query(
+    "q_cast_decimal128",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+               * CAST(round((1 - l_discount) * 10000) AS BIGINT)
+               * CAST(round((1 + l_tax) * 10000) AS BIGINT)
+               * 1000
+           ) AS DECIMAL(38,0)) AS VARCHAR) AS revenue_units
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    category="2.H",
+)
+def q_cast_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit exact accumulation — the money-math discipline once a
+    sum leaves int64 range: per-item revenue in 10⁻¹¹-dollar units
+    (cents × two basis-point factors × 1000 ≈ 10¹⁵ per row) sums past
+    2⁶³ at warehouse row counts, so the accumulator must be
+    DECIMAL(38,0) — Spark's 128-bit decimal — against DuckDB's
+    HUGEINT; rendered as VARCHAR because the certified property is the
+    exact digit string, not a float approximation. Every factor is an
+    exact integer derived by the same rounding on both engines (the
+    2-decimal price and discount/tax rates make round() exact), so any
+    divergence anywhere in the 128-bit multiply/accumulate pipeline
+    breaks the match. Scale: Spark sums decimals with partial
+    aggregation like any numeric — the map-side combine works in
+    128-bit unsafe-row slots, no BigInteger boxing until overflow
+    WOULD occur, at which point Spark 4's ANSI default raises instead
+    of silently wrapping (the non-ANSI int64 wrap is the bug class
+    q_scale_rendezvous_shard documents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round((1 - F.col("l_discount")) * 10000).cast("bigint")
+    tax = F.round((1 + F.col("l_tax")) * 10000).cast("bigint")
+    unit = (
+        cents.cast("decimal(38,0)") * disc * tax * F.lit(1000)
+    ).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(unit).cast("decimal(38,0)").cast("string")
+            .alias("revenue_units")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2841,3 +2841,172 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DTW_N = 30  # fixed Jan-2024 calendar scaffold → fixed DP size
+
+
+def _dtw_oracle(n: int = _DTW_N) -> str:
+    """Generated anti-diagonal wavefront DTW for DuckDB — the DP
+    recurrence D[i][j] = |a_i−b_j| + min(D[i−1][j], D[i][j−1],
+    D[i−1][j−1]) unrolled into 2n−1 chained CTEs, one per diagonal;
+    cells on a diagonal depend only on the two previous diagonals, so
+    each CTE is a single list_transform (same trick as the PageRank
+    iteration chain). DuckDB's least() ignores NULLs, which encodes
+    the border cases. Validated cell-exact against an independent
+    numpy DP on random series before adoption."""
+    ctes = []
+    for k in range(2 * n - 1):
+        lo = max(0, k - n + 1)
+        hi = min(k, n - 1)
+        width = hi - lo + 1
+        if k == 0:
+            ctes.append(
+                "d0 AS (SELECT *, [abs(a[1] - b[1])] AS diag0 FROM pairs)"
+            )
+            continue
+        lo1 = max(0, k - 1 - n + 1)
+        lo2 = max(0, k - 2 - n + 1)
+        i = f"({lo} + p - 1)"
+        j = f"({k} - {i})"
+        up = (
+            f"CASE WHEN {i} >= 1 AND {j} <= {n - 1} "
+            f"THEN diag{k - 1}[{i} - 1 - {lo1} + 1] END"
+        )
+        left = (
+            f"CASE WHEN {j} >= 1 AND {i} <= {n - 1} "
+            f"THEN diag{k - 1}[{i} - {lo1} + 1] END"
+        )
+        dg = (
+            f"CASE WHEN {i} >= 1 AND {j} >= 1 "
+            f"THEN diag{k - 2}[{i} - 1 - {lo2} + 1] END"
+            if k >= 2
+            else "NULL"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT *, list_transform(range(1, {width + 1}), "
+            f"p -> abs(a[{i} + 1] - b[{j} + 1]) "
+            f"+ least({up}, {left}, {dg})) AS diag{k} FROM d{k - 1})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type, cal.day,
+               COALESCE(a.cents, 0) AS cents
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    series AS (
+        SELECT event_type, list(cents ORDER BY day) AS s
+        FROM dense GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT o.event_type, o.s AS a, r.s AS b
+        FROM series o,
+             (SELECT s FROM series WHERE event_type = 'purchase') r
+        WHERE o.event_type <> 'purchase'
+    ),
+    {chain}
+    SELECT event_type, CAST(diag{2 * n - 2}[1] AS BIGINT) AS dtw
+    FROM d{2 * n - 2}
+    ORDER BY event_type
+    """
+
+
+@query("q_ts_dtw", oracle=_dtw_oracle(), category="2.J")
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance — the alignment-tolerant series
+    similarity the z-score rung (lockstep Pearson) cannot express:
+    each event type's daily-revenue curve against the purchase
+    reference, full-window DTW with |Δcents| cost. Series are EXACT
+    integer cents on a fixed 30-day calendar scaffold (missing cells
+    zero-filled identically on both engines), so the whole DP is
+    integer arithmetic — no float anywhere, bit-exact on any
+    partitioning. The kernel is numpy via applyInPandas, one task per
+    pair — the right distributed shape: the heavy fact scan reduces
+    to 5 tiny (type, array) rows, the O(n²) DP runs where the data
+    already is, and at scale (millions of series, e.g. per-user
+    curves) the same groupBy-pairs layout fans out embarrassingly
+    parallel with per-task memory O(n²) bounded by the window, not
+    the corpus. The ORACLE is the DP itself unrolled as a generated
+    anti-diagonal wavefront (59 chained list CTEs — see _dtw_oracle),
+    validated against an independent numpy reference — so this rung
+    carries a full exact oracle for an algorithm SQL has no native
+    spelling for, rather than the weak rows-only check."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("s")
+    )
+    ref = series.where(F.col("event_type") == "purchase").select(
+        F.col("s").alias("b")
+    )
+    pairs = (
+        series.where(F.col("event_type") != "purchase")
+        .crossJoin(F.broadcast(ref))
+        .select("event_type", F.col("s").alias("a"), "b")
+    )
+
+    def dtw_kernel(pdfs):
+        for pdf in pdfs:
+            out = []
+            for _, row in pdf.iterrows():
+                a = np.asarray(row["a"], dtype=np.int64)
+                b = np.asarray(row["b"], dtype=np.int64)
+                n, m = len(a), len(b)
+                D = np.zeros((n, m), dtype=np.int64)
+                for ii in range(n):
+                    for jj in range(m):
+                        c = abs(int(a[ii]) - int(b[jj]))
+                        if ii == 0 and jj == 0:
+                            D[ii, jj] = c
+                        elif ii == 0:
+                            D[ii, jj] = c + D[ii, jj - 1]
+                        elif jj == 0:
+                            D[ii, jj] = c + D[ii - 1, jj]
+                        else:
+                            D[ii, jj] = c + min(
+                                D[ii - 1, jj],
+                                D[ii, jj - 1],
+                                D[ii - 1, jj - 1],
+                            )
+                out.append((row["event_type"], int(D[n - 1, m - 1])))
+            yield pd.DataFrame(out, columns=["event_type", "dtw"])
+
+    return pairs.mapInPandas(
+        dtw_kernel, "event_type string, dtw bigint"
+    ).orderBy("event_type")

@@ -1419,3 +1419,64 @@ def q_scale_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("UNCACHE TABLE IF EXISTS ct_hot")
         spark.sql("DROP VIEW IF EXISTS ct_hot")
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_scale_exchange_reuse",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1
+    ),
+    peak AS (SELECT CAST(MAX(cents) AS BIGINT) AS peak_cents FROM daily)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           d.cents,
+           CAST(d.cents * 1000000 // p.peak_cents AS BIGINT) AS share_ppm
+    FROM daily d CROSS JOIN peak p
+    ORDER BY 1
+    """,
+    category="2.F",
+)
+def q_scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE REUSE — the Catalyst dedup that makes self-referential
+    analytics affordable: share-of-peak-day needs the daily aggregate
+    TWICE (the report rows, and the max over them), and instead of
+    scanning + shuffling + aggregating events twice the planner
+    materializes the aggregate's shuffle ONCE and wires the second
+    branch to a ReusedExchange node (plan-gated in tests/test_plans.py
+    on the EXECUTED adaptive plan, with a negative control). Reuse
+    keys on CANONICAL SUBTREE EQUALITY, which is fragile in a
+    measured way: a self-join whose b-branch PROJECTS a shifted key
+    (day+1) gets isnotnull(date_add(day,1)) pushed into it —
+    unsimplified, unlike the in-condition shift, which folds back to
+    isnotnull(day) — so the branches' canonical forms diverge and
+    reuse silently dies (the first draft measured exactly that: 4
+    exchanges, 0 reused); a global-aggregate second branch like this
+    one keeps the subtrees identical. Share is exact integer parts-per-million
+    (floor division) — no float in the result. At 100 TB this is one
+    pass over the fact instead of two for every share-of-total /
+    vs-peak / vs-cohort-all report."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    peak = daily.agg(F.max("cents").cast("bigint").alias("peak_cents"))
+    return (
+        daily.crossJoin(F.broadcast(peak))
+        .select(
+            # DATE output canonicalizes engine-differently; TIMESTAMP
+            # on both sides (the q_events_sequence_match discipline)
+            F.col("day").cast("timestamp").alias("day"),
+            "cents",
+            # integer `div`, not double /: a correctly-rounded float
+            # quotient 1 ulp under an integer would truncate differently
+            # than the oracle's floor division
+            F.expr("cents * 1000000L div peak_cents")
+            .cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -1193,3 +1193,39 @@ def test_repartition_hints_pin_exchange_and_coalesce(spark, registry):
         "simple",
     ).split("== Physical Plan ==")[-1]
     assert "Exchange" not in ctl and "Coalesce" not in ctl, ctl
+
+
+def test_exchange_reuse_fires_and_knows_its_limits(spark, registry):
+    """q_scale_exchange_reuse: the EXECUTED adaptive plan must contain a
+    ReusedExchange (the daily aggregate's shuffle computed once, wired
+    twice). Negative control: the shifted-key self-join variant infers
+    DIFFERENT not-null pushdown filters into each branch — canonical
+    equality breaks and reuse must NOT fire (the fragility the rung's
+    docstring documents; if Spark ever starts reusing there too, the
+    docstring claim is stale and this gate says so)."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    df = registry["q_scale_exchange_reuse"].fn(spark, SF_DIR)
+    df.collect()  # AQE: reuse shows in the executed plan
+    plan = plan_string(df, "simple").split("== Physical Plan ==")[-1]
+    assert "ReusedExchange" in plan, plan
+
+    e = load_table(spark, SF_DIR, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    a = daily.alias("a")
+    # shift as a PROJECTION on branch b: the join's not-null condition
+    # pushes into b as isnotnull(date_add(day, 1)) — unsimplified, so
+    # the branches' canonical forms diverge (shift inside the join
+    # CONDITION would simplify to isnotnull(day) and still reuse)
+    b = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("cents").alias("prev_cents"),
+    )
+    ctl = a.join(b, "day")
+    ctl.collect()
+    ctl_plan = plan_string(ctl, "simple").split("== Physical Plan ==")[-1]
+    assert "ReusedExchange" not in ctl_plan, ctl_plan
