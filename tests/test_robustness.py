@@ -89,6 +89,10 @@ SAMPLE = [
     "q_join_geo_radius",  # trig threshold filter under any cell layout
     "q_join_geo_knn",  # (dist, key) argmin tie-break across layouts
     "q_llm_linear_probe",  # Gram partials must merge exactly (milli-quant)
+    "q_ts_dtw",  # kernel batch boundaries + integer DP across layouts
+    "q_scale_exchange_reuse",  # reuse on/off must not change values; int div
+    "q_cast_decimal128",  # 128-bit partial-agg slots must merge exactly
+    "q_scale_manifest_pruning",  # footer-stats skip decision across layouts
 ]
 
 
@@ -111,7 +115,10 @@ def test_deterministic_across_partitioning(spark, registry, name):
     "name",
     ["q_date_extract", "q_ts_convert", "q_stream_tumbling",
      "q_ts_heatmap_hod_dow", "q_ts_calendar_scaffold",
-     "q_stream_rate_source"],  # LTZ epoch timestamps from the rate source
+     "q_stream_rate_source",  # LTZ epoch timestamps from the rate source
+     "q_scale_exchange_reuse",  # ts→date grouping + timestamp output col
+     "q_ts_dtw",  # date scaffold join under a hostile zone
+     "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
     """Timezone-sensitive queries must pin UTC themselves — the driver's
