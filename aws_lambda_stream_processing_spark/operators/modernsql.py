@@ -365,3 +365,51 @@ def q_sql_hint_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q_sql_order_by_all",
+    oracle="""
+    SELECT event_type,
+           user_id % 7 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE value > 50.0
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    category="2.A",
+)
+def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL — the modern-SQL shorthand (DuckDB-originated,
+    adopted by Spark 4) that sorts by every select-list column left to
+    right, closing the GROUP BY ALL / ORDER BY ALL pair the repo's
+    q_sql_group_by_all opened: a grouped report becomes fully
+    deterministic without naming a single column twice. Semantics
+    pinned by the oracle running the LITERAL same shorthand in DuckDB
+    (both engines must expand ALL to the same ordered column list —
+    the rung certifies cross-engine agreement on the expansion rule
+    itself, left-to-right over the select list, not just on the
+    rows). Resolution happens at ANALYSIS time: the physical plan is
+    an ordinary agg + global sort, identical to the spelled-out
+    query, so the shorthand costs nothing at 100 TB — and because ALL
+    tracks the select list, a report that gains a column stays
+    total-ordered with no edit to the ORDER BY clause (the common
+    drift bug in hand-maintained report SQL)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "oba_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               user_id % 7 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM oba_events
+        WHERE value > 50.0
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -2676,3 +2676,366 @@ def q_profile_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
         .orderBy("rule")
     )
+
+
+@query(
+    "q_agg_fdr_bh",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id % 20 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_c
+        FROM events GROUP BY 1
+    ),
+    gstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_g,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss_g
+        FROM events
+    ),
+    z AS (
+        SELECT cohort, n_c,
+               (s_c * 1.0 / n_c - s_g * 1.0 / n_g)
+               / sqrt(((ss_g * 1.0 / n_g
+                        - (s_g * 1.0 / n_g) * (s_g * 1.0 / n_g))
+                       * n_g / (n_g - 1)) / n_c) AS zstat
+        FROM cohorts CROSS JOIN gstats
+    ),
+    p AS (
+        SELECT cohort, n_c, zstat, abs(zstat) / sqrt(2.0) AS x
+        FROM z
+    ),
+    praw AS (
+        SELECT cohort, n_c, zstat,
+               (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * x))
+                    - 1.453152027) * (1.0 / (1.0 + 0.3275911 * x))
+                   + 1.421413741) * (1.0 / (1.0 + 0.3275911 * x))
+                  - 0.284496736) * (1.0 / (1.0 + 0.3275911 * x))
+                 + 0.254829592) * (1.0 / (1.0 + 0.3275911 * x)))
+               * exp(-x * x) AS pval
+        FROM p
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER
+                   (ORDER BY abs(zstat) DESC, cohort) AS rnk
+        FROM praw
+    ),
+    adj AS (
+        SELECT *, MIN(pval * 20.0 / rnk) OVER
+                   (ORDER BY rnk DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cmin
+        FROM ranked
+    )
+    SELECT cohort, n_c, CAST(rnk AS BIGINT) AS rnk,
+           floor(pval * 1000000.0 + 0.5) / 1000000.0 AS pval,
+           floor(least(cmin, 1.0) * 1000000.0 + 0.5) / 1000000.0 AS p_adj,
+           least(cmin, 1.0) <= 0.05 AS reject_q05
+    FROM adj
+    ORDER BY cohort
+    """,
+    category="2.D",
+)
+def q_agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR correction — the multiple-testing control
+    every metrics platform needs the moment it tests 20 cohorts at
+    once (at alpha=.05, one of 20 null cohorts "wins" by chance): each
+    user cohort's mean spend gets a two-sided z-test against the
+    global mean (p via the Abramowitz-Stegun 7.1.26 erfc polynomial —
+    an explicit expression tree both engines evaluate identically; no
+    library CDF), then the BH step-up adjustment p_adj(i) =
+    min_{j>=i} p(j)*k/j as ONE reverse-cumulative-min window. The
+    panel math follows the house moment discipline: exact int64 cents
+    sums feed identical IEEE formulas, ranks order by |z| (pure
+    div/sqrt, correctly rounded IEEE, engine-exact) rather than by the
+    transcendental p, so rank assignment is immune to cross-engine
+    exp() ulps, and only the final p columns round (floor-6dp). Scale:
+    one map-side-combining pass over the fact gives 20 cohort rows +
+    1 global row; the BH window runs on the k=20 HYPOTHESIS PANEL,
+    not the data — single-partition by design and bounded by the
+    number of tests (thousands at most), the standard shape for
+    experiment-platform sweeps at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cohorts = e.groupBy((F.col("user_id") % 20).alias("cohort")).agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum(cents).cast("long").alias("s_c"),
+    )
+    glob = e.agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(cents).cast("long").alias("s_g"),
+        F.sum(cents * cents).cast("long").alias("ss_g"),
+    )
+    m_g = F.col("s_g").cast("double") / F.col("n_g")
+    v_g = (
+        (F.col("ss_g").cast("double") / F.col("n_g") - m_g * m_g)
+        * F.col("n_g") / (F.col("n_g") - 1)
+    )
+    zstat = (
+        (F.col("s_c").cast("double") / F.col("n_c") - m_g)
+        / F.sqrt(v_g / F.col("n_c"))
+    )
+    t = 1.0 / (1.0 + 0.3275911 * F.col("x"))
+    pval = (
+        ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+          - 0.284496736) * t + 0.254829592) * t
+        * F.exp(-F.col("x") * F.col("x"))
+    )
+    w_rank = Window.orderBy(F.abs(F.col("zstat")).desc(), "cohort")
+    w_cmin = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cohorts.crossJoin(F.broadcast(glob))
+        .select("cohort", "n_c", zstat.alias("zstat"))
+        .withColumn("x", F.abs(F.col("zstat")) / F.sqrt(F.lit(2.0)))
+        .withColumn("pval", pval)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cmin",
+            F.min(F.col("pval") * 20.0 / F.col("rnk")).over(w_cmin),
+        )
+        .select(
+            "cohort",
+            "n_c",
+            "rnk",
+            (F.floor(F.col("pval") * 1000000.0 + 0.5) / 1000000.0)
+            .alias("pval"),
+            (F.floor(F.least(F.col("cmin"), F.lit(1.0)) * 1000000.0
+                     + 0.5) / 1000000.0).alias("p_adj"),
+            (F.least(F.col("cmin"), F.lit(1.0)) <= 0.05)
+            .alias("reject_q05"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "q_agg_hodges_lehmann",
+    oracle="""
+    WITH panel AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER
+                   (PARTITION BY event_type ORDER BY event_id) AS i
+        FROM events
+        QUALIFY i <= 60
+    ),
+    walsh AS (
+        SELECT a.event_type, a.cents + b.cents AS s2
+        FROM panel a JOIN panel b
+          ON a.event_type = b.event_type AND a.i <= b.i
+    ),
+    ranked AS (
+        SELECT event_type, s2,
+               ROW_NUMBER() OVER
+                   (PARTITION BY event_type ORDER BY s2) AS rnk
+        FROM walsh
+    )
+    SELECT event_type,
+           CAST(1830 AS BIGINT) AS n_pairs,
+           (MAX(CASE WHEN rnk = 915 THEN s2 END)
+            + MAX(CASE WHEN rnk = 916 THEN s2 END)) / 4.0 AS hl_cents
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.D",
+)
+def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODGES-LEHMANN location estimator — the rank-based robust mean
+    (median of all pairwise Walsh averages (x_i+x_j)/2, i<=j) that
+    pairs with q_agg_mann_whitney the way the mean pairs with the
+    t-test: ~29% outlier breakdown, yet fully efficient under
+    symmetry, the estimator a metrics platform quotes when spend
+    distributions have heavy tails. Pair space is PANEL-BOUNDED (the
+    house Theil-Sen discipline): the first 60 events per type by
+    event_id give exactly 60*61/2 = 1830 Walsh pairs per type — the
+    O(n^2) lives on a fixed panel, never the corpus, and fans out as
+    an equi-join on event_type with per-task work bounded by the
+    panel, not the data. Exactness: pairs carry the INTEGER sum
+    a+b (never the halved float), the median picks positions 915/916
+    of the sorted integer multiset via row_number (no engine
+    percentile semantics anywhere), and the only division — by 4.0,
+    averaging the two central Walsh averages — is a power of two,
+    IEEE-exact. At full scale the same shape runs per user segment:
+    thousands of independent 1830-pair panels, one shuffle on the
+    panel key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    panel = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .where(F.col("i") <= 60)
+        .select("event_type", "cents", "i")
+    )
+    a = panel.alias("a")
+    b = panel.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") <= F.col("b.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.cents") + F.col("b.cents")).alias("s2"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("s2")
+    return (
+        walsh.withColumn("rnk", F.row_number().over(w_rank))
+        .groupBy("event_type")
+        .agg(
+            F.lit(1830).cast("long").alias("n_pairs"),
+            (
+                (
+                    F.max(F.when(F.col("rnk") == 915, F.col("s2")))
+                    + F.max(F.when(F.col("rnk") == 916, F.col("s2")))
+                ) / 4.0
+            ).alias("hl_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BF_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _bf_oracle() -> str:
+    """Brown-Forsythe oracle: per-type lower discrete medians via
+    row_number (no engine percentile semantics), absolute deviations
+    as exact int64, and the final W assembled from the five types'
+    integer moments in FIXED alphabetical order — the same expression
+    tree the Spark side evaluates, so the float sums associate
+    identically."""
+    ssb = " + ".join(
+        f"(n_{t} * (s_{t} * 1.0 / n_{t} - s_all * 1.0 / n_all)"
+        f" * (s_{t} * 1.0 / n_{t} - s_all * 1.0 / n_all))"
+        for t in _BF_TYPES
+    )
+    ssw = " + ".join(
+        f"(zz_{t} - s_{t} * 1.0 * s_{t} / n_{t})" for t in _BF_TYPES
+    )
+    moments = ", ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN n END) AS n_{t}, "
+        f"MAX(CASE WHEN event_type = '{t}' THEN s END) AS s_{t}, "
+        f"MAX(CASE WHEN event_type = '{t}' THEN zz END) AS zz_{t}"
+        for t in _BF_TYPES
+    )
+    return f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER
+                   (PARTITION BY event_type ORDER BY
+                    CAST(round(value * 100) AS BIGINT)) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_t
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, CAST(MAX(CASE WHEN rnk = (n_t + 1) // 2
+                                    THEN cents END) AS BIGINT) AS med
+        FROM obs GROUP BY event_type
+    ),
+    dev AS (
+        SELECT o.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(abs(o.cents - m.med)) AS BIGINT) AS s,
+               CAST(SUM(abs(o.cents - m.med) * abs(o.cents - m.med))
+                    AS BIGINT) AS zz
+        FROM obs o JOIN med m ON o.event_type = m.event_type
+        GROUP BY o.event_type
+    ),
+    wide AS (
+        SELECT {moments},
+               CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(s) AS BIGINT) AS s_all
+        FROM dev
+    )
+    SELECT CAST(n_all AS BIGINT) AS n_obs,
+           CAST(5 AS BIGINT) AS k_groups,
+           floor((n_all - 5) * 1.0 / 4.0 * ({ssb}) / ({ssw})
+                 * 1000000.0 + 0.5) / 1000000.0 AS bf_w
+    FROM wide
+    """
+
+
+@query("q_agg_levene_bf", oracle=_bf_oracle(), category="2.D")
+def q_agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE / BROWN-FORSYTHE variance-homogeneity test — the guard
+    every pooled-variance method in the repo (Welch aside: classic
+    t, ANOVA q_ts_anova_hod, pooled CIs) silently assumes: a one-way
+    ANOVA on the absolute deviations Z_ij = |y_ij - median_i|, whose
+    W statistic blows up exactly when group spreads differ. The
+    median-centered (Brown-Forsythe) variant is the robust standard.
+    Engine-exactness discipline: group medians are LOWER DISCRETE
+    medians picked by row_number position (n+1)//2 on the sorted
+    int64 cents (no percentile builtin, no interpolation), deviations
+    and their squares accumulate as exact int64, and W's float
+    expression references the FIVE KNOWN GROUPS as pivoted columns in
+    fixed alphabetical order — a literal expression tree, not a
+    float SUM whose association order the shuffle owns (the corr-
+    matrix single-scan discipline). Scale: one window pass for
+    medians (per-group sort, the shuffle key is the group), one join
+    + agg for moments, 1-row output; group count is the bounded
+    panel, never the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs = e.select("event_type", cents.alias("cents"))
+    w_rnk = Window.partitionBy("event_type").orderBy("cents")
+    w_n = Window.partitionBy("event_type")
+    med = (
+        obs.withColumn("rnk", F.row_number().over(w_rnk))
+        .withColumn("n_t", F.count("*").over(w_n))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rnk") == F.expr("(n_t + 1) div 2"),
+                    F.col("cents"),
+                )
+            ).cast("long").alias("med")
+        )
+    )
+    z = F.abs(F.col("cents") - F.col("med"))
+    dev = (
+        obs.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(z).cast("long").alias("s"),
+            F.sum(z * z).cast("long").alias("zz"),
+        )
+    )
+    aggs = [F.sum("n").cast("long").alias("n_all"),
+            F.sum("s").cast("long").alias("s_all")]
+    for t in _BF_TYPES:
+        is_t = F.col("event_type") == t
+        aggs += [
+            F.max(F.when(is_t, F.col("n"))).alias(f"n_{t}"),
+            F.max(F.when(is_t, F.col("s"))).alias(f"s_{t}"),
+            F.max(F.when(is_t, F.col("zz"))).alias(f"zz_{t}"),
+        ]
+    wide = dev.agg(*aggs)
+    mean_all = F.col("s_all") * 1.0 / F.col("n_all")
+    ssb = None
+    ssw = None
+    for t in _BF_TYPES:
+        d = F.col(f"s_{t}") * 1.0 / F.col(f"n_{t}") - mean_all
+        term_b = F.col(f"n_{t}") * d * d
+        term_w = (
+            F.col(f"zz_{t}")
+            - F.col(f"s_{t}") * 1.0 * F.col(f"s_{t}") / F.col(f"n_{t}")
+        )
+        ssb = term_b if ssb is None else ssb + term_b
+        ssw = term_w if ssw is None else ssw + term_w
+    bf_w = (F.col("n_all") - 5) * 1.0 / 4.0 * ssb / ssw
+    return wide.select(
+        F.col("n_all").alias("n_obs"),
+        F.lit(5).cast("long").alias("k_groups"),
+        (F.floor(bf_w * 1000000.0 + 0.5) / 1000000.0).alias("bf_w"),
+    )
