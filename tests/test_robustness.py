@@ -93,6 +93,10 @@ SAMPLE = [
     "q_scale_exchange_reuse",  # reuse on/off must not change values; int div
     "q_cast_decimal128",  # 128-bit partial-agg slots must merge exactly
     "q_scale_manifest_pruning",  # footer-stats skip decision across layouts
+    # round-7c hazards (this session's additions):
+    "q_agg_fdr_bh",  # erfc polynomial + reverse-cummin window over |z| ranks
+    "q_agg_hodges_lehmann",  # Walsh pair-join median selection at 915/916
+    "q_agg_levene_bf",  # discrete medians + fixed-order pivoted IEEE tree
 ]
 
 
