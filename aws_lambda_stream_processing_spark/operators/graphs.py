@@ -1431,3 +1431,118 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             head.select("walk_id", F.lit(k).alias("step"), "node")
         )
     return out.orderBy("walk_id", "step")
+
+
+_SCC_PANEL = 120  # node panel bound: parts with p_partkey <= this
+_SCC_DOUBLINGS = 7  # 2^7 = 128 >= panel, so closure is total
+
+
+@query(
+    "q_graph_scc",
+    oracle=f"""
+    WITH RECURSIVE pl AS (
+        SELECT l_orderkey AS o, l_partkey AS p, l_linenumber AS ln
+        FROM lineitem WHERE l_partkey <= {_SCC_PANEL}
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pl a JOIN pl b ON a.o = b.o AND a.ln < b.ln AND a.p <> b.p
+    ),
+    nodes AS (
+        SELECT u AS n FROM edges UNION SELECT v FROM edges
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v
+        FROM reach r JOIN edges e ON r.v = e.u
+        WHERE r.u <> e.v
+    ),
+    mutual AS (
+        SELECT a.u AS n, a.v AS m
+        FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+    ),
+    scc AS (
+        SELECT nodes.n,
+               CAST(LEAST(nodes.n, COALESCE(MIN(mutual.m), nodes.n))
+                    AS BIGINT) AS scc_id
+        FROM nodes LEFT JOIN mutual ON nodes.n = mutual.n
+        GROUP BY nodes.n
+    )
+    SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(n) AS BIGINT) AS max_node
+    FROM scc GROUP BY scc_id ORDER BY scc_id
+    """,
+    category="2.C",
+)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY CONNECTED COMPONENTS on a DIRECTED graph — the one
+    graph family member the undirected suite (CC via union-find,
+    k-core, LPA) cannot express: direction matters, and mutual
+    reachability is the equivalence. The graph: part u → part v iff
+    some order lists u on an earlier line than v (a real precedence
+    relation; 2-cycles appear exactly when two parts swap order
+    across orders). The node set is PANEL-BOUNDED (p_partkey <=
+    {_SCC_PANEL}, the house bounded-panel discipline), so transitive
+    closure by {_SCC_DOUBLINGS} repeated-squaring rounds (R <- R ∪
+    R∘R, reflexive rows seeded so each round composes all prefix
+    lengths; 2^{_SCC_DOUBLINGS} = 128 >= panel diameter) is TOTAL —
+    an exact algorithm, not an iteration cap, with per-round
+    localCheckpoint so lineage stays flat (the k-core discipline).
+    scc_id = min node id over the mutual-reachability class. At 100
+    TB the same code runs per bounded entity neighborhood (the
+    closure is quadratic in the PANEL, never the corpus); unbounded
+    SCC needs the label-forwarding loop q_llm_dedup_cc uses for its
+    undirected twin. Oracle: DuckDB recursive-CTE closure — a
+    different, natively-recursive derivation of the same relation."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") <= _SCC_PANEL
+    ).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.ln") < F.col("b.ln"))
+            & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select("v"))
+        .distinct()
+    )
+    # seed with reflexive pairs: R∘R then composes every prefix length,
+    # so round k holds all paths of length <= 2^k
+    reach = edges.union(
+        nodes.select(F.col("n").alias("u"), F.col("n").alias("v"))
+    ).distinct()
+    for _ in range(_SCC_DOUBLINGS):
+        l_, r_ = reach.alias("l"), reach.alias("r")
+        reach = tracked_local_checkpoint(
+            l_.join(r_, F.col("l.v") == F.col("r.u"))
+            .select(F.col("l.u").alias("u"), F.col("r.v").alias("v"))
+            .distinct()
+        )
+    fwd, bwd = reach.alias("f"), reach.alias("g")
+    mutual = fwd.join(
+        bwd,
+        (F.col("f.u") == F.col("g.v")) & (F.col("f.v") == F.col("g.u")),
+    ).select(F.col("f.u").alias("n"), F.col("f.v").alias("m"))
+    scc = mutual.groupBy("n").agg(
+        F.min("m").cast("long").alias("scc_id")
+    )
+    return (
+        scc.groupBy("scc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max("n").cast("long").alias("max_node"),
+        )
+        .orderBy("scc_id")
+    )

@@ -97,6 +97,7 @@ SAMPLE = [
     "q_agg_fdr_bh",  # erfc polynomial + reverse-cummin window over |z| ranks
     "q_agg_hodges_lehmann",  # Walsh pair-join median selection at 915/916
     "q_agg_levene_bf",  # discrete medians + fixed-order pivoted IEEE tree
+    "q_graph_scc",  # 7-round closure: join/distinct order must not matter
 ]
 
 
