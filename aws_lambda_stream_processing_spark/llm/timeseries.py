@@ -3010,3 +3010,155 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         dtw_kernel, "event_type string, dtw bigint"
     ).orderBy("event_type")
+
+
+_HOLT_N = 30  # the DTW 30-day Jan-2024 scaffold
+
+
+@query(
+    "q_ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY cal.day) AS t,
+               COALESCE(a.cents, 0) AS y
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    hw AS (
+        SELECT d1.event_type, 1 AS t,
+               CAST(4 AS HUGEINT) * d1.y AS l,
+               CAST(4 AS HUGEINT) * (d2.y - d1.y) AS b,
+               CAST(2 AS HUGEINT) AS p
+        FROM dense d1 JOIN dense d2
+          ON d1.event_type = d2.event_type AND d1.t = 1 AND d2.t = 2
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+               d.y * (4 * h.p) + 2 * h.l + 2 * h.b,
+               d.y * (2 * h.p) - h.l + 3 * h.b,
+               4 * h.p
+        FROM hw h JOIN dense d
+          ON d.event_type = h.event_type AND d.t = h.t + 1
+        WHERE h.t < {_HOLT_N}
+    )
+    SELECT event_type,
+           ((l * 10000 + 10000000000000 * (2 * p)) // (2 * p)
+            - 10000000000000)
+               / 10000.0 AS level,
+           ((b * 10000 + 10000000000000 * (2 * p)) // (2 * p)
+            - 10000000000000)
+               / 10000.0 AS trend,
+           (((l + 1 * b) * 10000 + 10000000000000 * (2 * p))
+            // (2 * p) - 10000000000000) / 10000.0 AS f1,
+           (((l + 7 * b) * 10000 + 10000000000000 * (2 * p))
+            // (2 * p) - 10000000000000) / 10000.0 AS f7
+    FROM hw WHERE t = {_HOLT_N}
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT DOUBLE EXPONENTIAL SMOOTHING (level + trend) — the
+    forecasting rung between q_ts_ewma16 (level only) and
+    q_ts_seasonal_naive_eval (seasonality, no trend): each type's
+    daily-cents series on the fixed 30-day scaffold, alpha = beta =
+    1/2, h-step forecast l + h*b. The recursion is ALL-INTEGER: with
+    power-of-two gains, level and trend at step t are exact rationals
+    with denominator 4^t, so the kernel carries the SCALED integers
+    L_t = 4^t*l_t, B_t = 4^t*b_t (L <- y*2^(2t-1) + 2L + 2B, B <-
+    y*2^(2t-2) - L + 3B; magnitudes < 2^90, Python bigint / DuckDB
+    HUGEINT — the decimal128 discipline applied to a RECURSION), and
+    only the final floor-4dp rescale divides — floor via the
+    +offset/truncate trick so negative trends floor identically on
+    both engines. No float ever enters the state, so the 30-step
+    feedback loop cannot amplify a single ulp: bit-exact under any
+    partitioning, batch boundary, or engine. Kernel shape is the DTW
+    layout: the fact scan reduces to 5 (type, series) rows, the
+    recursion runs vectorized-per-group in applyInPandas, and at
+    scale (per-user/per-SKU forecasting) the same groupBy fans out
+    embarrassingly parallel with O(n) state per series. Oracle: the
+    same recursion as a DuckDB recursive CTE carrying (L, B, 4^t) —
+    natively recursive, independently derived."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("s")
+    )
+
+    def holt_kernel(pdfs):
+        n = _HOLT_N
+        for pdf in pdfs:
+            out = []
+            for _, row in pdf.iterrows():
+                y = [int(v) for v in row["s"]]
+                # exact integers at scale 4^t (Python bigint)
+                big_l = 4 * y[0]
+                big_b = 4 * (y[1] - y[0])
+                p = 2  # 2^(2t-1) at t=1
+                for t in range(2, n + 1):
+                    big_l, big_b, p = (
+                        y[t - 1] * (4 * p) + 2 * big_l + 2 * big_b,
+                        y[t - 1] * (2 * p) - big_l + 3 * big_b,
+                        4 * p,
+                    )
+
+                def e4(num, p=p):
+                    # floor-4dp: Python // floors natively
+                    return (num * 10000) // (2 * p) / 10000.0
+
+                out.append(
+                    (
+                        row["event_type"],
+                        e4(big_l),
+                        e4(big_b),
+                        e4(big_l + 1 * big_b),
+                        e4(big_l + 7 * big_b),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "level", "trend", "f1", "f7"],
+            )
+
+    return series.mapInPandas(
+        holt_kernel,
+        schema=(
+            "event_type string, level double, trend double, "
+            "f1 double, f7 double"
+        ),
+    ).orderBy("event_type")
