@@ -3162,3 +3162,170 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1 double, f7 double"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_granger",
+    oracle="""
+    WITH cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY cal.day) AS t,
+               COALESCE(a.cents, 0) AS y
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    tgt AS (SELECT t, y FROM dense WHERE event_type = 'purchase'),
+    rows_ AS (
+        SELECT x.event_type AS x_type,
+               cur.y AS yt, prev.y AS yl, x.y AS xl
+        FROM tgt cur
+        JOIN tgt prev ON prev.t = cur.t - 1
+        JOIN dense x ON x.t = cur.t - 1
+        WHERE x.event_type <> 'purchase' AND cur.t >= 2
+    ),
+    mom AS (
+        SELECT x_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(yt AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(yl AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(xl AS HUGEINT)) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(yt AS HUGEINT) * yt) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(yl AS HUGEINT) * xl) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(yl AS HUGEINT) * yt) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(xl AS HUGEINT) * yt) AS DOUBLE) AS s2y
+        FROM rows_ GROUP BY x_type
+    ),
+    cen AS (
+        SELECT x_type, n,
+               syy - sy * sy / n AS cyy,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y
+        FROM mom
+    ),
+    fit AS (
+        SELECT x_type, n,
+               cyy - ((c1y * c22 - c2y * c12)
+                      / (c11 * c22 - c12 * c12)) * c1y
+                   - ((c2y * c11 - c1y * c12)
+                      / (c11 * c22 - c12 * c12)) * c2y AS rss_u,
+               cyy - c1y * c1y / c11 AS rss_r,
+               (c2y * c11 - c1y * c12)
+                   / (c11 * c22 - c12 * c12) AS beta_x
+        FROM cen
+    )
+    SELECT x_type, n,
+           floor(beta_x * 1000000.0 + 0.5) / 1000000.0 AS beta_x,
+           floor((rss_r - rss_u) * (n - 3) / rss_u * 1000000.0 + 0.5)
+               / 1000000.0 AS f_stat
+    FROM fit
+    ORDER BY x_type
+    """,
+    category="2.J",
+)
+def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY (lag-1) — does a driver series' yesterday
+    improve the prediction of purchase revenue's today beyond
+    purchase's own yesterday? For each non-purchase type: restricted
+    AR(1) y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1},
+    F = (RSS_r - RSS_u)(n-3)/RSS_u — the lead-lag screen a metrics
+    warehouse runs before any 'X drives Y' claim (the directional
+    complement of q_ts_cross_corr, which is symmetric). Exactness is
+    the linreg_exact discipline extended to TWO regressors: all ten
+    moments are exact integer sums (HUGEINT / 128-bit accumulation —
+    cross-products of daily cents pass 2^63 near sf1, the PMI
+    overflow class), the normal equations solve in closed form
+    (explicit 2x2 determinant, no iterative solver), and every float
+    is a single fixed expression tree over those moments, floor-6dp
+    at the edge. The 29-row design matrix lives on the 30-day
+    scaffold: the fact scan reduces to 5 daily series, the regression
+    panel is calendar-bounded, and at 100 TB the same shape runs
+    per segment (thousands of independent bounded panels, one
+    shuffle on the panel key)."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ).alias("t"),
+            F.coalesce("cents", F.lit(0)).alias("y"),
+        )
+    )
+    tgt = dense.where(F.col("event_type") == "purchase").select("t", "y")
+    cur, prev = tgt.alias("cur"), tgt.alias("prev")
+    x = dense.where(F.col("event_type") != "purchase").alias("x")
+    rows = (
+        cur.join(prev, F.col("prev.t") == F.col("cur.t") - 1)
+        .join(x, F.col("x.t") == F.col("cur.t") - 1)
+        .where(F.col("cur.t") >= 2)
+        .select(
+            F.col("x.event_type").alias("x_type"),
+            F.col("cur.y").alias("yt"),
+            F.col("prev.y").alias("yl"),
+            F.col("x.y").alias("xl"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = rows.groupBy("x_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("yt")).cast("double").alias("sy"),
+        F.sum(dec("yl")).cast("double").alias("s1"),
+        F.sum(dec("xl")).cast("double").alias("s2"),
+        F.sum(dec("yt") * dec("yt")).cast("double").alias("syy"),
+        F.sum(dec("yl") * dec("yl")).cast("double").alias("s11"),
+        F.sum(dec("xl") * dec("xl")).cast("double").alias("s22"),
+        F.sum(dec("yl") * dec("xl")).cast("double").alias("s12"),
+        F.sum(dec("yl") * dec("yt")).cast("double").alias("s1y"),
+        F.sum(dec("xl") * dec("yt")).cast("double").alias("s2y"),
+    )
+    n = F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    rss_u = cyy - b1 * c1y - b2 * c2y
+    rss_r = cyy - c1y * c1y / c11
+    f_stat = (rss_r - rss_u) * (n - 3) / rss_u
+    return mom.select(
+        "x_type",
+        "n",
+        (F.floor(b2 * 1000000.0 + 0.5) / 1000000.0).alias("beta_x"),
+        (F.floor(f_stat * 1000000.0 + 0.5) / 1000000.0).alias("f_stat"),
+    ).orderBy("x_type")
