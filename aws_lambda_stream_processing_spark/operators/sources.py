@@ -1421,3 +1421,66 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_source_modified_after",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.A",
+)
+def q_source_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-MTIME INCREMENTAL LOADS — the `modifiedAfter` read option,
+    the zero-bookkeeping incremental-ingest pattern next to the
+    streaming file source: a landing directory holds an old batch
+    (part files utime'd to 2020) and a new batch (appended, current
+    mtime); reading with modifiedAfter=2022 must admit ONLY the new
+    batch's files. The cut is deterministic (event_id % 3 == 0 is the
+    new batch), so the oracle is the same predicate on the logical
+    table — certifying that the option filters at FILE granularity
+    during listing (before any scan; skipped files cost no I/O, the
+    point at 100 TB: a day's incremental over a years-deep directory
+    lists, then reads only the new arrivals). The boundary is placed
+    years from both mtimes so no session-timezone interpretation of
+    the threshold string can flip a file across it. Materializes
+    under a finally-rmtree'd tempdir (the cache-table eager
+    discipline) — nothing leaks into /tmp. Production posture at
+    scale: mtime filtering is the cheap first rung; the durable
+    contract is the manifest/log (q_scale_manifest_pruning) once
+    writers can rewrite history."""
+    tmp = tempfile.mkdtemp(prefix="alsp_modified_after_")
+    try:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        old = e.where(F.col("event_id") % 3 != 0)
+        new = e.where(F.col("event_id") % 3 == 0)
+        land = os.path.join(tmp, "landing")
+        old.coalesce(2).write.mode("overwrite").parquet(land)
+        past = 1577836800  # 2020-01-01T00:00:00Z
+        for fn in os.listdir(land):
+            if fn.startswith("part-"):
+                os.utime(os.path.join(land, fn), (past, past))
+        new.coalesce(2).write.mode("append").parquet(land)
+        result = (
+            spark.read.option("modifiedAfter", "2022-01-01T00:00:00")
+            .parquet(land)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("long").alias("cents"),
+            )
+            .orderBy("event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
