@@ -3039,3 +3039,188 @@ def q_agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("long").alias("k_groups"),
         (F.floor(bf_w * 1000000.0 + 0.5) / 1000000.0).alias("bf_w"),
     )
+
+
+@query(
+    "q_agg_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o
+          GROUP BY event_type),
+    c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY dow),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    terms AS (
+      SELECT o.obs, n.n, CAST(r.rt * c.ct AS DOUBLE) / n.n AS e
+      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    ),
+    chi AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CAST((obs - e) * (obs - e) / e
+                     AS DECIMAL(38, 18))) AS DOUBLE) AS chi2,
+             CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS r_k,
+             CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS c_k
+      FROM terms
+    )
+    SELECT n, r_k, c_k,
+           floor(sqrt((chi2 / n) / least(r_k - 1, c_k - 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS v,
+           floor(sqrt(greatest(chi2 / n
+                               - (r_k - 1.0) * (c_k - 1.0) / (n - 1),
+                               0.0)
+                      / least(r_k - (r_k - 1.0) * (r_k - 1.0) / (n - 1)
+                              - 1.0,
+                              c_k - (c_k - 1.0) * (c_k - 1.0) / (n - 1)
+                              - 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS v_corrected
+    FROM chi
+    """,
+    category="2.D",
+)
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V effect size — the missing half of the chi-square
+    screen: q_agg_chi2_indep reports the TEST statistic, which at
+    100 TB is always 'significant' (any drift is detectable at n =
+    billions); V = sqrt(phi2 / min(r-1, c-1)) is the SIZE of the
+    association on [0, 1], the number a drift monitor actually
+    thresholds. Reported both plain and with the Bergsma-Warrens
+    bias correction (phi2, r, c each shrunk by their (k-1)-style
+    small-sample terms, clamped at 0) — the corrected form is what
+    makes V comparable ACROSS tables of different shapes, the
+    cross-dataset use a curation dashboard needs. Same exact
+    machinery as the chi2 rung: int64 contingency cells, e as one
+    IEEE division of exact products, terms DECIMAL(38,18)-summed (the
+    order law applies to the SUM, not the terms), then V as one fixed
+    expression tree, floor-6dp. One map-side contingency collapse +
+    broadcast marginals — nothing scales with the corpus but the
+    first agg."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    rk = r.agg(F.count("*").cast("long").alias("r_k"))
+    ck = c.agg(F.count("*").cast("long").alias("c_k"))
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e", (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+        )
+    )
+    term = (
+        (F.col("obs") - F.col("e"))
+        * (F.col("obs") - F.col("e"))
+        / F.col("e")
+    )
+    chi = (
+        terms.agg(
+            F.max("n").alias("n"),
+            F.sum(term.cast("decimal(38,18)")).cast("double")
+            .alias("chi2"),
+        )
+        .crossJoin(F.broadcast(rk))
+        .crossJoin(F.broadcast(ck))
+    )
+    nn = F.col("n")
+    r_k, c_k = F.col("r_k"), F.col("c_k")
+    phi2 = F.col("chi2") / nn
+    v = F.sqrt(phi2 / F.least(r_k - 1, c_k - 1))
+    phi2c = F.greatest(
+        phi2 - (r_k - 1.0) * (c_k - 1.0) / (nn - 1), F.lit(0.0)
+    )
+    vc = F.sqrt(
+        phi2c
+        / F.least(
+            r_k - (r_k - 1.0) * (r_k - 1.0) / (nn - 1) - 1.0,
+            c_k - (c_k - 1.0) * (c_k - 1.0) / (nn - 1) - 1.0,
+        )
+    )
+    return chi.select(
+        "n",
+        "r_k",
+        "c_k",
+        (F.floor(v * 1000000.0 + 0.5) / 1000000.0).alias("v"),
+        (F.floor(vc * 1000000.0 + 0.5) / 1000000.0)
+        .alias("v_corrected"),
+    )
+
+
+@query(
+    "q_agg_mcnemar",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' AND value > 300.0
+                        THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+                        THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN a = 1 AND p = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM u
+    )
+    SELECT n_users, b, c,
+           floor((b - c) * 1.0 * (b - c) / (b + c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mcnemar,
+           floor((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mcnemar_cc
+    FROM cells
+    """,
+    category="2.D",
+)
+def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the PAIRED-proportions member the two-sample
+    suite (welch_t, mann_whitney: independent groups) lacks: same
+    users, two binary outcomes (ever high-value-clicked vs ever
+    high-value-purchased; the >300 threshold keeps the flags off the
+    ceiling — unthresholded, every user trips both and the discordant
+    cells are empty at every SF), and the question is marginal
+    homogeneity — does the rate differ ON THE SAME POPULATION? Only
+    the DISCORDANT cells carry information: b = clicked-never-
+    purchased, c = purchased-never-clicked, chi2 = (b-c)^2/(b+c), reported with
+    and without the Edwards continuity correction. The paired design
+    removes between-user variance — the same reason CUPED (which
+    needs a continuous covariate) wins; this is its binary-outcome
+    sibling. Exactness: per-user flags collapse in one hash agg (MAX
+    of indicators — associative, partitioning-immune), the 2x2
+    discordant cells are exact int64, both statistics single IEEE
+    trees floor-6dp. Scale: one shuffle on user_id, 1-row output —
+    and the user-level flag frame is the same shape every funnel
+    rung already builds."""
+    e = load_table(spark, sf_dir, "events")
+    hi = F.col("value") > 300.0
+    u = e.groupBy("user_id").agg(
+        F.max(((F.col("event_type") == "click") & hi).cast("int"))
+        .alias("a"),
+        F.max(((F.col("event_type") == "purchase") & hi).cast("int"))
+        .alias("p"),
+    )
+    cells = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(((F.col("a") == 1) & (F.col("p") == 0)).cast("long"))
+        .cast("long").alias("b"),
+        F.sum(((F.col("a") == 0) & (F.col("p") == 1)).cast("long"))
+        .cast("long").alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    stat = (b - c) * 1.0 * (b - c) / (b + c)
+    cc = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+    return cells.select(
+        "n_users",
+        "b",
+        "c",
+        (F.floor(stat * 1000000.0 + 0.5) / 1000000.0).alias("mcnemar"),
+        (F.floor(cc * 1000000.0 + 0.5) / 1000000.0).alias("mcnemar_cc"),
+    )
