@@ -175,3 +175,73 @@ def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.etype").alias("struct_type"),
         F.col("s.cents").alias("struct_cents"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_json_variant_explode",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents)
+                - 1 AS BIGINT) AS pos,
+           cents
+    FROM p
+    ORDER BY user_id, pos
+    """,
+    category="2.H",
+)
+def q_json_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT SHREDDING round-trip (`variant_explode`, Spark 4) — the
+    table-function half of the VARIANT surface q_cast_variant opened
+    with scalar variant_get: each user's purchase cents pack into a
+    JSON array string, parse ONCE into a VARIANT, and the LATERAL
+    variant_explode shreds it back to (pos, element) rows with the
+    element extracted TYPED. The oracle is the rows the pipeline
+    started from (pos = rank within the sorted array), so the match
+    certifies the whole encode → parse → explode → typed-get cycle
+    loses nothing — ordering, multiplicity, or type. This is the
+    open-schema landing pattern at 100 TB: arrays of unknown shape
+    land as VARIANT (binary-encoded, parsed once at ingest — not
+    get_json_object re-parsing the string per access), and shredding
+    is a LATERAL generator that fans out row-parallel, exactly like
+    posexplode over native arrays (which remains the faster path
+    when the schema IS known at write time — VARIANT buys schema
+    freedom, not speed)."""
+    e = load_table(spark, sf_dir, "events")
+    packed = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.round(F.col("value") * 100)
+                                .cast("bigint")
+                            )
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                F.lit("]"),
+            ).alias("arr_json")
+        )
+    )
+    packed.createOrReplaceTempView("ve_packed")
+    return spark.sql(
+        """
+        SELECT p.user_id,
+               CAST(x.pos AS BIGINT) AS pos,
+               variant_get(x.value, '$', 'bigint') AS cents
+        FROM (SELECT user_id, parse_json(arr_json) AS var
+              FROM ve_packed) p,
+             LATERAL variant_explode(p.var) AS x
+        ORDER BY p.user_id, pos
+        """
+    )

@@ -413,3 +413,56 @@ def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q_sql_listagg",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           string_agg(DISTINCT substr(n.n_name, 1, 1), ''
+                      ORDER BY substr(n.n_name, 1, 1)) AS initials
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    category="2.A",
+)
+def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE LISTAGG (Spark 4) — the ISO/ANSI ordered string
+    concatenation aggregate, in both its WITHIN GROUP form and the
+    DISTINCT form (initial letters per region): q_agg_string_agg
+    spells the same semantics through concat_ws(sorted collect_list)
+    because pre-4.0 Spark had no builtin; this rung certifies the
+    builtin against DuckDB's string_agg(... ORDER BY ...) spelling —
+    two DIFFERENT surface syntaxes for the same standard aggregate,
+    value-identical including the order guarantee and DISTINCT-
+    before-ordering semantics. The builtin matters at scale: it
+    evaluates as a sort-based aggregate inside the JVM (no array
+    materialization per group in the plan the collect_list form
+    builds), and the ORDER BY is per-group, never global. Group
+    cardinality discipline still applies — LISTAGG output is O(group
+    members); use it on bounded dims (here: 25 nations over 5
+    regions), never on fact-scale groups."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "la_nation"
+    )
+    load_table(spark, sf_dir, "region").createOrReplaceTempView(
+        "la_region"
+    )
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n.n_name, ',')
+                   WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               listagg(DISTINCT substr(n.n_name, 1, 1), '')
+                   WITHIN GROUP (ORDER BY substr(n.n_name, 1, 1))
+                   AS initials
+        FROM la_nation n JOIN la_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )
