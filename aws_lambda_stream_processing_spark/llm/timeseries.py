@@ -3329,3 +3329,164 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(b2 * 1000000.0 + 0.5) / 1000000.0).alias("beta_x"),
         (F.floor(f_stat * 1000000.0 + 0.5) / 1000000.0).alias("f_stat"),
     ).orderBy("x_type")
+
+
+@query(
+    "q_ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY cal.day) AS t,
+               COALESCE(a.cents, 0) AS y
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    week1 AS (
+        SELECT event_type,
+               list(CAST(y AS HUGEINT) ORDER BY t) AS ys,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS tot
+        FROM dense WHERE t <= 7 GROUP BY event_type
+    ),
+    hw AS (
+        SELECT event_type, 7 AS t,
+               tot AS l,
+               CAST(0 AS HUGEINT) AS b,
+               list_transform(generate_series(1, 7),
+                              i -> 7 * ys[i] - tot) AS s,
+               CAST(7 AS HUGEINT) AS p
+        FROM week1
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+               2 * h.p * d.y - 2 * h.s[(h.t % 7) + 1]
+                   + 2 * h.l + 2 * h.b,
+               h.p * d.y - h.s[(h.t % 7) + 1] - h.l + 3 * h.b,
+               list_transform(generate_series(1, 7),
+                              i -> CASE WHEN i = (h.t % 7) + 1
+                                   THEN h.p * d.y + 3 * h.s[i]
+                                        - h.l - h.b
+                                   ELSE 4 * h.s[i] END),
+               4 * h.p
+        FROM hw h JOIN dense d
+          ON d.event_type = h.event_type AND d.t = h.t + 1
+        WHERE h.t < 30
+    )
+    SELECT event_type,
+           ((l * 10000 + 10000000000000 * p) // p - 10000000000000)
+               / 10000.0 AS level,
+           ((b * 10000 + 10000000000000 * p) // p - 10000000000000)
+               / 10000.0 AS trend,
+           (((l + 1 * b + s[3]) * 10000 + 10000000000000 * p) // p
+            - 10000000000000) / 10000.0 AS f1,
+           (((l + 7 * b + s[2]) * 10000 + 10000000000000 * p) // p
+            - 10000000000000) / 10000.0 AS f7
+    FROM hw WHERE t = 30
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE TRIPLE SMOOTHING (level + trend + weekly
+    seasonality, alpha = beta = gamma = 1/2, m = 7) — the top of the
+    forecasting ladder (ewma16: level; holt_linear: +trend; here:
+    +seasonal indices), the method that actually fits weekly-cycled
+    revenue. The ALL-INTEGER state discipline extends to a 9-element
+    state VECTOR: week-1 init divides by 7, every update by 2, so
+    state at step t is exact at scale 7*4^(t-7) — the kernel carries
+    (L, B, S[7], P) as scaled integers (Python bigint / DuckDB
+    HUGEINT; untouched seasonal slots rescale by 4 each step),
+    forecasts add the cycled seasonal slot BEFORE the single final
+    floor-4dp rescale (offset/truncate floor, negatives agree). 23
+    coupled feedback steps, zero floats in the state: bit-exact on
+    any partitioning or engine. Kernel shape: fact scan → 5 (type,
+    series) rows → applyInPandas O(n+m) state; per-segment series
+    fan out embarrassingly parallel at 100 TB. Oracle: the same
+    recursion as a DuckDB recursive CTE whose state includes a LIST
+    column updated by positional list_transform — natively recursive,
+    independently derived."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("s")
+    )
+
+    def hw_kernel(pdfs):
+        for pdf in pdfs:
+            out = []
+            for _, row in pdf.iterrows():
+                y = [int(v) for v in row["s"]]
+                tot = sum(y[:7])
+                big_l, big_b = tot, 0
+                seas = [7 * y[i] - tot for i in range(7)]
+                p = 7
+                for t in range(8, 31):
+                    yt = y[t - 1]
+                    j = (t - 1) % 7
+                    new_l = 2 * p * yt - 2 * seas[j] + 2 * big_l \
+                        + 2 * big_b
+                    new_b = p * yt - seas[j] - big_l + 3 * big_b
+                    seas = [
+                        (p * yt + 3 * seas[i] - big_l - big_b)
+                        if i == j else 4 * seas[i]
+                        for i in range(7)
+                    ]
+                    big_l, big_b, p = new_l, new_b, 4 * p
+
+                def e4(num, p=p):
+                    return (num * 10000) // p / 10000.0
+
+                out.append(
+                    (
+                        row["event_type"],
+                        e4(big_l),
+                        e4(big_b),
+                        e4(big_l + 1 * big_b + seas[2]),
+                        e4(big_l + 7 * big_b + seas[1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "level", "trend", "f1", "f7"],
+            )
+
+    return series.mapInPandas(
+        hw_kernel,
+        schema=(
+            "event_type string, level double, trend double, "
+            "f1 double, f7 double"
+        ),
+    ).orderBy("event_type")

@@ -101,6 +101,7 @@ SAMPLE = [
     "q_ts_holt_linear",  # integer recursion state across kernel batches
     "q_ts_granger",  # 10-moment fixed IEEE tree, 2x2 closed-form solve
     "q_agg_cramers_v",  # DECIMAL term-sum + V trees across partitionings
+    "q_ts_holt_winters",  # 9-element integer state vector across batches
 ]
 
 
@@ -127,6 +128,7 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_scale_exchange_reuse",  # ts→date grouping + timestamp output col
      "q_ts_dtw",  # date scaffold join under a hostile zone
      "q_ts_holt_linear",  # same scaffold + ts→date grouping
+     "q_ts_holt_winters",  # seasonal slots keyed off scaffold day index
      "q_ts_granger",  # scaffold lag joins under a hostile zone
      "q_agg_cramers_v",  # dayofweek contingency under a hostile zone
      "q_events_cuped"],  # pre/post split at a timestamp literal
