@@ -1921,3 +1921,134 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil as _sh
 
             _sh.rmtree(idx_dir, ignore_errors=True)
+
+
+_BSH_M = 4096  # bloom bits
+_BSH_K = 3  # hash count
+_BSH_P = 1000003  # affine-hash prime
+_BSH_MOD = 2147483647  # fingerprint fold modulus (2^31-1)
+_BSH_SEEDS = ((1103515245, 12345), (69069, 362437), (214013, 2531011))
+
+
+@query(
+    "q_llm_dedup_bloom_shard",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ') AS canon
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, canon,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(canon, ' '),
+                           x -> CAST(ascii(x) * 31 + length(x)
+                                     AS BIGINT))),
+                   (acc, h) -> (acc * 131 + h) % {_BSH_MOD}) AS key
+        FROM d
+    ),
+    a AS (SELECT * FROM keyed WHERE doc_id % 2 = 0),
+    b AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
+    seeds AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, {sa}, {sb})" for i, (sa, sb) in enumerate(_BSH_SEEDS))})
+            s(s, sa, sb)
+    ),
+    bits AS (
+        SELECT DISTINCT (sa * key + sb) % {_BSH_P} % {_BSH_M} AS bit
+        FROM a CROSS JOIN seeds
+    ),
+    probe AS (
+        SELECT b.doc_id, b.canon,
+               (sa * b.key + sb) % {_BSH_P} % {_BSH_M} AS bit
+        FROM b CROSS JOIN seeds
+    ),
+    cand AS (
+        SELECT p.doc_id, MIN(p.canon) AS canon
+        FROM probe p JOIN bits USING (bit)
+        GROUP BY p.doc_id HAVING COUNT(*) = {_BSH_K}
+    ),
+    verified AS (
+        SELECT c.doc_id FROM cand c
+        WHERE EXISTS (SELECT 1 FROM a WHERE a.canon = c.canon)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+               AS n_bloom_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_true_dups
+    """,
+    category="2.J",
+)
+def q_llm_dedup_bloom_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED CROSS-SHARD DEDUP — the pipeline COMPOSITION
+    the sketch rung (q_sketch_bloom: bloom as relational algebra) and
+    the exact-dedup ladder each show half of: an incoming shard (odd
+    doc_ids) dedups against a reference shard (even) on the CANONICAL
+    BAG-OF-WORDS key, and the expensive equality join runs only on
+    bloom POSITIVES. Because a Bloom filter has no false negatives,
+    prefilter + exact-verify returns exactly the true duplicate set —
+    the result is EXACT while the shuffle carries candidates, not the
+    shard (the 100 TB shape: ship a few KB of filter bits to every
+    executor, drop the overwhelming non-dup majority at the map side,
+    equality-join the survivors; the reported n_bloom_candidates −
+    n_true_dups overhang is the false-positive cost a pipeline
+    monitors to know when m/n needs re-sizing). Keys are the house
+    engine-portable rolling hash (ascii-fold mod 2^31−1, the
+    fingerprint kernel) over the sorted-distinct token string, so
+    key collisions cannot corrupt the result either — verification
+    compares the canonical STRING. All integer algebra; exact on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+        ).alias("canon"),
+    )
+    hs = F.transform(
+        F.split("canon", " "),
+        lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long"),
+    )
+    keyed = d.select(
+        "doc_id",
+        "canon",
+        F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 131 + h) % _BSH_MOD,
+        ).alias("key"),
+    )
+    a = keyed.where(F.col("doc_id") % 2 == 0)
+    b = keyed.where(F.col("doc_id") % 2 == 1)
+    seeds = spark.createDataFrame(
+        [(i, sa, sb) for i, (sa, sb) in enumerate(_BSH_SEEDS)],
+        "s int, sa long, sb long",
+    )
+    bit = (F.col("sa") * F.col("key") + F.col("sb")) % _BSH_P % _BSH_M
+    bits = (
+        a.crossJoin(F.broadcast(seeds))
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    probe = b.crossJoin(F.broadcast(seeds)).select(
+        "doc_id", "canon", bit.alias("bit")
+    )
+    cand = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id")
+        .agg(
+            F.min("canon").alias("canon"),
+            F.count("*").alias("nbits"),
+        )
+        .where(F.col("nbits") == _BSH_K)
+    )
+    verified = cand.join(
+        a.select("canon"), "canon", "left_semi"
+    ).agg(F.count("*").cast("long").alias("n_true_dups"))
+    n_b = b.agg(F.count("*").cast("long").alias("n_b"))
+    n_cand = cand.agg(
+        F.count("*").cast("long").alias("n_bloom_candidates")
+    )
+    return n_b.crossJoin(F.broadcast(n_cand)).crossJoin(
+        F.broadcast(verified)
+    )

@@ -1546,3 +1546,115 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scc_id")
     )
+
+
+@query(
+    "q_graph_dyad_census",
+    oracle=f"""
+    WITH pl AS (
+        SELECT l_orderkey AS o, l_partkey AS p, l_linenumber AS ln
+        FROM lineitem WHERE l_partkey <= {_SCC_PANEL}
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pl a JOIN pl b ON a.o = b.o AND a.ln < b.ln AND a.p <> b.p
+    ),
+    nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+    pairs AS (
+        SELECT e.u AS lo, e.v AS hi FROM edges e WHERE e.u < e.v
+        UNION
+        SELECT e.v, e.u FROM edges e WHERE e.v < e.u
+    ),
+    typed AS (
+        SELECT p.lo, p.hi,
+               CASE WHEN EXISTS (SELECT 1 FROM edges e
+                                 WHERE e.u = p.lo AND e.v = p.hi)
+                     AND EXISTS (SELECT 1 FROM edges e
+                                 WHERE e.u = p.hi AND e.v = p.lo)
+                    THEN 'M' ELSE 'A' END AS kind
+        FROM pairs p
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           CAST(SUM(CASE WHEN kind = 'M' THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual,
+           CAST(SUM(CASE WHEN kind = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS asymmetric,
+           CAST((SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM nodes)
+                - COUNT(*) AS BIGINT) AS null_dyads
+    FROM typed
+    """,
+    category="2.C",
+)
+def q_graph_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYAD CENSUS (Holland-Leinhardt M/A/N) on the directed
+    precedence graph — the first-order structure report for any
+    directed relation, and the reciprocity measurement SCC builds on:
+    Mutual dyads (both directions present — exactly the 2-cycles that
+    seed q_graph_scc's nontrivial components), Asymmetric (one
+    direction), Null (neither, by complement against C(n,2) — never
+    materialized). Same panel-bounded edge relation as SCC (shared
+    derivation, independent census). The census is ONE self-join of
+    the canonicalized pair list against the reversed edge set — at
+    scale the M/A split shuffles only the EDGE list (null dyads are
+    arithmetic), so the census costs a dedup + one join regardless
+    of how sparse the graph is; reciprocity = M/(M+A) follows on the
+    driver for free."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") <= _SCC_PANEL
+    ).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.ln") < F.col("b.ln"))
+            & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select("v"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    pairs = edges.select(
+        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+    ).distinct()
+    rev = edges.select(
+        F.col("v").alias("lo2"), F.col("u").alias("hi2")
+    )
+    mutual_pairs = (
+        pairs.join(
+            edges.alias("f"),
+            (F.col("lo") == F.col("f.u")) & (F.col("hi") == F.col("f.v")),
+            "left_semi",
+        )
+        .join(
+            rev.alias("g"),
+            (F.col("lo") == F.col("g.lo2"))
+            & (F.col("hi") == F.col("g.hi2")),
+            "left_semi",
+        )
+    )
+    m = mutual_pairs.agg(F.count("*").cast("long").alias("mutual"))
+    tot = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        n_nodes.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_nodes",
+            "mutual",
+            (F.col("n_pairs") - F.col("mutual")).cast("long")
+            .alias("asymmetric"),
+            (
+                F.col("n_nodes") * (F.col("n_nodes") - 1) / 2
+                - F.col("n_pairs")
+            ).cast("long").alias("null_dyads"),
+        )
+    )

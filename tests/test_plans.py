@@ -1229,3 +1229,55 @@ def test_exchange_reuse_fires_and_knows_its_limits(spark, registry):
     ctl.collect()
     ctl_plan = plan_string(ctl, "simple").split("== Physical Plan ==")[-1]
     assert "ReusedExchange" not in ctl_plan, ctl_plan
+
+
+def test_modified_after_filters_at_listing(spark, registry):
+    """q_source_modified_after: the option must filter FILES at listing
+    time — the filtered read's inputFiles are exactly the appended
+    batch's part files, and the unfiltered read sees all of them
+    (negative control). Asserted on the file LIST, not just row
+    counts, because a row-level filter would produce the same rows
+    while scanning everything — the opposite of the rung's point."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="alsp_modified_after_gate_")
+    try:
+        e = load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type"
+        )
+        land = os.path.join(tmp, "landing")
+        e.where(F.col("event_id") % 3 != 0).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(land)
+        past = 1577836800  # 2020-01-01T00:00:00Z
+        old_files = set()
+        for fn in os.listdir(land):
+            if fn.startswith("part-"):
+                os.utime(os.path.join(land, fn), (past, past))
+                old_files.add(fn)
+        e.where(F.col("event_id") % 3 == 0).coalesce(2).write.mode(
+            "append"
+        ).parquet(land)
+        new_files = {
+            fn for fn in os.listdir(land)
+            if fn.startswith("part-") and fn not in old_files
+        }
+        assert old_files and new_files
+
+        filtered = spark.read.option(
+            "modifiedAfter", "2022-01-01T00:00:00"
+        ).parquet(land)
+        got = {os.path.basename(p) for p in filtered.inputFiles()}
+        assert got == new_files, (got, new_files)
+
+        unfiltered = spark.read.parquet(land)
+        all_got = {os.path.basename(p) for p in unfiltered.inputFiles()}
+        assert all_got == old_files | new_files, all_got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
