@@ -1658,3 +1658,190 @@ def q_graph_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("null_dyads"),
         )
     )
+
+
+_STRESS_BUCKETS = 64  # quotient-graph node panel (partkey % buckets)
+_STRESS_LEVELS = 6  # BFS unroll depth; measured max ecc 3 at every SF
+
+
+def _stress_oracle(k: int = _STRESS_LEVELS) -> str:
+    """Generated unrolled-level BFS path-counting oracle: level k's
+    frontier is a GROUP BY over the PREVIOUS frontier × edges (sigma
+    sums), visited-set exclusion via NOT EXISTS against the union so
+    far — aggregation per level is legal because the levels are
+    ordinary chained CTEs, not a recursive member (the DTW generated-
+    oracle trick applied to BFS). A level-(k+1) frontier row trips an
+    error() guard: the unroll depth is an ASSERTED bound, never a
+    silent truncation."""
+    ctes = []
+    for i in range(1, k + 2):
+        prev_f = "r0" if i == 1 else f"f{i - 1}"
+        prev_r = f"r{i - 1}"
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT r.s, e.v, {i} AS d, "
+            f"CAST(SUM(r.sig) AS BIGINT) AS sig "
+            f"FROM {prev_f} r JOIN es e ON r.v = e.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev_r} x "
+            f"WHERE x.s = r.s AND x.v = e.v) "
+            f"GROUP BY r.s, e.v)"
+        )
+        if i <= k:
+            ctes.append(
+                f"r{i} AS MATERIALIZED (SELECT * FROM r{i - 1} "
+                f"UNION ALL SELECT * FROM f{i})"
+            )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pl AS (
+        SELECT l_orderkey AS o, l_partkey % {_STRESS_BUCKETS} AS p
+        FROM lineitem
+    ),
+    e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ),
+    es AS MATERIALIZED (
+        SELECT u, v FROM e0 WHERE (u * 31 + v * 17) % 9 = 3
+        UNION ALL
+        SELECT v, u FROM e0 WHERE (u * 31 + v * 17) % 9 = 3
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM es),
+    r0 AS MATERIALIZED (
+        SELECT n AS s, n AS v, 0 AS d, CAST(1 AS BIGINT) AS sig
+        FROM nodes
+    ),
+    {chain},
+    guard AS (
+        SELECT CASE WHEN COUNT(*) > 0
+                    THEN CAST(error(
+                      'stress BFS unroll depth {k} exceeded')
+                      AS BIGINT)
+                    ELSE 0 END AS z
+        FROM f{k + 1}
+    )
+    SELECT a.v AS node,
+           CAST(SUM(a.sig * b.sig) + MAX(g.z) AS BIGINT) AS stress
+    FROM r{k} a
+    JOIN r{k} b ON a.v = b.s AND a.d > 0 AND b.d > 0 AND a.s < b.v
+    JOIN r{k} c ON c.s = a.s AND c.v = b.v AND c.d = a.d + b.d
+    CROSS JOIN guard g
+    GROUP BY a.v
+    ORDER BY node
+    """
+
+
+@query(
+    "q_graph_stress_centrality",
+    oracle=_stress_oracle(),
+    category="2.C",
+)
+def q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRESS CENTRALITY (Shimbel) — exact shortest-path-THROUGH
+    counting, the all-integer sibling of betweenness (betweenness
+    divides per-pair by sigma_st, making the sum a float whose
+    distributed accumulation order the shuffle owns; stress keeps the
+    raw count sigma_sv * sigma_vt over shortest-path-composing pairs,
+    so every value is an exact int64 and the rung stays bit-exact on
+    any partitioning — choose the statistic to FIT the execution
+    model). Graph: the hash-contracted co-occurrence quotient
+    (partkey % 64 super-nodes — the quotient keeps the panel FIXED
+    at every SF where a raw-key panel goes degenerate: measured,
+    top-64-frequent parts give ecc 7 and 6 components at sf0.1),
+    hash-sparsified to ~11% so shortest paths are nontrivial
+    (unsparsified the quotient is COMPLETE at sf>=0.01 and stress is
+    vacuously zero — also measured). BFS path-counting runs
+    {levels} unrolled levels (measured max ecc 3 at every SF, 2x
+    headroom), each ONE join + hash agg + anti-join, frontier-from-
+    frontier so work per level is O(frontier), with per-level
+    localCheckpoint; the level-{guard} frontier must be EMPTY —
+    asserted by the oracle's error() guard and the plan-gate test,
+    never silently truncated. The stress assembly is the triple join
+    R(s,mid) x R(mid,t) x R(s,t) on d1+d2=d — quadratic in the
+    PANEL, constant in the corpus. Oracle: the same DP as generated
+    chained CTEs (the DTW trick applied to BFS — per-level GROUP BY
+    is legal in ordinary CTEs where a recursive member forbids
+    it)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
+    )
+    es = e0.union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    es = tracked_local_checkpoint(es)
+    nodes = es.select(F.col("u").alias("n")).distinct()
+    r = nodes.select(
+        F.col("n").alias("s"),
+        F.col("n").alias("v"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sig"),
+    )
+    frontier = r
+    for lvl in range(1, _STRESS_LEVELS + 1):
+        nxt = (
+            frontier.alias("r")
+            .join(
+                F.broadcast(es).alias("e"),
+                F.col("r.v") == F.col("e.u"),
+            )
+            .groupBy(
+                F.col("r.s").alias("s"), F.col("e.v").alias("v")
+            )
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .join(
+                r.select(
+                    F.col("s").alias("seen_s"),
+                    F.col("v").alias("seen_v"),
+                ),
+                (F.col("s") == F.col("seen_s"))
+                & (F.col("v") == F.col("seen_v")),
+                "left_anti",
+            )
+            .select("s", "v", F.lit(lvl).alias("d"), "sig")
+        )
+        frontier = tracked_local_checkpoint(nxt)
+        # r stays a shallow union of <=7 lineage-TRUNCATED frontiers —
+        # bounded depth without its own checkpoint (checkpointing the
+        # union trips SPARK's AttributeMap on the duplicated exprIds a
+        # checkpointed child shares with its ancestor)
+        r = r.union(frontier)
+    ra = r.alias("a")
+    rb = r.alias("b")
+    rc = r.alias("c")
+    return (
+        ra.join(
+            rb,
+            (F.col("a.v") == F.col("b.s"))
+            & (F.col("a.d") > 0)
+            & (F.col("b.d") > 0)
+            & (F.col("a.s") < F.col("b.v")),
+        )
+        .join(
+            rc,
+            (F.col("c.s") == F.col("a.s"))
+            & (F.col("c.v") == F.col("b.v"))
+            & (F.col("c.d") == F.col("a.d") + F.col("b.d")),
+        )
+        .groupBy(F.col("a.v").alias("node"))
+        .agg(
+            F.sum(F.col("a.sig") * F.col("b.sig")).cast("long")
+            .alias("stress")
+        )
+        .orderBy("node")
+    )
+
+
+q_graph_stress_centrality.__doc__ = q_graph_stress_centrality.__doc__.format(
+    levels=_STRESS_LEVELS, guard=_STRESS_LEVELS + 1
+)

@@ -1281,3 +1281,64 @@ def test_modified_after_filters_at_listing(spark, registry):
         assert all_got == old_files | new_files, all_got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stress_centrality_unroll_depth_holds(spark, registry):
+    """q_graph_stress_centrality: the 6-level unroll is an ASSERTED
+    bound — the level-7 frontier must be empty at this SF (the oracle
+    enforces the same with error(); this gate covers the Spark side),
+    and the BFS must actually have multi-level structure (some node
+    pairs at distance >= 2, else stress is vacuously zero)."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.graphs import (
+        _STRESS_BUCKETS,
+    )
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
+    )
+    es = e0.union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    nodes = es.select(F.col("u").alias("n")).distinct()
+    r = nodes.select(
+        F.col("n").alias("s"), F.col("n").alias("v"),
+        F.lit(0).alias("d"),
+    )
+    frontier = r
+    sizes = []
+    for lvl in range(1, 8):
+        nxt = (
+            frontier.alias("r")
+            .join(F.broadcast(es).alias("e"),
+                  F.col("r.v") == F.col("e.u"))
+            .select(F.col("r.s").alias("s"), F.col("e.v").alias("v"))
+            .distinct()
+            .join(
+                r.select(F.col("s").alias("ss"),
+                         F.col("v").alias("vv")),
+                (F.col("s") == F.col("ss"))
+                & (F.col("v") == F.col("vv")),
+                "left_anti",
+            )
+            .select("s", "v", F.lit(lvl).alias("d"))
+        )
+        frontier = nxt.localCheckpoint()
+        sizes.append(frontier.count())
+        r = r.union(frontier)
+    assert sizes[6] == 0, f"level-7 frontier nonempty: {sizes}"
+    assert sizes[1] > 0, f"no distance-2 pairs, stress vacuous: {sizes}"

@@ -102,6 +102,7 @@ SAMPLE = [
     "q_ts_granger",  # 10-moment fixed IEEE tree, 2x2 closed-form solve
     "q_agg_cramers_v",  # DECIMAL term-sum + V trees across partitionings
     "q_ts_holt_winters",  # 9-element integer state vector across batches
+    "q_graph_stress_centrality",  # 6-level sigma DP + triple self-join
 ]
 
 
