@@ -1845,3 +1845,147 @@ def q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_stress_centrality.__doc__ = q_graph_stress_centrality.__doc__.format(
     levels=_STRESS_LEVELS, guard=_STRESS_LEVELS + 1
 )
+
+
+def _ecc_oracle(k: int = _STRESS_LEVELS) -> str:
+    """Unrolled-level BFS distance oracle over the same sparsified
+    quotient graph as stress centrality (distances only — no sigma),
+    with the same level-(k+1) emptiness guard."""
+    ctes = []
+    for i in range(1, k + 2):
+        prev_f = "r0" if i == 1 else f"f{i - 1}"
+        prev_r = f"r{i - 1}"
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT r.s, e.v, {i} AS d "
+            f"FROM {prev_f} r JOIN es e ON r.v = e.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev_r} x "
+            f"WHERE x.s = r.s AND x.v = e.v))"
+        )
+        if i <= k:
+            ctes.append(
+                f"r{i} AS MATERIALIZED (SELECT * FROM r{i - 1} "
+                f"UNION ALL SELECT * FROM f{i})"
+            )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH pl AS (
+        SELECT l_orderkey AS o, l_partkey % {_STRESS_BUCKETS} AS p
+        FROM lineitem
+    ),
+    e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ),
+    es AS MATERIALIZED (
+        SELECT u, v FROM e0 WHERE (u * 31 + v * 17) % 9 = 3
+        UNION ALL
+        SELECT v, u FROM e0 WHERE (u * 31 + v * 17) % 9 = 3
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM es),
+    r0 AS MATERIALIZED (
+        SELECT n AS s, n AS v, 0 AS d FROM nodes
+    ),
+    {chain},
+    guard AS (
+        SELECT CASE WHEN COUNT(*) > 0
+                    THEN CAST(error(
+                      'eccentricity BFS unroll depth {k} exceeded')
+                      AS BIGINT)
+                    ELSE 0 END AS z
+        FROM f{k + 1}
+    ),
+    ecc AS (
+        SELECT r.s AS node,
+               CAST(MAX(r.d) + MAX(g.z) AS BIGINT) AS ecc,
+               CAST(COUNT(*) AS BIGINT) AS n_reach
+        FROM r{k} r CROSS JOIN guard g
+        GROUP BY r.s
+    )
+    SELECT node, ecc, n_reach,
+           CAST(MIN(ecc) OVER () AS BIGINT) AS radius,
+           CAST(MAX(ecc) OVER () AS BIGINT) AS diameter
+    FROM ecc
+    ORDER BY node
+    """
+
+
+@query(
+    "q_graph_eccentricity",
+    oracle=_ecc_oracle(),
+    category="2.C",
+)
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECCENTRICITY / RADIUS / DIAMETER — the distance-profile report
+    over the stress-centrality graph (same hash-contracted, hash-
+    sparsified quotient; shared derivation, independent metrics):
+    per node its eccentricity max_t d(n,t) and reachable-set size
+    (the graph is deliberately disconnected at ~11% sparsification,
+    so n_reach varies and ecc is per-COMPONENT — exactly how the
+    metric behaves on real co-occurrence graphs), plus component-
+    blind radius and diameter as window aggregates over the node
+    panel. Same 6-level frontier-from-frontier BFS with per-level
+    localCheckpoint and the level-7 emptiness contract (oracle
+    error() guard); distances are small exact ints, MAX/MIN are
+    associative — bit-exact anywhere. At 100 TB the BFS table is the
+    reusable artifact: eccentricity, stress, harmonic centrality,
+    and reachability all read the same R(s,v,d) relation — compute
+    it once per graph snapshot, answer the family from it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
+    )
+    es = tracked_local_checkpoint(
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    nodes = es.select(F.col("u").alias("n")).distinct()
+    r = nodes.select(
+        F.col("n").alias("s"),
+        F.col("n").alias("v"),
+        F.lit(0).alias("d"),
+    )
+    frontier = r
+    for lvl in range(1, _STRESS_LEVELS + 1):
+        nxt = (
+            frontier.alias("r")
+            .join(
+                F.broadcast(es).alias("e"),
+                F.col("r.v") == F.col("e.u"),
+            )
+            .select(F.col("r.s").alias("s"), F.col("e.v").alias("v"))
+            .distinct()
+            .join(
+                r.select(
+                    F.col("s").alias("seen_s"),
+                    F.col("v").alias("seen_v"),
+                ),
+                (F.col("s") == F.col("seen_s"))
+                & (F.col("v") == F.col("seen_v")),
+                "left_anti",
+            )
+            .select("s", "v", F.lit(lvl).alias("d"))
+        )
+        frontier = tracked_local_checkpoint(nxt)
+        r = r.union(frontier)
+    ecc = r.groupBy(F.col("s").alias("node")).agg(
+        F.max("d").cast("long").alias("ecc"),
+        F.count("*").cast("long").alias("n_reach"),
+    )
+    w = Window.partitionBy()
+    return ecc.select(
+        "node",
+        "ecc",
+        "n_reach",
+        F.min("ecc").over(w).cast("long").alias("radius"),
+        F.max("ecc").over(w).cast("long").alias("diameter"),
+    ).orderBy("node")

@@ -103,6 +103,7 @@ SAMPLE = [
     "q_agg_cramers_v",  # DECIMAL term-sum + V trees across partitionings
     "q_ts_holt_winters",  # 9-element integer state vector across batches
     "q_graph_stress_centrality",  # 6-level sigma DP + triple self-join
+    "q_graph_eccentricity",  # same BFS table, window aggs over the panel
 ]
 
 
