@@ -2362,3 +2362,80 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(mde).alias("mde_cents"),
         n_req.alias("n_per_arm_2pct"),
     )
+
+
+@query(
+    "q_agg_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 45
+                  WHEN event_type = 'error' THEN 5
+                  ELSE 15 END AS gap_min
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, gap_min,
+             CASE WHEN MAX(ts + to_minutes(gap_min)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR ts >= MAX(ts + to_minutes(gap_min)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, gap_min,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + to_minutes(gap_min)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    category="2.E",
+)
+def q_agg_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows — `session_window(ts, <expression>)`
+    with a PER-ROW gap (purchases/signups hold a session open 45 min,
+    errors only 5, browsing 15): the session model real products use,
+    where intent signals extend the session and noise doesn't. The
+    semantics change vs the fixed gap is real, not cosmetic: each
+    event contributes its own candidate window [ts, ts+gap), sessions
+    are the transitive merge of OVERLAPS, so a session's end is the
+    MAX of ts+gap over its members — not last-event+constant — and
+    the oracle's gaps-and-islands rewrite must track a RUNNING MAX of
+    per-row ends (a new session starts iff ts clears every previous
+    end), not the previous row's ts. Same execution shape as the
+    fixed-gap rung: ONE hash exchange on user_id + in-partition merge
+    — the dynamic gap is evaluated row-side, costs nothing extra at
+    100 TB, and works identically under Structured Streaming where
+    per-event-type gaps are the standard sessionization ask."""
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.lit("45 minutes"),
+        )
+        .when(F.col("event_type") == "error", F.lit("5 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
