@@ -3224,3 +3224,183 @@ def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(stat * 1000000.0 + 0.5) / 1000000.0).alias("mcnemar"),
         (F.floor(cc * 1000000.0 + 0.5) / 1000000.0).alias("mcnemar_cc"),
     )
+
+
+@query(
+    "q_agg_anova2_unweighted",
+    oracle="""
+    WITH cells AS (
+        SELECT dayofweek(ts) + 1 AS a, hour(ts) // 6 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT a, b, n, s, ss, s * 1.0 / n AS mean
+        FROM cells
+    ),
+    rows_ AS (
+        SELECT a, CAST(SUM(CAST(mean AS DECIMAL(38, 18))) AS DOUBLE)
+                  / 4.0 AS m_a
+        FROM m GROUP BY a
+    ),
+    cols_ AS (
+        SELECT b, CAST(SUM(CAST(mean AS DECIMAL(38, 18))) AS DOUBLE)
+                  / 7.0 AS m_b
+        FROM m GROUP BY b
+    ),
+    grand AS (
+        SELECT CAST(SUM(CAST(mean AS DECIMAL(38, 18))) AS DOUBLE)
+                   / 28.0 AS gm,
+               28.0 / CAST(SUM(CAST(1.0 / n AS DECIMAL(38, 18)))
+                           AS DOUBLE) AS n_h,
+               CAST(SUM(n) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(ss - s * 1.0 * s / n AS DECIMAL(38, 18)))
+                    AS DOUBLE) AS ss_w
+        FROM m
+    ),
+    parts AS (
+        SELECT g.n_obs, g.n_h, g.ss_w,
+               g.n_h * 4.0 * (
+                   SELECT CAST(SUM(CAST((m_a - g.gm) * (m_a - g.gm)
+                                        AS DECIMAL(38, 18))) AS DOUBLE)
+                   FROM rows_) AS ss_a,
+               g.n_h * 7.0 * (
+                   SELECT CAST(SUM(CAST((m_b - g.gm) * (m_b - g.gm)
+                                        AS DECIMAL(38, 18))) AS DOUBLE)
+                   FROM cols_) AS ss_b,
+               g.n_h * (
+                   SELECT CAST(SUM(CAST(
+                       (c.mean - r.m_a - c2.m_b + g.gm)
+                       * (c.mean - r.m_a - c2.m_b + g.gm)
+                       AS DECIMAL(38, 18))) AS DOUBLE)
+                   FROM m c
+                   JOIN rows_ r ON c.a = r.a
+                   JOIN cols_ c2 ON c.b = c2.b) AS ss_ab
+        FROM grand g
+    )
+    SELECT n_obs,
+           floor(n_h * 1000000.0 + 0.5) / 1000000.0 AS n_h,
+           floor(ss_a * 100.0 + 0.5) / 100.0 AS ss_a,
+           floor(ss_b * 100.0 + 0.5) / 100.0 AS ss_b,
+           floor(ss_ab * 100.0 + 0.5) / 100.0 AS ss_ab,
+           floor(ss_w * 100.0 + 0.5) / 100.0 AS ss_w,
+           floor((ss_a / 6.0) / (ss_w / (n_obs - 28))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_a,
+           floor((ss_b / 3.0) / (ss_w / (n_obs - 28))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_b,
+           floor((ss_ab / 18.0) / (ss_w / (n_obs - 28))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_ab
+    FROM parts
+    """,
+    category="2.D",
+)
+def q_agg_anova2_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-WAY ANOVA with interaction (day-of-week x hour-band,
+    unweighted-means analysis) — the factorial extension of
+    q_ts_anova_hod's one-way screen: does the weekly pattern DIFFER
+    by time of day (the interaction F), beyond the two main effects?
+    Cell counts are unbalanced in observational data, so the classic
+    unweighted-means analysis applies: every SS is computed over CELL
+    MEANS with the harmonic mean n_h of cell counts as the effective
+    replication — the standard factorial screen a metrics warehouse
+    runs on activity data. Exactness discipline: per-cell (n, s, ss)
+    are exact int64 from ONE scan; every mean is a deterministic
+    double; every SUM over cells/rows/cols wraps its deterministic
+    double terms in DECIMAL(38,18) (exact decimal addition — the
+    chi2 rule: the order law applies to the SUM, not the terms); F
+    ratios are single fixed trees, floor-6dp (SS floor-2dp — they
+    are O(1e10) cents^2 magnitudes). The 28-cell panel is the
+    calendar, never the corpus: one map-side agg, then arithmetic on
+    28 rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = e.groupBy(
+        F.dayofweek("ts").alias("a"),
+        (F.hour("ts") / 6).cast("int").alias("b"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    m = cells.withColumn("mean", F.col("s") * 1.0 / F.col("n"))
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    rows_ = m.groupBy("a").agg(
+        (F.sum(dec(F.col("mean"))).cast("double") / 4.0).alias("m_a")
+    )
+    cols_ = m.groupBy("b").agg(
+        (F.sum(dec(F.col("mean"))).cast("double") / 7.0).alias("m_b")
+    )
+    grand = m.agg(
+        (F.sum(dec(F.col("mean"))).cast("double") / 28.0).alias("gm"),
+        (28.0 / F.sum(dec(F.lit(1.0) / F.col("n"))).cast("double"))
+        .alias("n_h"),
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum(
+            dec(F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+        ).cast("double").alias("ss_w"),
+    )
+    ga = grand.alias("g")
+    dev_a = (
+        rows_.crossJoin(F.broadcast(ga))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("m_a") - F.col("gm"))
+                    * (F.col("m_a") - F.col("gm"))
+                )
+            ).cast("double").alias("dev_a")
+        )
+    )
+    dev_b = (
+        cols_.crossJoin(F.broadcast(ga))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("m_b") - F.col("gm"))
+                    * (F.col("m_b") - F.col("gm"))
+                )
+            ).cast("double").alias("dev_b")
+        )
+    )
+    dev_ab = (
+        m.join(F.broadcast(rows_), "a")
+        .join(F.broadcast(cols_), "b")
+        .crossJoin(F.broadcast(ga))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("mean") - F.col("m_a") - F.col("m_b")
+                     + F.col("gm"))
+                    * (F.col("mean") - F.col("m_a") - F.col("m_b")
+                       + F.col("gm"))
+                )
+            ).cast("double").alias("dev_ab")
+        )
+    )
+    wide = (
+        grand.crossJoin(F.broadcast(dev_a))
+        .crossJoin(F.broadcast(dev_b))
+        .crossJoin(F.broadcast(dev_ab))
+    )
+    ss_a = F.col("n_h") * 4.0 * F.col("dev_a")
+    ss_b = F.col("n_h") * 7.0 * F.col("dev_b")
+    ss_ab = F.col("n_h") * F.col("dev_ab")
+    msw = F.col("ss_w") / (F.col("n_obs") - 28)
+    f2 = lambda c: F.floor(c * 100.0 + 0.5) / 100.0  # noqa: E731
+    f6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return wide.select(
+        "n_obs",
+        f6(F.col("n_h")).alias("n_h"),
+        f2(ss_a).alias("ss_a"),
+        f2(ss_b).alias("ss_b"),
+        f2(ss_ab).alias("ss_ab"),
+        f2(F.col("ss_w")).alias("ss_w"),
+        f6((ss_a / 6.0) / msw).alias("f_a"),
+        f6((ss_b / 3.0) / msw).alias("f_b"),
+        f6((ss_ab / 18.0) / msw).alias("f_ab"),
+    )

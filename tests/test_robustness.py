@@ -104,6 +104,7 @@ SAMPLE = [
     "q_ts_holt_winters",  # 9-element integer state vector across batches
     "q_graph_stress_centrality",  # 6-level sigma DP + triple self-join
     "q_graph_eccentricity",  # same BFS table, window aggs over the panel
+    "q_agg_anova2_unweighted",  # 28-cell DECIMAL sums + harmonic n_h tree
 ]
 
 
@@ -133,6 +134,7 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_ts_holt_winters",  # seasonal slots keyed off scaffold day index
      "q_ts_granger",  # scaffold lag joins under a hostile zone
      "q_agg_cramers_v",  # dayofweek contingency under a hostile zone
+     "q_agg_anova2_unweighted",  # dow × hour cells under a hostile zone
      "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
