@@ -20,6 +20,7 @@ unbounded driver-side state.
 from __future__ import annotations
 
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2414,3 +2415,89 @@ def q_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_max_files_per_trigger",
+    oracle="""
+    SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                WHEN 'purchase' THEN 2 ELSE 3 END AS batch_id,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('click', 'error', 'purchase', 'signup')
+    GROUP BY event_type
+    ORDER BY batch_id
+    """,
+    category="2.I",
+)
+def q_stream_max_files_per_trigger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-SIDE BACKPRESSURE — `maxFilesPerTrigger=1`, the rate
+    limit that keeps a file-stream's micro-batches sized to the
+    cluster instead of to the backlog: four single-type files land
+    with strictly increasing mtimes, and the stream must drain as
+    FOUR one-file micro-batches in MTIME ORDER (FileStreamSource
+    orders by modification time, latestFirst=false — the same
+    contract q_source_modified_after leans on from the batch side),
+    even under Trigger.AvailableNow, which honors source read limits
+    rather than swallowing the backlog whole (the property that makes
+    'catch up tonight, bounded memory' possible at 100 TB). The
+    oracle pins the full contract: batch_id IS the file's mtime rank
+    — so each (batch_id, event_type) pair certifies that batch k
+    contained exactly file k's rows, not merely that four batches
+    happened; counts and cents certify nothing was split or
+    coalesced across the limit."""
+    import os as _os
+
+    landing = tempfile.mkdtemp(prefix="alsp_mfpt_")
+    try:
+        order = ["click", "error", "purchase", "signup"]
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        base = 1700000000
+        for i, t in enumerate(order):
+            stage = _os.path.join(landing, f"stage{i}")
+            e.where(F.col("event_type") == t).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(
+                f for f in _os.listdir(stage) if f.startswith("part-")
+            )
+            dst = _os.path.join(landing, f"{i:03d}.parquet")
+            shutil.move(_os.path.join(stage, part), dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            _os.utime(dst, (base + i * 60, base + i * 60))
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        acc: list[tuple[int, str, int, int]] = []
+
+        def handler(bdf: DataFrame, bid: int) -> None:
+            for r in (
+                bdf.groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("cents").alias("cents"),
+                )
+                .collect()
+            ):
+                acc.append(
+                    (int(bid), r["event_type"], int(r["n"]),
+                     int(r["cents"]))
+                )
+
+        run_foreach_batch(stream, handler)
+        return spark.createDataFrame(
+            sorted(acc),
+            "batch_id bigint, event_type string, n bigint, cents bigint",
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
