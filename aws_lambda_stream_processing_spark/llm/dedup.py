@@ -2009,14 +2009,19 @@ def q_llm_dedup_bloom_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("canon", " "),
         lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long"),
     )
-    keyed = d.select(
-        "doc_id",
-        "canon",
-        F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * 131 + h) % _BSH_MOD,
-        ).alias("key"),
+    # the keyed frame feeds FIVE consumers (A bits, B probe, candidate
+    # verify, and both counters) — pin it once or the scan + canon sort
+    # + fold HOF re-run per consumer (measured 13.6 s -> the fix)
+    keyed = tracked_local_checkpoint(
+        d.select(
+            "doc_id",
+            "canon",
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 131 + h) % _BSH_MOD,
+            ).alias("key"),
+        )
     )
     a = keyed.where(F.col("doc_id") % 2 == 0)
     b = keyed.where(F.col("doc_id") % 2 == 1)

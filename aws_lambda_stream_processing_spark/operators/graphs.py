@@ -1664,6 +1664,123 @@ _STRESS_BUCKETS = 64  # quotient-graph node panel (partkey % buckets)
 _STRESS_LEVELS = 6  # BFS unroll depth; measured max ecc 3 at every SF
 
 
+# (app_id, sf_dir) -> sparsified quotient half-edge frame shared by the
+# stress-centrality / eccentricity pair (same _EDGE_MEMO discipline).
+_QUOT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _quotient_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified quotient co-occurrence edges (u < v, hash-kept ~11%):
+    built via the _part_edges per-order set-combination form — distinct
+    (order, bucket) first (<= 4 buckets/order), then in-array pair
+    explosion — NOT a fact self-join (the join form shuffles lineitem
+    twice; the set form measured 3.6 s vs 8.9 s on the full part graph
+    and the quotient is strictly cheaper). Memoized per (application,
+    sf_dir), family-scoped janitor release."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _QUOT_MEMO if k[0] != app]:
+        del _QUOT_MEMO[k]
+    key = (app, sf_dir)
+    if key in _QUOT_MEMO:
+        return _QUOT_MEMO[key]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
+    )
+    edges = (
+        li.groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
+        .cache()
+    )
+    _QUOT_MEMO[key] = edges
+
+    def _release(key=key, edges=edges):
+        _QUOT_MEMO.pop(key, None)
+        edges.unpersist()
+
+    track_cache(_release, scope="graphs")
+    return edges
+
+
+
+# (app_id, sf_dir) -> the BFS path-count table R(s, v, d, sig) over the
+# sparsified quotient graph — the docstrings' "reusable artifact":
+# stress reads (d, sig), eccentricity reads d; build it once.
+_BFS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _BFS_MEMO if k[0] != app]:
+        del _BFS_MEMO[k]
+    key = (app, sf_dir)
+    if key in _BFS_MEMO:
+        return _BFS_MEMO[key]
+    e0 = _quotient_edges(spark, sf_dir)
+    # family-scoped: the memoized R below references these checkpointed
+    # RDD blocks directly (no cache on top), so they must survive until
+    # the first NON-graph build, not just the next build
+    es = tracked_local_checkpoint(
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        scope="graphs",
+    )
+    nodes = es.select(F.col("u").alias("n")).distinct()
+    r = nodes.select(
+        F.col("n").alias("s"),
+        F.col("n").alias("v"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sig"),
+    )
+    frontier = r
+    for lvl in range(1, _STRESS_LEVELS + 1):
+        nxt = (
+            frontier.alias("r")
+            .join(
+                F.broadcast(es).alias("e"),
+                F.col("r.v") == F.col("e.u"),
+            )
+            .groupBy(
+                F.col("r.s").alias("s"), F.col("e.v").alias("v")
+            )
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .join(
+                r.select(
+                    F.col("s").alias("seen_s"),
+                    F.col("v").alias("seen_v"),
+                ),
+                (F.col("s") == F.col("seen_s"))
+                & (F.col("v") == F.col("seen_v")),
+                "left_anti",
+            )
+            .select("s", "v", F.lit(lvl).alias("d"), "sig")
+        )
+        frontier = tracked_local_checkpoint(nxt, scope="graphs")
+        # r stays a shallow union of <=7 lineage-TRUNCATED frontiers —
+        # bounded depth without its own checkpoint (checkpointing the
+        # union trips SPARK's AttributeMap on the duplicated exprIds a
+        # checkpointed child shares with its ancestor)
+        r = r.union(frontier)
+    # no cache() on top: every frontier is ALREADY a materialized
+    # localCheckpoint RDD, so consumers re-read blocks, never recompute
+    # levels — a cache here would double-store and add a pass (measured
+    # +8 s on the first reader)
+    _BFS_MEMO[key] = r
+    track_cache(lambda key=key: _BFS_MEMO.pop(key, None), scope="graphs")
+    return r
+
+
 def _stress_oracle(k: int = _STRESS_LEVELS) -> str:
     """Generated unrolled-level BFS path-counting oracle: level k's
     frontier is a GROUP BY over the PREVIOUS frontier × edges (sigma
@@ -1761,61 +1878,7 @@ def q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs (the DTW trick applied to BFS — per-level GROUP BY
     is legal in ordinary CTEs where a recursive member forbids
     it)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"),
-        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o"))
-            & (F.col("a.p") < F.col("b.p")),
-        )
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
-    )
-    es = e0.union(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    es = tracked_local_checkpoint(es)
-    nodes = es.select(F.col("u").alias("n")).distinct()
-    r = nodes.select(
-        F.col("n").alias("s"),
-        F.col("n").alias("v"),
-        F.lit(0).alias("d"),
-        F.lit(1).cast("long").alias("sig"),
-    )
-    frontier = r
-    for lvl in range(1, _STRESS_LEVELS + 1):
-        nxt = (
-            frontier.alias("r")
-            .join(
-                F.broadcast(es).alias("e"),
-                F.col("r.v") == F.col("e.u"),
-            )
-            .groupBy(
-                F.col("r.s").alias("s"), F.col("e.v").alias("v")
-            )
-            .agg(F.sum("sig").cast("long").alias("sig"))
-            .join(
-                r.select(
-                    F.col("s").alias("seen_s"),
-                    F.col("v").alias("seen_v"),
-                ),
-                (F.col("s") == F.col("seen_s"))
-                & (F.col("v") == F.col("seen_v")),
-                "left_anti",
-            )
-            .select("s", "v", F.lit(lvl).alias("d"), "sig")
-        )
-        frontier = tracked_local_checkpoint(nxt)
-        # r stays a shallow union of <=7 lineage-TRUNCATED frontiers —
-        # bounded depth without its own checkpoint (checkpointing the
-        # union trips SPARK's AttributeMap on the duplicated exprIds a
-        # checkpointed child shares with its ancestor)
-        r = r.union(frontier)
+    r = _quotient_bfs(spark, sf_dir)
     ra = r.alias("a")
     rb = r.alias("b")
     rc = r.alias("c")
@@ -1930,53 +1993,7 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable artifact: eccentricity, stress, harmonic centrality,
     and reachability all read the same R(s,v,d) relation — compute
     it once per graph snapshot, answer the family from it."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"),
-        (F.col("l_partkey") % _STRESS_BUCKETS).alias("p"),
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o"))
-            & (F.col("a.p") < F.col("b.p")),
-        )
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .where((F.col("u") * 31 + F.col("v") * 17) % 9 == 3)
-    )
-    es = tracked_local_checkpoint(
-        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
-    nodes = es.select(F.col("u").alias("n")).distinct()
-    r = nodes.select(
-        F.col("n").alias("s"),
-        F.col("n").alias("v"),
-        F.lit(0).alias("d"),
-    )
-    frontier = r
-    for lvl in range(1, _STRESS_LEVELS + 1):
-        nxt = (
-            frontier.alias("r")
-            .join(
-                F.broadcast(es).alias("e"),
-                F.col("r.v") == F.col("e.u"),
-            )
-            .select(F.col("r.s").alias("s"), F.col("e.v").alias("v"))
-            .distinct()
-            .join(
-                r.select(
-                    F.col("s").alias("seen_s"),
-                    F.col("v").alias("seen_v"),
-                ),
-                (F.col("s") == F.col("seen_s"))
-                & (F.col("v") == F.col("seen_v")),
-                "left_anti",
-            )
-            .select("s", "v", F.lit(lvl).alias("d"))
-        )
-        frontier = tracked_local_checkpoint(nxt)
-        r = r.union(frontier)
+    r = _quotient_bfs(spark, sf_dir)
     ecc = r.groupBy(F.col("s").alias("node")).agg(
         F.max("d").cast("long").alias("ecc"),
         F.count("*").cast("long").alias("n_reach"),

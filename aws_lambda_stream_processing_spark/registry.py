@@ -53,7 +53,9 @@ def track_cache(release: Callable[[], None], scope: str = "") -> None:
     _CACHE_JANITOR.append((scope, release))
 
 
-def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True, scope: str = ""
+) -> DataFrame:
     """localCheckpoint with janitor-registered block release.
 
     A localCheckpoint pins its blocks in executor storage until the
@@ -75,7 +77,7 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     never do this."""
     out = df.localCheckpoint(eager=eager)
     jrdd = out._jdf.queryExecution().analyzed().rdd()
-    track_cache(lambda: jrdd.unpersist(False))
+    track_cache(lambda: jrdd.unpersist(False), scope=scope)
     return out
 
 
