@@ -331,6 +331,12 @@ _GLOBAL_WINDOW_OK = {
     # gaps-and-islands over the MINUTE calendar scaffold:
     # calendar-bounded (~43k rows at any SF), never event-grain.
     "q_ts_outage_report",
+    # BH rank + reverse-cummin over the k=20 HYPOTHESIS panel: bounded
+    # by the number of tests, never the data (docstring argues it).
+    "q_agg_fdr_bh",
+    # radius/diameter MIN/MAX over the 64-node quotient panel:
+    # panel-bounded by construction.
+    "q_graph_eccentricity",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
