@@ -3490,3 +3490,129 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1 double, f7 double"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_croston",
+    oracle="""
+    WITH demand AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM events
+        WHERE value > 250.0
+          AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT event_type, size,
+               datediff('day', DATE '2023-12-31', day) AS t,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS k,
+               datediff('day',
+                        lag(day) OVER (PARTITION BY event_type
+                                       ORDER BY day),
+                        day) AS q
+        FROM demand
+    ),
+    folded AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(SUM(CASE WHEN k = 1 THEN size
+                             ELSE (CAST(1 AS BIGINT) << (k - 2)) * size
+                        END) AS BIGINT) AS z_scaled,
+               CAST(SUM(CASE WHEN k = 1 THEN t
+                             ELSE (CAST(1 AS BIGINT) << (k - 2)) * q
+                        END) AS BIGINT) AS p_scaled
+        FROM occ
+        GROUP BY event_type
+        HAVING COUNT(*) >= 2
+    )
+    SELECT event_type, n_occ,
+           (z_scaled * 10000 // (CAST(1 AS BIGINT) << (n_occ - 1)))
+               / 10000.0 AS z_hat,
+           (p_scaled * 10000 // (CAST(1 AS BIGINT) << (n_occ - 1)))
+               / 10000.0 AS p_hat,
+           (z_scaled * 1000000 // p_scaled) / 1000000.0 AS demand_rate
+    FROM folded
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD — the intermittent-demand member of the
+    forecasting ladder (ewma16/holt/holt-winters assume a dense
+    series; Croston models SPARSE demand — here days where a type
+    sees any >250-value event — as two coupled EWMAs: demand SIZE z
+    and inter-demand INTERVAL p, forecast rate z/p). The alpha=1/2
+    halving recursion has a CLOSED FORM — state after K occurrences
+    is a geometric sum Z = z1 + sum 2^(k-2)*size_k (ditto P over
+    intervals, p-init = time to first demand) — so the whole method
+    collapses to one per-type window pass (row_number + lag for
+    intervals) and ONE integer aggregation with shiftleft weights: no
+    kernel, no recursion, exact int64 state at scale 2^(K-1), and
+    the scale CANCELS in the z/p forecast ratio (floor-6dp on an
+    integer quotient — truncation == floor, all values positive).
+    Types with fewer than 2 demand occurrences are excluded by the
+    HAVING guard on both engines. One scan, one tiny shuffle on
+    event_type — at 100 TB this runs per SKU x warehouse with the
+    same two-pass shape, the canonical spare-parts/long-tail-catalog
+    forecasting workload."""
+    e = load_table(spark, sf_dir, "events")
+    demand = (
+        e.where(
+            (F.col("value") > 250.0)
+            & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("size"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    occ = demand.select(
+        "event_type",
+        "size",
+        F.datediff(F.col("day"), F.lit("2023-12-31").cast("date"))
+        .alias("t"),
+        F.row_number().over(w).alias("k"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("q"),
+    )
+    # shiftleft's bit-count must be an expression here (varies per
+    # row), so spell it in SQL — the Column API overload takes only a
+    # literal int
+    w2 = F.expr("shiftleft(1L, cast(k as int) - 2)")
+    folded = (
+        occ.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum(
+                F.when(F.col("k") == 1, F.col("size")).otherwise(
+                    w2 * F.col("size")
+                )
+            ).cast("long").alias("z_scaled"),
+            F.sum(
+                F.when(F.col("k") == 1, F.col("t")).otherwise(
+                    w2 * F.col("q")
+                )
+            ).cast("long").alias("p_scaled"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+    return folded.select(
+        "event_type",
+        "n_occ",
+        (
+            F.expr(
+                "z_scaled * 10000L div "
+                "shiftleft(1L, cast(n_occ as int) - 1)"
+            ) / 10000.0
+        ).alias("z_hat"),
+        (
+            F.expr(
+                "p_scaled * 10000L div "
+                "shiftleft(1L, cast(n_occ as int) - 1)"
+            ) / 10000.0
+        ).alias("p_hat"),
+        (F.expr("z_scaled * 1000000L div p_scaled") / 1000000.0)
+        .alias("demand_rate"),
+    ).orderBy("event_type")

@@ -135,6 +135,7 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_ts_granger",  # scaffold lag joins under a hostile zone
      "q_agg_cramers_v",  # dayofweek contingency under a hostile zone
      "q_agg_anova2_unweighted",  # dow × hour cells under a hostile zone
+     "q_ts_croston",  # demand days from ts→date under a hostile zone
      "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
