@@ -3404,3 +3404,140 @@ def q_agg_anova2_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6((ss_b / 3.0) / msw).alias("f_b"),
         f6((ss_ab / 18.0) / msw).alias("f_ab"),
     )
+
+
+@query(
+    "q_agg_tost_equivalence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    grp AS (
+        SELECT 'purchase_vs_click' AS comparison,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
+               cents
+        FROM obs
+        UNION ALL
+        SELECT 'purchase_even_vs_odd',
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END,
+               cents
+        FROM obs WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT comparison,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g = 2 THEN cents END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN g = 1 THEN cents * cents END)
+                    AS BIGINT) AS ss1,
+               CAST(SUM(CASE WHEN g = 2 THEN cents * cents END)
+                    AS BIGINT) AS ss2
+        FROM grp GROUP BY comparison
+    ),
+    t AS (
+        SELECT comparison, n1, n2,
+               CASE WHEN comparison = 'purchase_vs_click'
+                    THEN 50.0 ELSE 1000.0 END AS d,
+               s1 * 1.0 / n1 - s2 * 1.0 / n2 AS diff,
+               sqrt((ss1 * 1.0 / n1 - (s1 * 1.0 / n1) * (s1 * 1.0 / n1))
+                    * n1 / (n1 - 1) / n1
+                    + (ss2 * 1.0 / n2 - (s2 * 1.0 / n2) * (s2 * 1.0 / n2))
+                      * n2 / (n2 - 1) / n2) AS se
+        FROM m
+    )
+    SELECT comparison, n1, n2,
+           floor(diff * 10000.0 + 0.5) / 10000.0 AS diff_cents,
+           floor((diff + d) / se * 1000000.0 + 0.5) / 1000000.0
+               AS t_lower,
+           floor((diff - d) / se * 1000000.0 + 0.5) / 1000000.0
+               AS t_upper,
+           (diff + d) / se > 1.6448536269514722
+               AND (diff - d) / se < -1.6448536269514722
+               AS equivalent_z90
+    FROM t
+    ORDER BY comparison
+    """,
+    category="2.D",
+)
+def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE TEST (two one-sided tests, metric-specific
+    margins)
+    — the inferential DIRECTION the difference tests can't give: a
+    non-significant Welch t never certifies 'no worse than'; TOST
+    does, by requiring the difference to be significantly ABOVE -d
+    AND significantly BELOW +d — the test behind every ship/no-ship
+    'parity' launch review. Two comparisons so neither verdict is
+    vacuous on this corpus: purchase-vs-click under a 50-cent margin
+    (the mean gap reads ~-264 cents at sf0.01 and ~-72 at sf0.1 —
+    always OUTSIDE 50, so NOT equivalent at every SF however tight
+    se gets) and an A/A split
+    of purchases by user parity under a 1000-cent margin (gap is
+    sampling noise, inside -> equivalent once n gives se the power);
+    a broken sign or flipped bound cannot hide in an all-FALSE or
+    all-TRUE report. Margins are per-comparison because equivalence
+    margins are METRIC decisions, not statistics.
+    Welch machinery verbatim from q_agg_welch_t (six exact int64
+    moments per comparison from ONE conditional pass, identical IEEE
+    trees, floor-6dp); the z-approximate 1.645 critical value is a
+    shared literal on both engines and is documented as the
+    large-n form (exact t-quantiles need a distribution table, not
+    more data passes). Scale: one scan, two 1-row groups."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    grp = obs.select(
+        F.lit("purchase_vs_click").alias("comparison"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2)
+        .alias("g"),
+        "cents",
+    ).unionAll(
+        obs.where(F.col("event_type") == "purchase").select(
+            F.lit("purchase_even_vs_odd").alias("comparison"),
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(2)
+            .alias("g"),
+            "cents",
+        )
+    )
+    is1 = F.col("g") == 1
+    is2 = F.col("g") == 2
+    c = F.col("cents")
+    m = grp.groupBy("comparison").agg(
+        F.sum(is1.cast("long")).cast("long").alias("n1"),
+        F.sum(is2.cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(is1, c)).cast("long").alias("s1"),
+        F.sum(F.when(is2, c)).cast("long").alias("s2"),
+        F.sum(F.when(is1, c * c)).cast("long").alias("ss1"),
+        F.sum(F.when(is2, c * c)).cast("long").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1") * 1.0 / n1
+    m2 = F.col("s2") * 1.0 / n2
+    diff = m1 - m2
+    se = F.sqrt(
+        (F.col("ss1") * 1.0 / n1 - m1 * m1) * n1 / (n1 - 1) / n1
+        + (F.col("ss2") * 1.0 / n2 - m2 * m2) * n2 / (n2 - 1) / n2
+    )
+    zc = 1.6448536269514722
+    d = F.when(
+        F.col("comparison") == "purchase_vs_click", F.lit(50.0)
+    ).otherwise(F.lit(1000.0))
+    t_lo = (diff + d) / se
+    t_hi = (diff - d) / se
+    return m.select(
+        "comparison",
+        "n1",
+        "n2",
+        (F.floor(diff * 10000.0 + 0.5) / 10000.0).alias("diff_cents"),
+        (F.floor(t_lo * 1000000.0 + 0.5) / 1000000.0).alias("t_lower"),
+        (F.floor(t_hi * 1000000.0 + 0.5) / 1000000.0).alias("t_upper"),
+        ((t_lo > zc) & (t_hi < -zc)).alias("equivalent_z90"),
+    ).orderBy("comparison")
