@@ -105,6 +105,8 @@ SAMPLE = [
     "q_graph_stress_centrality",  # 6-level sigma DP + triple self-join
     "q_graph_eccentricity",  # same BFS table, window aggs over the panel
     "q_agg_anova2_unweighted",  # 28-cell DECIMAL sums + harmonic n_h tree
+    "q_llm_bleu",  # clipped-count joins + ln/exp tree across layouts
+    "q_llm_rouge_l",  # DP kernel batch boundaries must not matter
 ]
 
 
