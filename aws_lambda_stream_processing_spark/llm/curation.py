@@ -1672,3 +1672,114 @@ def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(status.alias("status")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "q_llm_rater_kappa",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) AS du,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS ds
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+             (n BETWEEN 30 AND 80
+              AND 7 * n <= 2 * (n_chars - n + 1)
+              AND 2 * (n_chars - n + 1) <= 9 * n
+              AND 20 * ds >= n AND 5 * du >= n) AS gopher_keep,
+             (16 * du + 8 * (n - ds)
+              + LEAST(n_chars - n + 1, 8 * n)) / (32.0 * n) >= 0.7
+                 AS quality_keep
+      FROM q
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN gopher_keep AND quality_keep
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN gopher_keep AND NOT quality_keep
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT gopher_keep AND quality_keep
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT gopher_keep AND NOT quality_keep
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT n, a, b, c, d,
+           floor((a + d) * 1.0 / n * 1000000.0 + 0.5) / 1000000.0
+               AS p_observed,
+           floor((((a + b) * 1.0 * (a + c)
+                   + (c + d) * 1.0 * (b + d)) / n / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+           floor(((a + d) * 1.0 / n
+                  - ((a + b) * 1.0 * (a + c)
+                     + (c + d) * 1.0 * (b + d)) / n / n)
+                 / (1.0 - ((a + b) * 1.0 * (a + c)
+                           + (c + d) * 1.0 * (b + d)) / n / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kappa
+    FROM cells
+    """,
+    category="2.J",
+)
+def q_llm_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the repo's two document-keep classifiers
+    (the Gopher rule set and the quality>=0.7 threshold) — the
+    chance-corrected agreement a curation pipeline reports before
+    trusting two filters as interchangeable: raw agreement (a+d)/n
+    flatters any pair of imbalanced raters (two filters that both
+    keep ~everything 'agree' by accident); kappa subtracts the
+    agreement their marginals predict. The 2x2 cells are exact int64
+    from ONE pass computing both verdicts per doc (the rule algebra
+    is integer-only on the gopher side and the certified quality
+    expression tree on the other), kappa a single fixed IEEE tree
+    floor-6dp. Agreement metrics close the curation loop: gopher
+    (rules), quality score (continuous), calibration (vs labels),
+    and now RATER CONSISTENCY (vs each other). One scan, 1-row
+    output at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    du = F.size(F.array_distinct(toks))
+    ds = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a"))
+    )
+    chars_net = F.col("n_chars") - n + 1
+    gopher = (
+        n.between(30, 80)
+        & (7 * n <= 2 * chars_net)
+        & (2 * chars_net <= 9 * n)
+        & (20 * ds >= n)
+        & (5 * du >= n)
+    )
+    quality = (
+        (16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n))
+        / (32.0 * n)
+        >= 0.7
+    )
+    cells = d.select(
+        gopher.alias("g"), quality.alias("q")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("g") & F.col("q")).cast("long")).cast("long")
+        .alias("a"),
+        F.sum((F.col("g") & ~F.col("q")).cast("long")).cast("long")
+        .alias("b"),
+        F.sum((~F.col("g") & F.col("q")).cast("long")).cast("long")
+        .alias("c"),
+        F.sum((~F.col("g") & ~F.col("q")).cast("long")).cast("long")
+        .alias("d"),
+    )
+    nn = F.col("n")
+    a, b, c, dd = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    po = (a + dd) * 1.0 / nn
+    pe = ((a + b) * 1.0 * (a + c) + (c + dd) * 1.0 * (b + dd)) / nn / nn
+    f6 = lambda x: F.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return cells.select(
+        "n", "a", "b", "c", "d",
+        f6(po).alias("p_observed"),
+        f6(pe).alias("p_expected"),
+        f6((po - pe) / (1.0 - pe)).alias("kappa"),
+    )
