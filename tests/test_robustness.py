@@ -107,6 +107,7 @@ SAMPLE = [
     "q_agg_anova2_unweighted",  # 28-cell DECIMAL sums + harmonic n_h tree
     "q_llm_bleu",  # clipped-count joins + ln/exp tree across layouts
     "q_llm_rouge_l",  # DP kernel batch boundaries must not matter
+    "q_llm_multimodal_ahash",  # integer threshold bits across batches
 ]
 
 
