@@ -2439,3 +2439,150 @@ def q_agg_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_events_stratified_ate",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT *, CASE WHEN x < 100000 THEN 0
+                       WHEN x < 200000 THEN 1
+                       WHEN x < 300000 THEN 2
+                       ELSE 3 END AS stratum
+        FROM u
+    ),
+    cell AS (
+        SELECT stratum, variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM s GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT stratum,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 1 THEN sy END) AS sy1,
+               MAX(CASE WHEN variant = 0 THEN sy END) AS sy0
+        FROM cell GROUP BY stratum
+        HAVING MAX(CASE WHEN variant = 1 THEN n END) IS NOT NULL
+           AND MAX(CASE WHEN variant = 0 THEN n END) IS NOT NULL
+    ),
+    tot AS (SELECT CAST(SUM(n1 + n0) AS BIGINT) AS n_all FROM wide)
+    SELECT w.stratum, w.n1, w.n0,
+           floor((w.sy1 * 1.0 / w.n1 - w.sy0 * 1.0 / w.n0)
+                 * 10000.0 + 0.5) / 10000.0 AS stratum_diff,
+           floor((w.sy1 * 1.0 / w.n1 - w.sy0 * 1.0 / w.n0)
+                 * ((w.n1 + w.n0) * 1.0 / t.n_all)
+                 * 10000.0 + 0.5) / 10000.0 AS weighted_term,
+           floor(CAST(SUM(CAST(
+                     (w2.sy1 * 1.0 / w2.n1 - w2.sy0 * 1.0 / w2.n0)
+                     * ((w2.n1 + w2.n0) * 1.0 / t.n_all)
+                     AS DECIMAL(38, 18))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS ate_cents
+    FROM wide w
+    CROSS JOIN tot t
+    CROSS JOIN wide w2
+    GROUP BY w.stratum, w.n1, w.n0, w.sy1, w.sy0, t.n_all
+    ORDER BY w.stratum
+    """,
+    category="2.D",
+)
+def q_events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-STRATIFIED ATE — the third member of the variance-reduction
+    family (CUPED regresses on the covariate; stratification BINS it:
+    users bucket by fixed pre-period-spend thresholds, the treatment
+    effect is estimated within each stratum and recombined with
+    population weights n_s/N). Fixed cent thresholds, not quantiles,
+    so the strata are engine- and SF-independent; strata missing
+    either arm are excluded by the same HAVING guard on both engines
+    (and the weights renormalize over the kept strata, the standard
+    complete-case form). The report shows the decomposition the
+    platform reads: per-stratum naive diff, its weighted
+    contribution, and the pooled ATE repeated per row (a window-free
+    spelling — the pooled sum is a 4-row cross join, constant-
+    bounded). Exactness: per-user exact-cents totals, per-cell int64
+    moments, diffs/weights as fixed IEEE trees floor-4dp. One user-
+    keyed agg + one 8-cell pivot — nothing scales with the corpus
+    past the first shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
+        .cast("long").alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0))
+        .cast("long").alias("y"),
+    )
+    stratum = (
+        F.when(F.col("x") < 100000, 0)
+        .when(F.col("x") < 200000, 1)
+        .when(F.col("x") < 300000, 2)
+        .otherwise(3)
+    )
+    cell = u.select(stratum.alias("stratum"), "variant", "y").groupBy(
+        "stratum", "variant"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    wide = (
+        cell.groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("variant") == 1, F.col("n")))
+            .alias("n1"),
+            F.max(F.when(F.col("variant") == 0, F.col("n")))
+            .alias("n0"),
+            F.max(F.when(F.col("variant") == 1, F.col("sy")))
+            .alias("sy1"),
+            F.max(F.when(F.col("variant") == 0, F.col("sy")))
+            .alias("sy0"),
+        )
+        .where(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+    )
+    tot = wide.agg(
+        F.sum(F.col("n1") + F.col("n0")).cast("long").alias("n_all")
+    )
+    diff = F.col("sy1") * 1.0 / F.col("n1") - F.col("sy0") * 1.0 / F.col("n0")
+    w_term = diff * ((F.col("n1") + F.col("n0")) * 1.0 / F.col("n_all"))
+    per = wide.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n1", "n0",
+        diff.alias("stratum_diff_raw"),
+        w_term.alias("weighted_term_raw"),
+    )
+    w2 = wide.alias("w2").crossJoin(F.broadcast(tot))
+    d2 = (
+        F.col("w2.sy1") * 1.0 / F.col("w2.n1")
+        - F.col("w2.sy0") * 1.0 / F.col("w2.n0")
+    )
+    ate = w2.agg(
+        F.sum(
+            (
+                d2
+                * ((F.col("w2.n1") + F.col("w2.n0")) * 1.0
+                   / F.col("n_all"))
+            ).cast("decimal(38,18)")
+        ).cast("double").alias("ate_raw")
+    )
+    f4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        per.crossJoin(F.broadcast(ate))
+        .select(
+            "stratum", "n1", "n0",
+            f4(F.col("stratum_diff_raw")).alias("stratum_diff"),
+            f4(F.col("weighted_term_raw")).alias("weighted_term"),
+            f4(F.col("ate_raw")).alias("ate_cents"),
+        )
+        .orderBy("stratum")
+    )

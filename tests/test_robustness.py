@@ -139,6 +139,7 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_agg_cramers_v",  # dayofweek contingency under a hostile zone
      "q_agg_anova2_unweighted",  # dow × hour cells under a hostile zone
      "q_ts_croston",  # demand days from ts→date under a hostile zone
+     "q_events_stratified_ate",  # pre/post split at a timestamp literal
      "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
