@@ -3616,3 +3616,230 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("z_scaled * 1000000L div p_scaled") / 1000000.0)
         .alias("demand_rate"),
     ).orderBy("event_type")
+
+
+_ACF_SQL_BASE = """
+    WITH cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY cal.day) AS t,
+               COALESCE(a.cents, 0) AS y
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    lags AS (SELECT unnest([0, 1, 2, 3, 4]) AS k),
+    prods AS (
+        SELECT a.event_type, l.k,
+               CAST(SUM(CAST(a.y AS HUGEINT) * b.y) AS DOUBLE) AS s,
+               CAST(SUM(CAST(a.y AS HUGEINT)) AS DOUBLE) AS ah,
+               CAST(SUM(CAST(b.y AS HUGEINT)) AS DOUBLE) AS bh
+        FROM dense a CROSS JOIN lags l
+        JOIN dense b ON b.event_type = a.event_type AND b.t = a.t + l.k
+        GROUP BY 1, 2
+    ),
+    ybar AS (
+        SELECT event_type,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) / 30.0 AS yb
+        FROM dense GROUP BY event_type
+    ),
+    cov AS (
+        SELECT p.event_type, p.k,
+               p.s - y.yb * p.ah - y.yb * p.bh
+                   + (30 - p.k) * y.yb * y.yb AS c
+        FROM prods p JOIN ybar y USING (event_type)
+    ),
+    r AS (
+        SELECT c.event_type,
+               MAX(CASE WHEN c.k = 1 THEN c.c END)
+                   / MAX(CASE WHEN c.k = 0 THEN c.c END) AS r1,
+               MAX(CASE WHEN c.k = 2 THEN c.c END)
+                   / MAX(CASE WHEN c.k = 0 THEN c.c END) AS r2,
+               MAX(CASE WHEN c.k = 3 THEN c.c END)
+                   / MAX(CASE WHEN c.k = 0 THEN c.c END) AS r3,
+               MAX(CASE WHEN c.k = 4 THEN c.c END)
+                   / MAX(CASE WHEN c.k = 0 THEN c.c END) AS r4
+        FROM cov c GROUP BY c.event_type
+    )
+"""
+
+
+def _daily_acf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type (r1..r4) biased-ACF row over the 30-day zero-filled
+    scaffold: exact HUGEINT/decimal lagged-product moments, covariances
+    c_k = S_k - yb*A_k - yb*B_k + (n-k)*yb^2 as ONE fixed tree, r_k =
+    c_k/c_0. Shared by the PACF and Ljung-Box rungs."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ).alias("t"),
+            F.coalesce("cents", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(0, 5).select(F.col("id").cast("int").alias("k"))
+    a, b = dense.alias("a"), dense.alias("b")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(
+            F.sum(dec(F.col("a.y")) * dec(F.col("b.y")))
+            .cast("double").alias("s"),
+            F.sum(dec(F.col("a.y"))).cast("double").alias("ah"),
+            F.sum(dec(F.col("b.y"))).cast("double").alias("bh"),
+        )
+    )
+    ybar = dense.groupBy("event_type").agg(
+        (F.sum(dec(F.col("y"))).cast("double") / 30.0).alias("yb")
+    )
+    cov = prods.join(ybar, "event_type").select(
+        "event_type",
+        "k",
+        (
+            F.col("s")
+            - F.col("yb") * F.col("ah")
+            - F.col("yb") * F.col("bh")
+            + (30 - F.col("k")) * F.col("yb") * F.col("yb")
+        ).alias("c"),
+    )
+    wide = cov.groupBy("event_type").agg(
+        *[
+            (
+                F.max(F.when(F.col("k") == i, F.col("c")))
+                / F.max(F.when(F.col("k") == 0, F.col("c")))
+            ).alias(f"r{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    return wide
+
+
+@query(
+    "q_ts_pacf",
+    oracle=_ACF_SQL_BASE + """
+    SELECT event_type,
+           floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS pacf1,
+           floor((r2 - r1 * r1) / (1.0 - r1 * r1)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pacf2,
+           floor((r3 - ((r1 - (r2 - r1 * r1) / (1.0 - r1 * r1) * r1)
+                        * r2
+                        + (r2 - r1 * r1) / (1.0 - r1 * r1) * r1))
+                 / (1.0 - ((r1 - (r2 - r1 * r1) / (1.0 - r1 * r1) * r1)
+                           * r1
+                           + (r2 - r1 * r1) / (1.0 - r1 * r1) * r2))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pacf3
+    FROM r
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation (Durbin-Levinson, lags 1-3) — the AR
+    order-identification tool the plain ACF can't be (an AR(1)'s ACF
+    decays forever; its PACF CUTS OFF after lag 1 — PACF is what you
+    read to pick p): each type's daily-cents series on the 30-day
+    scaffold, biased ACF r_k from exact lagged-product moments
+    (HUGEINT/decimal128 — the acf_lags overflow discipline), then the
+    Durbin-Levinson recursion UNROLLED as literal algebra (phi11=r1;
+    phi22=(r2-r1^2)/(1-r1^2); phi21=phi11-phi22*phi11; phi33 from
+    those — every phi is a closed-form expression in r1..r3, the same
+    tree text on both engines, floor-6dp; no iteration, no state).
+    Covariances come from ONE lag equi-join (no window, the acf_lags
+    shape) and c_k = S_k - yb*A_k - yb*B_k + (n-k)*yb^2 is a single
+    fixed tree per lag. Scale: a 5-row lag cross join against the
+    5-type daily panel — constant work after the first agg; per-
+    segment PACF at 100 TB fans out on the panel key like every
+    scaffold rung."""
+    wide = _daily_acf_wide(spark, sf_dir)
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = p11 - p22 * p11
+    p33 = (r3 - (p21 * r2 + p22 * r1)) / (
+        1.0 - (p21 * r1 + p22 * r2)
+    )
+    f6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return wide.select(
+        "event_type",
+        f6(p11).alias("pacf1"),
+        f6(p22).alias("pacf2"),
+        f6(p33).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_ts_ljung_box",
+    oracle=_ACF_SQL_BASE + """
+    SELECT event_type,
+           CAST(30 AS BIGINT) AS n,
+           CAST(4 AS BIGINT) AS n_lags,
+           floor(30.0 * 32.0
+                 * (r1 * r1 / 29.0 + r2 * r2 / 28.0
+                    + r3 * r3 / 27.0 + r4 * r4 / 26.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS q_lb
+    FROM r
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test (lags 1-4) — 'is this series white
+    noise AT ALL?', the gate a pipeline runs before fitting anything:
+    Q = n(n+2) * sum r_k^2/(n-k), the small-sample-corrected pooling
+    of the first K autocorrelations (vs eyeballing K individual
+    bands); compared to chi2(K) downstream. Shares the exact-moment
+    ACF machinery with q_ts_pacf (same scaffold, same HUGEINT lagged
+    products, same one fixed covariance tree) — Q itself is one more
+    literal expression over r1..r4, floor-6dp. The PACF picks the AR
+    order; Ljung-Box decides whether there is any structure to order
+    — together with acf_lags they complete the Box-Jenkins
+    identification shelf."""
+    wide = _daily_acf_wide(spark, sf_dir)
+    q_lb = (
+        30.0 * 32.0
+        * (
+            F.col("r1") * F.col("r1") / 29.0
+            + F.col("r2") * F.col("r2") / 28.0
+            + F.col("r3") * F.col("r3") / 27.0
+            + F.col("r4") * F.col("r4") / 26.0
+        )
+    )
+    return wide.select(
+        "event_type",
+        F.lit(30).cast("long").alias("n"),
+        F.lit(4).cast("long").alias("n_lags"),
+        (F.floor(q_lb * 1000000.0 + 0.5) / 1000000.0).alias("q_lb"),
+    ).orderBy("event_type")

@@ -108,6 +108,7 @@ SAMPLE = [
     "q_llm_bleu",  # clipped-count joins + ln/exp tree across layouts
     "q_llm_rouge_l",  # DP kernel batch boundaries must not matter
     "q_llm_multimodal_ahash",  # integer threshold bits across batches
+    "q_ts_pacf",  # unrolled Durbin-Levinson float pyramid over moments
 ]
 
 
@@ -140,6 +141,8 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_agg_anova2_unweighted",  # dow × hour cells under a hostile zone
      "q_ts_croston",  # demand days from ts→date under a hostile zone
      "q_events_stratified_ate",  # pre/post split at a timestamp literal
+     "q_ts_pacf",  # daily scaffold under a hostile zone
+     "q_ts_ljung_box",  # same scaffold ACF machinery
      "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
