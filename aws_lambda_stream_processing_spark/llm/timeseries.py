@@ -3843,3 +3843,172 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).cast("long").alias("n_lags"),
         (F.floor(q_lb * 1000000.0 + 0.5) / 1000000.0).alias("q_lb"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_strength",
+    oracle="""
+    WITH cal AS (
+        SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY cal.day) AS t,
+               COALESCE(a.cents, 0) AS y
+        FROM types t CROSS JOIN cal
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.day = CAST(cal.day AS DATE)
+    ),
+    ma AS (
+        SELECT event_type, t, y,
+               CAST(SUM(CAST(y AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS BIGINT) AS w7,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS BIGINT) AS c7
+        FROM dense
+    ),
+    det AS (
+        SELECT event_type, t, (t - 1) % 7 AS dow,
+               y - w7 / 7.0 AS d
+        FROM ma WHERE c7 = 7
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(CAST(d AS DECIMAL(38, 18))) AS DOUBLE)
+                   / COUNT(*) AS s
+        FROM det GROUP BY 1, 2
+    ),
+    rem AS (
+        SELECT d.event_type, d.d, d.d - s.s AS e
+        FROM det d JOIN seas s
+          ON d.event_type = s.event_type AND d.dow = s.dow
+    ),
+    v AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(e * e AS DECIMAL(38, 18))) AS DOUBLE) AS see,
+               CAST(SUM(CAST(e AS DECIMAL(38, 18))) AS DOUBLE) AS se,
+               CAST(SUM(CAST(d * d AS DECIMAL(38, 18))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(d AS DECIMAL(38, 18))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST((d - e) * (d - e) AS DECIMAL(38, 18)))
+                    AS DOUBLE) AS sss,
+               CAST(SUM(CAST(d - e AS DECIMAL(38, 18))) AS DOUBLE) AS ss
+        FROM rem GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(greatest(0.0,
+                 1.0 - (see / n - (se / n) * (se / n))
+                     / (sdd / n - (sd / n) * (sd / n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal_strength,
+           floor((sss / n - (ss / n) * (ss / n))
+                 * 0.0001 + 0.5) / 0.0001
+               / 100000000.0 AS seasonal_var_e8
+    FROM v
+    ORDER BY event_type
+    """,
+    category="2.J",
+)
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-STRENGTH score (Hyndman F_s = max(0, 1 -
+    var(remainder)/var(detrended)) over a centered 7-day MA
+    decomposition) — the MODEL-ROUTING number the forecasting shelf
+    needs: F_s near 1 routes a series to the seasonal models
+    (holt_winters, seasonal_naive), near 0 to the non-seasonal ones
+    (holt_linear, croston) — without it the ladder is a menu with no
+    maitre d'. Decomposition: centered MA(7) trend on the interior 24
+    scaffold days (the c7=7 guard keeps only full windows — same
+    both engines), seasonal = per-dow mean of the detrended values,
+    remainder = detrended - seasonal; var(seasonal component) is
+    also reported (in 1e8-cents^2 units) so the strength has its
+    absolute scale next to it. Exactness: y and the MA window sum
+    are exact int64 (w7/7.0 is ONE deterministic division per row),
+    every cross-row SUM wraps its deterministic double terms in
+    DECIMAL(38,18) (the chi2 order rule), strengths are fixed trees
+    floor-6dp. Shape: one bounded window over the 30-row panel + two
+    tiny aggs — per-segment strength scoring fans out on the panel
+    key at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    dense = (
+        types.crossJoin(cal)
+        .join(agg, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            ).alias("t"),
+            F.coalesce("cents", F.lit(0)).alias("y"),
+        )
+    )
+    w7w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-3, 3)
+    )
+    ma = dense.select(
+        "event_type",
+        "t",
+        "y",
+        F.sum("y").over(w7w).cast("long").alias("w7"),
+        F.count("*").over(w7w).cast("long").alias("c7"),
+    )
+    det = ma.where(F.col("c7") == 7).select(
+        "event_type",
+        ((F.col("t") - 1) % 7).alias("dow"),
+        (F.col("y") - F.col("w7") / 7.0).alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    seas = det.groupBy("event_type", "dow").agg(
+        (F.sum(dec(F.col("d"))).cast("double") / F.count("*"))
+        .alias("s")
+    )
+    rem = det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type", "d", (F.col("d") - F.col("s")).alias("e")
+    )
+    v = rem.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("e") * F.col("e"))).cast("double").alias("see"),
+        F.sum(dec(F.col("e"))).cast("double").alias("se"),
+        F.sum(dec(F.col("d") * F.col("d"))).cast("double").alias("sdd"),
+        F.sum(dec(F.col("d"))).cast("double").alias("sd"),
+        F.sum(dec((F.col("d") - F.col("e")) * (F.col("d") - F.col("e"))))
+        .cast("double").alias("sss"),
+        F.sum(dec(F.col("d") - F.col("e"))).cast("double").alias("ss"),
+    )
+    n = F.col("n")
+    var_e = F.col("see") / n - (F.col("se") / n) * (F.col("se") / n)
+    var_d = F.col("sdd") / n - (F.col("sd") / n) * (F.col("sd") / n)
+    var_s = F.col("sss") / n - (F.col("ss") / n) * (F.col("ss") / n)
+    fs = F.greatest(F.lit(0.0), 1.0 - var_e / var_d)
+    return v.select(
+        "event_type",
+        "n",
+        (F.floor(fs * 1000000.0 + 0.5) / 1000000.0)
+        .alias("seasonal_strength"),
+        (F.floor(var_s * 0.0001 + 0.5) / 0.0001 / 100000000.0)
+        .alias("seasonal_var_e8"),
+    ).orderBy("event_type")

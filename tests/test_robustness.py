@@ -143,6 +143,7 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_events_stratified_ate",  # pre/post split at a timestamp literal
      "q_ts_pacf",  # daily scaffold under a hostile zone
      "q_ts_ljung_box",  # same scaffold ACF machinery
+     "q_ts_strength",  # MA window + dow means under a hostile zone
      "q_events_cuped"],  # pre/post split at a timestamp literal
 )
 def test_hostile_session_timezone(spark, registry, name):
