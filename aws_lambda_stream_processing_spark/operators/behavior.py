@@ -1828,7 +1828,7 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_session_window",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -1837,8 +1837,12 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
+             -- Same TOTAL order as window w in `g`: ts-only ordering
+             -- leaves equal-ts rows in unspecified ROWS-frame order,
+             -- which could split/merge sessions nondeterministically
+             -- (r7 ADVICE, dynamic-gap twin).
              CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS sid
       FROM g
@@ -2375,7 +2379,7 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     g AS (
-      SELECT user_id, ts, gap_min,
+      SELECT user_id, ts, event_id, gap_min,
              CASE WHEN MAX(ts + to_minutes(gap_min)) OVER (
                       PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -2389,8 +2393,12 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts, gap_min,
+             -- Same TOTAL order as the is_new windows in `g` (ts,
+             -- event_id): with ts-only ordering, the ROWS-frame order
+             -- among equal-ts rows is unspecified, so sid assignment
+             -- could merge rows across session boundaries (r7 ADVICE).
              CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS sid
       FROM g

@@ -1440,14 +1440,16 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CASE WHEN event_type = 'click'
                       THEN CAST(round(value * 100) AS BIGINT) END)
              AS BIGINT) AS s2,
-        CAST(SUM(CASE WHEN event_type = 'purchase'
+        CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
                       THEN CAST(round(value * 100) AS BIGINT)
-                           * CAST(round(value * 100) AS BIGINT) END)
-             AS BIGINT) AS ss1,
-        CAST(SUM(CASE WHEN event_type = 'click'
+                           * CAST(round(value * 100) AS BIGINT) END
+                      AS DECIMAL(38, 0)))
+             AS DOUBLE) AS ss1,
+        CAST(SUM(CAST(CASE WHEN event_type = 'click'
                       THEN CAST(round(value * 100) AS BIGINT)
-                           * CAST(round(value * 100) AS BIGINT) END)
-             AS BIGINT) AS ss2
+                           * CAST(round(value * 100) AS BIGINT) END
+                      AS DECIMAL(38, 0)))
+             AS DOUBLE) AS ss2
       FROM events WHERE event_type IN ('purchase', 'click')
     )
     SELECT n1, n2,
@@ -1496,7 +1498,8 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test, purchase vs click — the
     parametric twin of q_agg_mann_whitney (run both; agreement is the
-    robustness signal). Six exact int64 moments come from ONE
+    robustness signal). Six exact moments (counts/sums int64, squared
+    sums DECIMAL(38,0) — the PMI overflow guard) come from ONE
     conditional-aggregation pass (no second scan, no join); the t
     statistic and Welch-Satterthwaite df evaluate as identical IEEE
     expression trees over those moments (sample variance written
@@ -1512,8 +1515,12 @@ def q_agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is2.cast("long")).alias("n2"),
         F.sum(F.when(is1, cents)).alias("s1"),
         F.sum(F.when(is2, cents)).alias("s2"),
-        F.sum(F.when(is1, cents * cents)).alias("ss1"),
-        F.sum(F.when(is2, cents * cents)).alias("ss2"),
+        # PMI-overflow class (r7 ADVICE): DECIMAL(38,0) accumulation,
+        # one cast to double (ss only feeds the double Welch tree).
+        F.sum(F.when(is1, cents * cents).cast("decimal(38,0)"))
+        .cast("double").alias("ss1"),
+        F.sum(F.when(is2, cents * cents).cast("decimal(38,0)"))
+        .cast("double").alias("ss2"),
     )
     m1 = F.col("s1").cast("double") / F.col("n1")
     m2 = F.col("s2").cast("double") / F.col("n2")
@@ -2690,8 +2697,9 @@ def q_profile_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gstats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_g,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                             * CAST(round(value * 100) AS BIGINT)
+                             AS DECIMAL(38, 0))) AS DOUBLE)
                    AS ss_g
         FROM events
     ),
@@ -2732,7 +2740,8 @@ def q_profile_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cohort, n_c, CAST(rnk AS BIGINT) AS rnk,
            floor(pval * 1000000.0 + 0.5) / 1000000.0 AS pval,
            floor(least(cmin, 1.0) * 1000000.0 + 0.5) / 1000000.0 AS p_adj,
-           least(cmin, 1.0) <= 0.05 AS reject_q05
+           floor(least(cmin, 1.0) * 1000000.0 + 0.5) / 1000000.0 <= 0.05
+               AS reject_q05
     FROM adj
     ORDER BY cohort
     """,
@@ -2766,7 +2775,14 @@ def q_agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = e.agg(
         F.count("*").cast("long").alias("n_g"),
         F.sum(cents).cast("long").alias("s_g"),
-        F.sum(cents * cents).cast("long").alias("ss_g"),
+        # PMI-overflow class (r7 ADVICE): the corpus-wide sum of squared
+        # cents accumulates in DECIMAL(38,0) (exact, order-free), then
+        # ONE cast to double — int64 wraps silently in non-ANSI Spark
+        # while DuckDB raises, a latent cross-engine divergence at
+        # large SF. Per-row cents^2 stays int64-safe (value domain
+        # < 2^31 cents).
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("double").alias("ss_g"),
     )
     m_g = F.col("s_g").cast("double") / F.col("n_g")
     v_g = (
@@ -2805,7 +2821,13 @@ def q_agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pval"),
             (F.floor(F.least(F.col("cmin"), F.lit(1.0)) * 1000000.0
                      + 0.5) / 1000000.0).alias("p_adj"),
-            (F.least(F.col("cmin"), F.lit(1.0)) <= 0.05)
+            # Compare the ROUNDED p_adj (r7 ADVICE): cmin derives from
+            # exp(), which is not correctly-rounded IEEE, so a value a
+            # ulp from 0.05 could flip the boolean on one engine only;
+            # the floor-6dp columns absorb those ulps — the boolean
+            # must read the same rounded value.
+            (F.floor(F.least(F.col("cmin"), F.lit(1.0)) * 1000000.0
+                     + 0.5) / 1000000.0 <= 0.05)
             .alias("reject_q05"),
         )
         .orderBy("cohort")
@@ -2945,8 +2967,9 @@ def _bf_oracle() -> str:
         SELECT o.event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(abs(o.cents - m.med)) AS BIGINT) AS s,
-               CAST(SUM(abs(o.cents - m.med) * abs(o.cents - m.med))
-                    AS BIGINT) AS zz
+               CAST(SUM(CAST(abs(o.cents - m.med)
+                             * abs(o.cents - m.med)
+                             AS DECIMAL(38, 0))) AS DOUBLE) AS zz
         FROM obs o JOIN med m ON o.event_type = m.event_type
         GROUP BY o.event_type
     ),
@@ -2975,7 +2998,8 @@ def q_agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exactness discipline: group medians are LOWER DISCRETE
     medians picked by row_number position (n+1)//2 on the sorted
     int64 cents (no percentile builtin, no interpolation), deviations
-    and their squares accumulate as exact int64, and W's float
+    accumulate as exact int64 and their squares in exact DECIMAL(38,0)
+    (one cast to double — the PMI overflow guard), and W's float
     expression references the FIVE KNOWN GROUPS as pivoted columns in
     fixed alphabetical order — a literal expression tree, not a
     float SUM whose association order the shuffle owns (the corr-
@@ -3008,7 +3032,12 @@ def q_agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(z).cast("long").alias("s"),
-            F.sum(z * z).cast("long").alias("zz"),
+            # PMI-overflow class (r7 ADVICE): squared-deviation sums
+            # accumulate in DECIMAL(38,0), one cast to double — int64
+            # wraps silently in non-ANSI Spark at large SF while
+            # DuckDB raises. Per-row z^2 stays int64-safe.
+            F.sum((z * z).cast("decimal(38,0)")).cast("double")
+            .alias("zz"),
         )
     )
     aggs = [F.sum("n").cast("long").alias("n_all"),
@@ -3234,8 +3263,9 @@ def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS s,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                             * CAST(round(value * 100) AS BIGINT)
+                             AS DECIMAL(38, 0))) AS DOUBLE)
                    AS ss
         FROM events GROUP BY 1, 2
     ),
@@ -3308,8 +3338,9 @@ def q_agg_anova2_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted-means analysis applies: every SS is computed over CELL
     MEANS with the harmonic mean n_h of cell counts as the effective
     replication — the standard factorial screen a metrics warehouse
-    runs on activity data. Exactness discipline: per-cell (n, s, ss)
-    are exact int64 from ONE scan; every mean is a deterministic
+    runs on activity data. Exactness discipline: per-cell (n, s) are
+    exact int64 and ss exact DECIMAL(38,0) (the PMI overflow guard)
+    from ONE scan; every mean is a deterministic
     double; every SUM over cells/rows/cols wraps its deterministic
     double terms in DECIMAL(38,18) (exact decimal addition — the
     chi2 rule: the order law applies to the SUM, not the terms); F
@@ -3325,7 +3356,11 @@ def q_agg_anova2_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(cents).cast("long").alias("s"),
-        F.sum(cents * cents).cast("long").alias("ss"),
+        # PMI-overflow class (r7 ADVICE): per-cell sum of squared cents
+        # in DECIMAL(38,0), one cast to double (ss only ever feeds the
+        # double ss_w tree) — int64 wraps silently at large SF.
+        F.sum((cents * cents).cast("decimal(38,0)")).cast("double")
+        .alias("ss"),
     )
     m = cells.withColumn("mean", F.col("s") * 1.0 / F.col("n"))
     dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
@@ -3433,10 +3468,10 @@ def q_agg_anova2_unweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n2,
                CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS s1,
                CAST(SUM(CASE WHEN g = 2 THEN cents END) AS BIGINT) AS s2,
-               CAST(SUM(CASE WHEN g = 1 THEN cents * cents END)
-                    AS BIGINT) AS ss1,
-               CAST(SUM(CASE WHEN g = 2 THEN cents * cents END)
-                    AS BIGINT) AS ss2
+               CAST(SUM(CAST(CASE WHEN g = 1 THEN cents * cents END
+                             AS DECIMAL(38, 0))) AS DOUBLE) AS ss1,
+               CAST(SUM(CAST(CASE WHEN g = 2 THEN cents * cents END
+                             AS DECIMAL(38, 0))) AS DOUBLE) AS ss2
         FROM grp GROUP BY comparison
     ),
     t AS (
@@ -3481,8 +3516,9 @@ def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broken sign or flipped bound cannot hide in an all-FALSE or
     all-TRUE report. Margins are per-comparison because equivalence
     margins are METRIC decisions, not statistics.
-    Welch machinery verbatim from q_agg_welch_t (six exact int64
-    moments per comparison from ONE conditional pass, identical IEEE
+    Welch machinery verbatim from q_agg_welch_t (six exact moments —
+    squared sums in DECIMAL(38,0), the PMI overflow guard — per
+    comparison from ONE conditional pass, identical IEEE
     trees, floor-6dp); the z-approximate 1.645 critical value is a
     shared literal on both engines and is documented as the
     large-n form (exact t-quantiles need a distribution table, not
@@ -3515,8 +3551,12 @@ def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is2.cast("long")).cast("long").alias("n2"),
         F.sum(F.when(is1, c)).cast("long").alias("s1"),
         F.sum(F.when(is2, c)).cast("long").alias("s2"),
-        F.sum(F.when(is1, c * c)).cast("long").alias("ss1"),
-        F.sum(F.when(is2, c * c)).cast("long").alias("ss2"),
+        # PMI-overflow class (r7 ADVICE): DECIMAL(38,0) accumulation,
+        # one cast to double (ss only feeds the double Welch tree).
+        F.sum(F.when(is1, c * c).cast("decimal(38,0)")).cast("double")
+        .alias("ss1"),
+        F.sum(F.when(is2, c * c).cast("decimal(38,0)")).cast("double")
+        .alias("ss2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     m1 = F.col("s1") * 1.0 / n1

@@ -1400,8 +1400,6 @@ def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-style sink). At 100 TB both sinks are partitioned appends;
     validation is per-row codegen, routing adds zero shuffles — the
     only exchange is the final bounded audit agg."""
-    import os
-
     stream, d = _stream_split(
         spark,
         sf_dir,
