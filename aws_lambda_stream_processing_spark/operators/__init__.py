@@ -8,20 +8,21 @@ and behavior ~0.5-2 s; sources pay sink round-trips (~2-4 s);
 the graph family LAST here — its queries share a ~4 s edge-relation
 build that would otherwise sit in the middle of the sample prefix.
 
-Round-7 rotation (see registry.load_all): `sqlfront` (the TPC-H/
-TPC-DS/SQL-surface family — 42 queries, ALL never driver-certified
-through r6, every one ≤2.2 s at sf0.01) moves to the head, followed
-by `sketches` (3, never certified) and `profiling` (first 5 in file
-order never certified) — a first-50 prefix of 50 first-time IDs.
-The §2.H/§2.E block certified in r6 shifts behind them. Rotation
-only permutes dict insertion order; every query keeps its ID,
-oracle, and behavior.
+Round-8 rotation (see registry.load_all): the `udf` package (13
+never-certified §2.K rungs) registers before this package; here
+`modernsql` (8, never certified, all ≤1.3 s) moves to the head,
+followed by `profiling` — its first 2 in file order were certified
+in r7, the next ~27 never — so the driver's first-50 prefix is ~48
+first-time IDs. The sqlfront/sketches block certified in r7 shifts
+behind them. Rotation only permutes dict insertion order; every
+query keeps its ID, oracle, and behavior.
 """
 
 from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
+    modernsql,
+    profiling,
     sqlfront,
     sketches,
-    profiling,
     windows,
     aggregates,
     relational,
@@ -32,5 +33,4 @@ from aws_lambda_stream_processing_spark.operators import (  # noqa: F401
     scale,
     sources,
     graphs,
-    modernsql,
 )

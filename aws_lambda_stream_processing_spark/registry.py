@@ -167,17 +167,20 @@ def load_all() -> dict[str, QuerySpec]:
     the rest of the registry driver-certified never (r5 verdict: the
     r04 and r05 samples were the identical 50 IDs). Round 6 moved the
     scalar-function (§2.H) and window (§2.E) families into the prefix
-    (43 first-time certifications). Round 7 moves `operators` ahead of
-    `functions` and rotates sqlfront + sketches + profiling to the head
-    of `operators` — 50 more never-certified sub-second IDs in the
-    first-50 prefix (see operators/__init__.py). Rotation only permutes
+    (43 first-time certifications). Round 7 moved `operators` ahead of
+    `functions` and rotated sqlfront + sketches + profiling to the head
+    of `operators` (50 first-time certifications). Round 8 moves the
+    never-certified `udf` package (13 §2.K rungs, all sub-second) to
+    the very front, then `operators` with modernsql + the uncertified
+    profiling tail at its head (see operators/__init__.py) — another
+    ~48 first-time IDs in the first-50 prefix. Rotation only permutes
     dict insertion order; every query keeps its ID, oracle, and
     behavior.
     """
+    import aws_lambda_stream_processing_spark.udf  # noqa: F401
     import aws_lambda_stream_processing_spark.operators  # noqa: F401
     import aws_lambda_stream_processing_spark.functions  # noqa: F401
     import aws_lambda_stream_processing_spark.llm  # noqa: F401
-    import aws_lambda_stream_processing_spark.udf  # noqa: F401
     import aws_lambda_stream_processing_spark.streaming  # noqa: F401
 
     return REGISTRY
