@@ -92,6 +92,67 @@ _EDGES_SQL = """
 """
 
 
+@query(
+    "q_graph_edges_build",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    ends AS (
+      SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM ends GROUP BY node
+    )
+    SELECT CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_degree,
+           CAST(MAX(deg) AS BIGINT) AS max_degree
+    FROM deg
+    """,
+    category="2.C",
+)
+def q_graph_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-family BUILD rung — owns the shared materializations every
+    other graph query reads warm, so per-query bench numbers stay
+    honest (r7 verdict item 4: the ~14 s _part_edges + quotient-BFS
+    build landed on whichever graph query happened to run first each
+    round, tripping false >2x flags that needed manual adjudication
+    every bench).
+
+    Registered FIRST in the graphs family (file order = registration
+    order), it (1) builds and pins the part co-occurrence edge relation
+    (_part_edges — the ~1.2M-edge memo four operators share), (2)
+    materializes the sparsified quotient BFS path-count artifact R(s,
+    v, d, sig) that stress-centrality and eccentricity read, and (3)
+    returns an exact-oracle summary of the edge relation (edge/node
+    counts + degree extrema, with sum(deg)=2|E| as the built-in
+    consistency identity). The family-scoped janitor releases all
+    pinned artifacts on the first non-graph build, unchanged.
+
+    This is the standard warehouse posture at 100 TB: a derived graph
+    is a MATERIALIZED artifact with its own build job and freshness
+    accounting, not something every analytics query re-derives; the
+    summary row is the build's audit record. One shuffle on l_orderkey
+    for the set-combination edge build, one bounded degree agg — the
+    oracle recomputes the relation via the independent self-join
+    formulation."""
+    e = _part_edges(spark, sf_dir)
+    # Materialize the stress/eccentricity BFS artifact under this
+    # rung's clock (eager localCheckpoints inside) — its readers then
+    # time their own analytics, not the shared build.
+    _quotient_bfs(spark, sf_dir)
+    ends = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    return deg.agg(
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_degree"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+
+
 def _triangle_count(e: DataFrame) -> DataFrame:
     """1-row n_triangles over the u<v-oriented edge relation, shared by
     q_graph_triangles and q_graph_clustering_coeff.
