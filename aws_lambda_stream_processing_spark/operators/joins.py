@@ -968,3 +968,54 @@ def q_join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_join_lateral_df",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.bal_cents
+    FROM nation n,
+         LATERAL (
+           SELECT c.c_name,
+                  CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY CAST(round(c.c_acctbal * 100) AS BIGINT) DESC,
+                    c.c_custkey
+           LIMIT 2
+         ) t
+    """,
+    category="2.C",
+)
+def q_join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.lateralJoin (Spark 4.0) — the DATAFRAME-API spelling of
+    the correlated top-k-per-group that q_join_lateral certifies
+    through SQL: top-2 customers by account balance per nation, the
+    right side referencing the outer row through Column.outer() (the
+    r8 probe pinned the marker API). The point of the rung is the
+    API surface itself: before 4.0 this shape forced either a string
+    of SQL or a manual window rewrite; lateralJoin keeps it
+    composable. Catalyst DECORRELATES the lateral limit into a join +
+    windowed group limit exactly as for the SQL form — no per-outer-
+    row re-execution — so the scale shape is one hash join on
+    nationkey + a per-group cut; the fully deterministic ORDER BY
+    (balance DESC, custkey) makes the cut engine-stable. Oracle is
+    the equivalent SQL LATERAL in DuckDB."""
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    top2 = (
+        cust.where(
+            F.col("c_nationkey") == F.col("n_nationkey").outer()
+        )
+        .orderBy(F.col("bal_cents").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_name", "bal_cents")
+    )
+    return nat.lateralJoin(top2).select("n_name", "c_name", "bal_cents")

@@ -32,6 +32,7 @@ long-lived session (bench/driver sweeps) without state collisions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
 from aws_lambda_stream_processing_spark.tables import load_table
@@ -466,3 +467,75 @@ def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+_TRANSPOSE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_transpose",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+             CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+      FROM events GROUP BY event_type
+    )
+    SELECT 'n_events' AS key,
+           MAX(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+           MAX(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN n_events END)
+               AS purchase,
+           MAX(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+           MAX(CASE WHEN event_type = 'view' THEN n_events END) AS view
+    FROM a
+    UNION ALL
+    SELECT 'sum_cents',
+           MAX(CASE WHEN event_type = 'click' THEN sum_cents END),
+           MAX(CASE WHEN event_type = 'error' THEN sum_cents END),
+           MAX(CASE WHEN event_type = 'purchase' THEN sum_cents END),
+           MAX(CASE WHEN event_type = 'signup' THEN sum_cents END),
+           MAX(CASE WHEN event_type = 'view' THEN sum_cents END)
+    FROM a
+    UNION ALL
+    SELECT 'max_cents',
+           MAX(CASE WHEN event_type = 'click' THEN max_cents END),
+           MAX(CASE WHEN event_type = 'error' THEN max_cents END),
+           MAX(CASE WHEN event_type = 'purchase' THEN max_cents END),
+           MAX(CASE WHEN event_type = 'signup' THEN max_cents END),
+           MAX(CASE WHEN event_type = 'view' THEN max_cents END)
+    FROM a
+    """,
+    category="2.D",
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0) — the matrix flip of a bounded
+    metrics report: per-event-type (n, sum, max) becomes one column
+    per event type and one row per METRIC, the orientation a
+    scorecard/dashboard wants. The r8 probe pinned the semantics: the
+    FIRST column is the index whose VALUES become output column names,
+    every remaining column becomes a row keyed by its original name in
+    a `key` column, and the transposed values must share a least
+    common type (all BIGINT here — mixed types would widen to string
+    and break value equality). The oracle is the spelled-out
+    conditional-aggregation pivot + per-metric UNION ALL over the
+    same five types, so both the column-naming rule and the row set
+    are certified, not just the cell values. Scale: transpose is a
+    DRIVER-side reshape of an already-aggregated BOUNDED frame (5
+    types x 3 metrics) — the distributed work is the upstream
+    map-side agg; never call it on an unaggregated fact table (the
+    column count would be the row count)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+    )
+    return agg.transpose()

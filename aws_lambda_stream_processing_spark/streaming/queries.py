@@ -2499,3 +2499,145 @@ def q_stream_max_files_per_trigger(
         )
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+@query(
+    "q_stream_sink_python_datasource",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    category="2.I",
+)
+def q_stream_sink_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING write half of the Spark 4 Python DataSource API —
+    the last cell of the custom-connector matrix (batch read
+    q_source_python_datasource, stream read q_stream_python_datasource,
+    batch write q_sink_python_datasource): a DataSourceStreamWriter
+    whose per-task write() stages rows to a private file and returns a
+    typed WriterCommitMessage, with the driver-side commit(messages,
+    batchId) publishing a PER-EPOCH manifest by atomic rename — the
+    epoch-keyed variant of the DSv2 two-phase commit: each micro-batch
+    becomes visible atomically and independently, abort(messages,
+    batchId) discards that epoch's staged files only, and a replayed
+    batch overwrites its OWN manifest (idempotent re-run, the
+    q_stream_upsert_foreachbatch discipline at the connector layer).
+    The rung drives a REAL checkpointed writeStream over 2 ordered
+    micro-batches (so two manifests exist), re-reads ONLY
+    manifest-listed files across epochs, and matches the exact batch
+    oracle: nothing lost, nothing duplicated, nothing uncommitted
+    visible. Filtered to the signup slice and coalesced to 2 writer
+    tasks per batch because the writer is row-at-a-time Python by API
+    design — the rung certifies the epoch commit protocol, not bulk
+    throughput (JVM sinks are the volume path). At 100 TB this is the
+    shape a Kinesis/webhook/feature-store EGRESS connector takes:
+    executor tasks stage, one coordinator commit per epoch decides
+    visibility, task retries can never double-publish."""
+    import os as _os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class StagedFile(WriterCommitMessage):
+        path: str
+        n: int
+
+    class EpochManifestWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            staged = _os.path.join(
+                self.path, f"staged_{_uuid.uuid4().hex}.csv"
+            )
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    f.write(f"{row.event_id},{row.user_id},{row.cents}\n")
+                    n += 1
+            return StagedFile(staged, n)
+
+        def commit(self, messages, batchId):
+            manifest = _os.path.join(self.path, f"_MANIFEST_b{batchId}")
+            with open(manifest + ".tmp", "w") as f:
+                for m in messages:
+                    f.write(m.path + "\n")
+            _os.replace(manifest + ".tmp", manifest)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(m.path)
+                    except OSError:
+                        pass
+
+    class EpochManifestSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "stream_manifest_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return EpochManifestWriter(self.options)
+
+    spark.dataSource.register(EpochManifestSink)
+    stream, d = _stream_split(
+        spark,
+        sf_dir,
+        [
+            "ts < TIMESTAMP '2024-01-15 00:00:00'",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+        ],
+    )
+    out = _scratch("alsp_pyds_stream_sink_")
+    try:
+        src = (
+            stream.where(F.col("event_type") == "signup")
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .coalesce(2)
+        )
+        q = (
+            src.writeStream.format("stream_manifest_sink")
+            .option("path", out)
+            .option("checkpointLocation", out + "/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        committed: list[str] = []
+        for fn in sorted(_os.listdir(out)):
+            if fn.startswith("_MANIFEST_b") and not fn.endswith(".tmp"):
+                with open(_os.path.join(out, fn)) as f:
+                    committed += [ln.strip() for ln in f if ln.strip()]
+        back = spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, cents BIGINT"
+        ).csv(committed)
+        agg = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        return tracked_local_checkpoint(agg)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)

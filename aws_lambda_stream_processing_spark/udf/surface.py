@@ -671,3 +671,67 @@ def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token, t.tok_len "
         "FROM udtf_arrow_docs, LATERAL tokenize_arrow(doc_id, text) t"
     )
+
+
+@query(
+    "q_udf_apply_in_arrow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT))
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_t
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n_t) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n_t + 1) // 2 THEN cents END)
+                AS BIGINT) AS median_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM obs GROUP BY event_type
+    """,
+    category="2.K",
+)
+def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow (Spark 4.0) — the zero-pandas sibling of
+    q_udf_grouped_map: the per-group kernel receives a pyarrow.Table
+    and returns one, skipping the Arrow->pandas conversion entirely
+    (no index materialization, no object-dtype risk for strings; the
+    right form when the kernel is numpy/Arrow-compute native). Kernel:
+    per-event-type lower discrete median by sorted position (n+1)//2
+    — the house exact-median rule (q_agg_levene_bf) — plus n and the
+    exact cents sum, so the rung certifies value-exact Arrow transfer
+    in BOTH directions on int64. Per-group sums stay int64-safe at the
+    value domain (cents < 2^31, group rows < 2^31 here; the 100 TB
+    version returns decimal-backed partial moments instead). Scale
+    posture: one hash shuffle on the 5-value group key; the kernel is
+    O(group) memory like any grouped-map — for corpus-sized groups use
+    the two-phase agg forms, applyInArrow is for bounded panels and
+    model kernels."""
+    import pyarrow as pa
+
+    def _arrow_group_stats(table: pa.Table) -> pa.Table:
+        cents = table.column("cents").to_numpy(zero_copy_only=False)
+        n = len(cents)
+        srt = np.sort(cents)
+        med = int(srt[(n + 1) // 2 - 1])
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "median_cents": pa.array([med], pa.int64()),
+                "sum_cents": pa.array([int(srt.sum())], pa.int64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return obs.groupBy("event_type").applyInArrow(
+        _arrow_group_stats,
+        "event_type string, n long, median_cents long, sum_cents long",
+    )
