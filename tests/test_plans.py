@@ -1348,3 +1348,25 @@ def test_stress_centrality_unroll_depth_holds(spark, registry):
         r = r.union(frontier)
     assert sizes[6] == 0, f"level-7 frontier nonempty: {sizes}"
     assert sizes[1] > 0, f"no distance-2 pairs, stress vacuous: {sizes}"
+
+
+def test_lateral_join_df_decorrelates_to_group_limit(spark, registry):
+    """DataFrame.lateralJoin with ORDER BY + LIMIT must decorrelate to
+    a windowed group limit + hash/broadcast join — never a per-outer-
+    row nested-loop re-execution (the r8 plan read: one c_nationkey
+    exchange, WindowGroupLimit partial+final, BroadcastHashJoin)."""
+    df = registry["q_join_lateral_df"].fn(spark, SF_DIR)
+    assert has_operator(df, "WindowGroupLimit"), (
+        "lateral limit did not decorrelate to a group limit"
+    )
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_apply_in_arrow_single_exchange(spark, registry):
+    """applyInArrow is one hash exchange on the group key feeding the
+    Arrow eval — no extra shuffle, no sort-based fallback around it."""
+    df = registry["q_udf_apply_in_arrow"].fn(spark, SF_DIR)
+    plan = plan_string(df)
+    assert has_operator(df, "FlatMapGroupsInArrow"), plan
+    assert plan.count("hashpartitioning(") == 1, plan

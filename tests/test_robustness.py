@@ -109,6 +109,11 @@ SAMPLE = [
     "q_llm_rouge_l",  # DP kernel batch boundaries must not matter
     "q_llm_multimodal_ahash",  # integer threshold bits across batches
     "q_ts_pacf",  # unrolled Durbin-Levinson float pyramid over moments
+    # round-8 hazards:
+    "q_udf_apply_in_arrow",  # Arrow group batches + discrete-median ties
+    "q_join_lateral_df",  # decorrelated limit: (bal, custkey) tie-break
+    "q_transpose",  # index-value column naming across partitionings
+    "q_graph_edges_build",  # degree agg over the shared memo, any layout
 ]
 
 
