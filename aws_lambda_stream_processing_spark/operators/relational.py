@@ -312,3 +312,50 @@ def q_proj_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") > 0).cast("int").alias("has_balance"),
         "c_mktsegment",
     ).orderBy("c_custkey")
+
+
+@query(
+    "q_stat_crosstab",
+    oracle="""
+    SELECT event_type AS event_type_dow,
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "1",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "2",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "3",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "4",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "5",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "6",
+           CAST(SUM(CASE WHEN dayofweek(ts) + 1 = 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "7"
+    FROM events GROUP BY event_type
+    """,
+    category="2.D",
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.stat.crosstab — the first exercise of the df.stat
+    mathematical-statistics surface (its other members are either
+    approximate (approxQuantile, freqItems — the exact twins
+    q_agg_percentile / q_agg_freq_items already cover those
+    semantics) or float-accumulation-ordered (cov/corr — the repo
+    deliberately computes correlations from exact integer moments
+    instead, q_agg_corr_exact)): the event_type × day-of-week
+    contingency table, the same marginals q_agg_chi2_indep tests
+    but as the RAW exact-count matrix an analyst eyeballs first.
+    API semantics certified: the pivot column names are the
+    stringified VALUES of the second column ("1".."7"), the first
+    column is named "{col1}_{col2}", counts are exact longs.
+    Calendar hazard pinned as in q_ts_heatmap_hod_dow: Spark
+    dayofweek is 1=Sunday, DuckDB's is 0=Sunday, so the oracle adds
+    1. Scale: crosstab is one map-side-combining agg over (c1, c2)
+    + a driver pivot of the BOUNDED distinct matrix — never call it
+    when col2's cardinality is data-scaled (the column count would
+    be the row count); the 5×7 panel here is the intended shape."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).stat.crosstab("event_type", "dow")
