@@ -289,3 +289,44 @@ def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("k")
         .select("canon", "n", "n_variants")
     )
+
+
+@query(
+    "q_str_mask_builtin",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(regexp_replace(
+               c_name, '[A-Z]', '?', 'g'), '[0-9]', '*', 'g')
+               AS masked_custom
+    FROM customer ORDER BY c_custkey
+    """,
+    category="2.H",
+)
+def q_str_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `mask()` BUILTIN (Spark 3.4+) — the engine's own PII-masking
+    scalar, complementing q_proj_masking's hand-rolled projection: by
+    default uppercase→'X', lowercase→'x', digits→'n', other chars kept;
+    every class character is overridable (upper→'?', digits→'*',
+    lowercase kept via the NULL override in the custom variant here).
+    The oracle spells the same classification as regexp_replace chains
+    (the portable definition), so the rung certifies the builtin's
+    CLASS BOUNDARIES — which characters count as upper/lower/digit —
+    not just the happy path. Codegen'd JVM expression: masking at 100
+    TB rides the projection like any string function, and the builtin
+    is the form a column-level masking POLICY compiles to. Kept
+    ORDER BY custkey so torn rows can't hide in multiset equality."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            F.lit("?"),
+            F.lit(None).cast("string"),
+            F.lit("*"),
+            F.lit(None).cast("string"),
+        ).alias("masked_custom"),
+    ).orderBy("c_custkey")
