@@ -2057,3 +2057,132 @@ def q_llm_dedup_bloom_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_b.crossJoin(F.broadcast(n_cand)).crossJoin(
         F.broadcast(verified)
     )
+
+
+@query(
+    "q_llm_dup_span_merge",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+    ),
+    dup AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT s.doc_id, s.p FROM sh s WHERE s.sh IN (SELECT sh FROM dup)
+    ),
+    g AS (
+      SELECT doc_id, p,
+             CASE WHEN MAX(p + 7) OVER w IS NULL
+                    OR p > MAX(p + 7) OVER w + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM g
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(len(tk.t)) AS BIGINT) AS n_tokens,
+           floor(SUM(sp.e - sp.s + 1) * 1000000.0 / MAX(len(tk.t)))
+               / 1000000.0 AS dup_pct
+    FROM spans sp JOIN toks tk ON sp.doc_id = tk.doc_id
+    GROUP BY sp.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplicate-span report (the Lee et al. 2022 /
+    RefinedWeb dedup step): every SLIDING 8-token shingle that appears
+    in >= 2 documents marks its token interval [p, p+7] as duplicated
+    text, and overlapping-or-adjacent duplicated intervals MERGE into
+    maximal spans per doc (gaps-and-islands over token offsets: a new
+    span starts iff p clears the running max interval end + 1 — the
+    same running-max islands form as the dynamic-gap session rung,
+    applied to token space). Per doc: span count, duplicated-token
+    total, and the exact duplication ratio — the numbers that decide
+    whether to CUT spans or DROP docs. This is sub-shingle-resolution
+    the fixed-chunk rung (q_llm_line_dedup) cannot see: two docs
+    sharing a 40-token paragraph at different offsets never align on
+    disjoint 10-token chunk boundaries, but all 33 of their sliding
+    8-grams collide, merging into one 40-token span on each side.
+    Scale: shingle frequency is one hash shuffle keyed on the shingle
+    (at 100 TB: on its 64-bit rolling hash — 8-byte rows, collisions
+    re-verified by one string recheck, the q_llm_ngram_novelty
+    discipline); the islands window is per-doc (partitioned, bounded
+    by doc length); span merge is a per-doc hash agg. No global
+    window, no all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 8
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 8), "
+                "i -> array_join(slice(t, i + 1, 8), ' '))"
+            )
+        ).alias("p", "sh"),
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("sh")
+    )
+    hits = sh.join(dup, "sh", "left_semi").select("doc_id", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("p") + 7).over(w_prev)
+    isl = hits.withColumn(
+        "island",
+        F.sum(
+            (prev_end.isNull() | (F.col("p") > prev_end + 1)).cast("int")
+        ).over(w_run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + 7).alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(span_len).cast("long").alias("dup_tokens"),
+    )
+    sizes = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return per_doc.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("dup_tokens") * 1000000.0 / F.col("n_tokens")
+            )
+            / 1000000.0
+        ).alias("dup_pct"),
+    )
