@@ -528,3 +528,81 @@ def test_udtf_polymorphic_schema_derives_from_literal(spark):
             "SELECT t.* FROM pm_docs, "
             "LATERAL melt_fields_t(a, doc_id, a) t"
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    print_blob=True,
+)
+@given(
+    hits=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # doc_id
+            st.integers(min_value=0, max_value=60),   # shingle start p
+        ),
+        min_size=0,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_span_merge_islands_match_interval_merge(spark, hits):
+    """Property gate for q_llm_dup_span_merge's islands logic: on random
+    (doc_id, p) hit sets — overlaps, exact adjacency, gaps of exactly
+    2, singletons, the empty set — the running-max islands window must
+    produce exactly the spans a reference interval merge of [p, p+7]
+    (union overlapping-or-adjacent) produces, per doc, under a
+    multi-partition layout."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # Reference: classic sorted interval merge with adjacency (+1).
+    expected = set()
+    bydoc: dict[int, list[int]] = {}
+    for d, p in hits:
+        bydoc.setdefault(d, []).append(p)
+    for d, ps in bydoc.items():
+        ps.sort()
+        s = e = None
+        for p in ps:
+            if s is None:
+                s, e = p, p + 7
+            elif p <= e + 1:
+                e = max(e, p + 7)
+            else:
+                expected.add((d, s, e))
+                s, e = p, p + 7
+        if s is not None:
+            expected.add((d, s, e))
+
+    if not hits:
+        return
+    df = spark.createDataFrame(
+        list(hits), "doc_id long, p long"
+    ).repartition(5)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("p") + 7).over(w_prev)
+    spans = (
+        df.withColumn(
+            "island",
+            F.sum(
+                (prev_end.isNull() | (F.col("p") > prev_end + 1))
+                .cast("int")
+            ).over(w_run),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("p").alias("s"), (F.max("p") + 7).alias("e"))
+        .select("doc_id", "s", "e")
+    )
+    got = {(r.doc_id, r.s, r.e) for r in spans.collect()}
+    assert got == expected
