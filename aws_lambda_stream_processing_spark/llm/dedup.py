@@ -302,8 +302,17 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    buckets = d.select("doc_id", "text").mapInPandas(
-        band_buckets, "doc_id long, band int, bucket long"
+    # Materialize the signature kernel ONCE: the band self-join below
+    # references `buckets` on both sides, and without a checkpoint the
+    # mapInPandas Python pass executes twice (measured 4.0 -> 3.7 s
+    # best-of-2 solo at sf0.1 — the kernel is cheap per pass, but at
+    # 100 TB the signature pass is the dominant cost and running it
+    # once is the correct shape). Janitor-tracked: blocks die on the
+    # next foreign build. Tiny frame — _BANDS rows per doc, 3 longs.
+    buckets = tracked_local_checkpoint(
+        d.select("doc_id", "text").mapInPandas(
+            band_buckets, "doc_id long, band int, bucket long"
+        )
     )
     cand = (
         buckets.alias("x")

@@ -114,6 +114,8 @@ SAMPLE = [
     "q_join_lateral_df",  # decorrelated limit: (bal, custkey) tie-break
     "q_transpose",  # index-value column naming across partitionings
     "q_graph_edges_build",  # degree agg over the shared memo, any layout
+    "q_llm_dup_span_merge",  # islands merge over hit offsets, any layout
+    "q_stat_crosstab",  # value-derived column names across partitionings
 ]
 
 
