@@ -277,3 +277,112 @@ def test_full_outer_join_does_not_reemit_after_restart(spark, scratch_dirs):
         f"restarted run re-emitted {sum(emitted)} rows "
         f"(first run: {n_first})"
     )
+
+
+def test_python_stream_sink_restart_does_not_duplicate(spark, scratch_dirs):
+    """The Python DataSourceStreamWriter sink (q_stream_sink_python_
+    datasource's connector shape): restarting a DRAINED query from its
+    checkpoint must publish no new epoch manifests and leave the
+    committed row set unchanged — the per-epoch atomic-manifest commit
+    turns at-least-once execution into exactly-once output across
+    restarts too, not just across task retries."""
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    out = _scratch("alsp_pyds_restart_")
+    scratch_dirs.append(out)
+
+    class _W(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import uuid
+
+            p = os.path.join(self.path, f"s_{uuid.uuid4().hex}.csv")
+            with open(p, "w") as f:
+                for row in iterator:
+                    f.write(f"{row.event_id}\n")
+            return _Msg(p)
+
+        def commit(self, messages, batchId):
+            m = os.path.join(self.path, f"_MANIFEST_b{batchId}")
+            with open(m + ".tmp", "w") as f:
+                for msg in messages:
+                    f.write(msg.path + "\n")
+            os.replace(m + ".tmp", m)
+
+        def abort(self, messages, batchId):
+            pass
+
+    class _Sink(DataSource):
+        @classmethod
+        def name(cls):
+            return "restart_manifest_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _W(self.options)
+
+    spark.dataSource.register(_Sink)
+    input_dir = split_events_dir(
+        spark,
+        SF_DIR,
+        ["event_id % 2 = 0", "event_id % 2 = 1"],
+    )
+    scratch_dirs.append(input_dir)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SPLIT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+            .select("event_id")
+            .coalesce(1)
+            .writeStream.format("restart_manifest_sink")
+            .option("path", out)
+            .option("checkpointLocation", out + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    def committed_rows():
+        rows = []
+        for fn in sorted(os.listdir(out)):
+            if fn.startswith("_MANIFEST_b") and not fn.endswith(".tmp"):
+                with open(os.path.join(out, fn)) as f:
+                    for staged in f:
+                        staged = staged.strip()
+                        if staged:
+                            with open(staged) as sf:
+                                rows += [
+                                    int(x) for x in sf if x.strip()
+                                ]
+        return sorted(rows)
+
+    run_once()
+    first = committed_rows()
+    manifests_first = sorted(
+        fn for fn in os.listdir(out) if fn.startswith("_MANIFEST_b")
+    )
+    assert first, "first run committed nothing"
+
+    run_once()  # restart on the same checkpoint, no new input
+    assert committed_rows() == first, "restart duplicated committed rows"
+    assert (
+        sorted(
+            fn for fn in os.listdir(out) if fn.startswith("_MANIFEST_b")
+        )
+        == manifests_first
+    ), "restart published new epoch manifests"
