@@ -302,18 +302,19 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    # Materialize the signature kernel ONCE: the band self-join below
-    # references `buckets` on both sides, and without a checkpoint the
-    # mapInPandas Python pass executes twice (measured 4.0 -> 3.7 s
-    # best-of-2 solo at sf0.1 — the kernel is cheap per pass, but at
-    # 100 TB the signature pass is the dominant cost and running it
-    # once is the correct shape). Janitor-tracked: blocks die on the
-    # next foreign build. Tiny frame — _BANDS rows per doc, 3 longs.
-    buckets = tracked_local_checkpoint(
-        d.select("doc_id", "text").mapInPandas(
-            band_buckets, "doc_id long, band int, bucket long"
-        )
-    )
+    # Cache the signature kernel: the band self-join below references
+    # `buckets` on both sides, and without a cache the mapInPandas
+    # Python pass executes twice (measured 4.0 -> 3.7 s best-of-2 solo
+    # at sf0.1 — the kernel is cheap per pass here, but at 100 TB the
+    # signature pass is the dominant cost and single execution is the
+    # correct shape). A LAZY cache, not an eager checkpoint: this
+    # builder is in the _MUST_BE_LAZY zero-jobs gate — the same
+    # query-local cache + janitor-release pattern as the simhash-bands
+    # token stream. Tiny frame — _BANDS rows per doc, 3 longs each.
+    buckets = d.select("doc_id", "text").mapInPandas(
+        band_buckets, "doc_id long, band int, bucket long"
+    ).cache()
+    track_cache(buckets.unpersist)
     cand = (
         buckets.alias("x")
         .join(
