@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import query, track_cache
 from aws_lambda_stream_processing_spark.tables import load_table
 
 # NOTE: streaming.replay is imported INSIDE the two stream-flavored ops,
@@ -1484,3 +1484,103 @@ def q_source_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_source_python_datasource_pushdown",
+    oracle="""
+    WITH gen AS (
+      SELECT range AS id, range % 8 AS bucket,
+             (range * 37) % 1000 AS cents
+      FROM range(40000)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM gen WHERE bucket = 3 AND cents > 500
+    """,
+    category="2.A",
+)
+def q_source_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTER PUSHDOWN through a Python DataSource (Spark 4.1
+    `DataSourceReader.pushFilters`) — the feature that decides whether
+    a custom Python connector scales or scans the world: the reader
+    receives the query's predicates as typed Filter objects BEFORE
+    partition planning, consumes the `bucket = 3` EqualTo (returning
+    the rest for Spark to re-apply), and then plans ONE input
+    partition instead of eight — at 100 TB this is the difference
+    between asking the external system for one shard and fetching the
+    whole dataset to filter it in Spark. Semantics certified by the r8
+    probe: consumed filters VANISH from the post-scan Filter node
+    (plan-gated two-directionally in tests — disabling
+    spark.sql.python.filterPushdown.enabled restores the predicate),
+    unconsumed ones (`cents > 500`, returned from pushFilters) stay.
+    The dataset is a deterministic generator (id, id % 8, (id*37) %
+    1000 over 40k ids) partitioned by bucket, so the DuckDB oracle is
+    the same arithmetic over range(40000) — a reader that pruned the
+    WRONG partition or dropped rows breaks the exact match. The
+    pushdown conf is enabled via the registry janitor (restored at
+    the next query's build), so a hostile driver session is left as
+    found."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    _CONF = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(_CONF)
+    spark.conf.set(_CONF, "true")
+    track_cache(lambda: spark.conf.set(_CONF, prev))
+
+    class BucketRangeReader(DataSourceReader):
+        def __init__(self):
+            self.bucket = None
+
+        def pushFilters(self, filters):
+            rest = []
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("bucket",)
+                    and isinstance(f.value, int)
+                ):
+                    self.bucket = f.value
+                else:
+                    rest.append(f)
+            return iter(rest)
+
+        def partitions(self):
+            buckets = (
+                [self.bucket] if self.bucket is not None else range(8)
+            )
+            return [InputPartition(b) for b in buckets]
+
+        def read(self, part):
+            b = part.value
+            for i in range(b, 40000, 8):
+                yield (i, b, (i * 37) % 1000)
+
+    class BucketRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "alsp_pushdown_range"
+
+        def schema(self):
+            return "id long, bucket long, cents long"
+
+        def reader(self, schema):
+            return BucketRangeReader()
+
+    spark.dataSource.register(BucketRangeSource)
+    gen = spark.read.format("alsp_pushdown_range").load()
+    return gen.where("bucket = 3 AND cents > 500").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )

@@ -1370,3 +1370,40 @@ def test_apply_in_arrow_single_exchange(spark, registry):
     plan = plan_string(df)
     assert has_operator(df, "FlatMapGroupsInArrow"), plan
     assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_python_datasource_pushdown_consumes_filter_two_directions(
+    spark, registry
+):
+    """q_source_python_datasource_pushdown: with the pushdown conf on,
+    the consumed `bucket = 3` EqualTo must VANISH from the post-scan
+    Filter while the unconsumed `cents > 500` stays; with the conf
+    off, the bucket predicate must REAPPEAR in the Filter (positive
+    control — proves the gate isn't vacuous)."""
+    _CONF = "spark.sql.python.filterPushdown.enabled"
+    df = registry["q_source_python_datasource_pushdown"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    filt = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert filt, plan
+    # the EqualTo is consumed (its `bucket = 3` equality vanishes);
+    # Spark's residual isnotnull(bucket) guard legitimately remains
+    assert all("= 3" not in ln for ln in filt), (
+        "bucket = 3 not consumed by pushFilters:\n" + plan
+    )
+    assert any("> 500" in ln for ln in filt), (
+        "unconsumed cents predicate missing from post-scan Filter:\n"
+        + plan
+    )
+    prev = spark.conf.get(_CONF)
+    try:
+        spark.conf.set(_CONF, "false")
+        gen = spark.read.format("alsp_pushdown_range").load()
+        off = gen.where("bucket = 3 AND cents > 500")
+        plan_off = plan_string(off, "simple")
+        assert any(
+            "= 3" in ln
+            for ln in plan_off.splitlines()
+            if "Filter" in ln
+        ), "positive control failed — bucket filter absent with pushdown off:\n" + plan_off
+    finally:
+        spark.conf.set(_CONF, prev)
