@@ -116,6 +116,8 @@ SAMPLE = [
     "q_graph_edges_build",  # degree agg over the shared memo, any layout
     "q_llm_dup_span_merge",  # islands merge over hit offsets, any layout
     "q_stat_crosstab",  # value-derived column names across partitionings
+    "q_source_python_datasource_pushdown",  # pruned partition set, any conf
+    "q_str_mask_builtin",  # class-boundary masking is layout-free
 ]
 
 
