@@ -169,18 +169,19 @@ def load_all() -> dict[str, QuerySpec]:
     scalar-function (§2.H) and window (§2.E) families into the prefix
     (43 first-time certifications). Round 7 moved `operators` ahead of
     `functions` and rotated sqlfront + sketches + profiling to the head
-    of `operators` (50 first-time certifications). Round 8 moves the
-    never-certified `udf` package (13 §2.K rungs, all sub-second) to
-    the very front, then `operators` with modernsql + the uncertified
-    profiling tail at its head (see operators/__init__.py) — another
-    ~48 first-time IDs in the first-50 prefix. Rotation only permutes
-    dict insertion order; every query keeps its ID, oracle, and
-    behavior.
+    of `operators` (50 first-time certifications). Round 8 moved the
+    never-certified `udf` package (§2.K) + modernsql + the profiling
+    tail to the front (~48 first-time IDs). Round 9 moves the `llm`
+    package first with `timeseries` (41 rungs, 41 never certified) and
+    `text` (36, 36 never) at its head (see llm/__init__.py) — the
+    first-50 prefix is 50 first-time IDs, all cheap batch queries.
+    Rotation only permutes dict insertion order; every query keeps its
+    ID, oracle, and behavior.
     """
-    import aws_lambda_stream_processing_spark.udf  # noqa: F401
+    import aws_lambda_stream_processing_spark.llm  # noqa: F401
     import aws_lambda_stream_processing_spark.operators  # noqa: F401
     import aws_lambda_stream_processing_spark.functions  # noqa: F401
-    import aws_lambda_stream_processing_spark.llm  # noqa: F401
+    import aws_lambda_stream_processing_spark.udf  # noqa: F401
     import aws_lambda_stream_processing_spark.streaming  # noqa: F401
 
     return REGISTRY

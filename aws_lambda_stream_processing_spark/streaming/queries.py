@@ -2622,12 +2622,22 @@ def q_stream_sink_python_datasource(
         )
         q.awaitTermination(180)
         if q.isActive:
+            # Fail fast: a partial manifest set would surface only as a
+            # confusing oracle mismatch downstream (ADVICE r8).
             q.stop()
+            raise RuntimeError(
+                "q_stream_sink_python_datasource: stream did not drain "
+                "within 180 s — refusing to read partial manifests"
+            )
         committed: list[str] = []
         for fn in sorted(_os.listdir(out)):
             if fn.startswith("_MANIFEST_b") and not fn.endswith(".tmp"):
                 with open(_os.path.join(out, fn)) as f:
                     committed += [ln.strip() for ln in f if ln.strip()]
+        assert committed, (
+            "q_stream_sink_python_datasource: no committed staged files "
+            f"found under {out} — the sink committed nothing"
+        )
         back = spark.read.schema(
             "event_id BIGINT, user_id BIGINT, cents BIGINT"
         ).csv(committed)

@@ -1386,8 +1386,13 @@ def test_python_datasource_pushdown_consumes_filter_two_directions(
     filt = [ln for ln in plan.splitlines() if "Filter" in ln]
     assert filt, plan
     # the EqualTo is consumed (its `bucket = 3` equality vanishes);
-    # Spark's residual isnotnull(bucket) guard legitimately remains
-    assert all("= 3" not in ln for ln in filt), (
+    # Spark's residual isnotnull(bucket) guard legitimately remains.
+    # Anchored on the column (ADVICE r8): a bare '= 3' would also match
+    # unrelated literals if the rung ever grows another predicate.
+    import re as _re
+
+    _bucket_eq = _re.compile(r"bucket#\d+L?\)?\s*=\s*3\b")
+    assert all(not _bucket_eq.search(ln) for ln in filt), (
         "bucket = 3 not consumed by pushFilters:\n" + plan
     )
     assert any("> 500" in ln for ln in filt), (
@@ -1401,7 +1406,7 @@ def test_python_datasource_pushdown_consumes_filter_two_directions(
         off = gen.where("bucket = 3 AND cents > 500")
         plan_off = plan_string(off, "simple")
         assert any(
-            "= 3" in ln
+            _bucket_eq.search(ln)
             for ln in plan_off.splitlines()
             if "Filter" in ln
         ), "positive control failed — bucket filter absent with pushdown off:\n" + plan_off
