@@ -243,7 +243,71 @@ _N_HASHES = 16
 _BANDS = 2  # 2 bands × 8 rows → per-band collision prob J^8: ≈0 for J < 0.6
 
 
-@query("q_llm_minhash_lsh", oracle=None, category="2.J", tags=("weak",))
+_LSH_MINS_SQL = ", ".join(
+    f"MIN((gh * {2 * i + 1} + {7 * i + 3}) % {_MINHASH_P}) AS h{i}"
+    for i in range(_N_HASHES)
+)
+_LSH_B1_SQL = " || ',' || ".join(f"h{i}" for i in range(_N_HASHES // _BANDS))
+_LSH_B2_SQL = " || ',' || ".join(
+    f"h{i}" for i in range(_N_HASHES // _BANDS, _N_HASHES)
+)
+
+
+@query(
+    "q_llm_minhash_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS h
+      FROM v
+    ),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS tok1, t[i + 1] AS tok2
+      FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    gh AS (
+      SELECT DISTINCT bg.doc_id,
+             (h1.h * 1000003 + h2.h) % 1000000007 AS gh
+      FROM bg
+      JOIN th h1 ON h1.tok = bg.tok1
+      JOIN th h2 ON h2.tok = bg.tok2
+    ),
+    mh AS (SELECT doc_id, {_LSH_MINS_SQL} FROM gh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, '0|' || {_LSH_B1_SQL} AS bk FROM mh
+      UNION ALL
+      SELECT doc_id, '1|' || {_LSH_B2_SQL} AS bk FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS o
+      FROM cand c
+      JOIN gh a ON a.doc_id = c.doc_a
+      JOIN gh b ON b.doc_id = c.doc_b AND b.gh = a.gh
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(o * 1.0 / (x.n + y.n - o), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE o * 1.0 / (x.n + y.n - o) >= {JACCARD_TAU}
+    """,
+    category="2.J",
+)
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the sub-quadratic 100 TB
     path. Signatures are built over BIGRAM SHINGLES (w-shingling), not
@@ -251,17 +315,27 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains nearly every unigram and unigram minhashes collide globally
     (that variant degenerates to an all-pairs join — measured 150 s at
     sf0.1; shingling restores signature diversity). 16 minhashes with a
-    fixed affine family over crc32 shingle hashes, 2 bands of 8; the
-    signature+banding step runs as ONE vectorized mapInPandas pass (the
-    equivalent 16 interpreted array-lambda columns cost ~3.5 s/side at
-    sf0.1 — higher-order exprs are not codegen'd); docs sharing a band
-    bucket become candidate pairs (IDs only through the join), verified
-    with exact shingle-set Jaccard >= τ via JVM array_intersect.
+    fixed affine family over polynomial shingle hashes, 2 bands of 8;
+    the signature+banding step runs as ONE vectorized mapInPandas pass
+    (the equivalent 16 interpreted array-lambda columns cost ~3.5 s/side
+    at sf0.1 — higher-order exprs are not codegen'd); docs sharing a
+    band bucket become candidate pairs (IDs only through the join),
+    verified with exact shingle-set Jaccard >= τ via JVM
+    array_intersect.
 
-    Approximate (banding misses pairs below the S-curve) → weak check;
-    q_llm_neardup_jaccard is the exact-oracle twin.
-    """
-    import zlib
+    EXACT oracle since r9 (r8 verdict item 3): shingle hashes are the
+    same char-level polynomial fold q_llm_minhash_exact certifies
+    cross-engine (not crc32), band keys are the joined min-value
+    strings, and the Jaccard verification runs over the polynomial
+    shingle-HASH sets (the q_llm_dedup_eval truth discipline) — so
+    DuckDB replays signatures, banding, candidate generation, and the
+    verification bit-for-bit. The banding S-curve still *approximates*
+    (pairs below it are missed by construction) — but identically in
+    both engines, so the output hash-matches. No 64-bit overflow
+    anywhere: gh < 1e9+7, a <= 31, so a*gh + b < 2^35. The kernel
+    piggybacks each doc's shingle-hash set on its band-0 row, so the
+    verify side re-reads the cached kernel output instead of
+    recomputing shingles."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -270,22 +344,34 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
 
     # vectorized signature kernel: (doc_id, text) batches → one row per
-    # (doc, band) with the band's bucket hash
+    # (doc, band) with the band's bucket key (joined min values)
     A = np.array([2 * i + 1 for i in range(_N_HASHES)], dtype=np.int64)
     B = np.array([7 * i + 3 for i in range(_N_HASHES)], dtype=np.int64)
     rows_per_band = _N_HASHES // _BANDS
 
     def band_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def tok_hash(tok: str) -> int:
+            h = memo.get(tok)
+            if h is None:
+                h = 7
+                for ch in tok:
+                    h = (h * 131 + ord(ch)) % _MH_MOD
+                memo[tok] = h
+            return h
+
         for pdf in batches:
-            out = {"doc_id": [], "band": [], "bucket": []}
+            out = {"doc_id": [], "band": [], "bucket": [], "sh": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split(" ")
                 if len(toks) < 2:
                     continue
+                hs_list = [tok_hash(t) for t in toks]
                 hs = np.fromiter(
                     {
-                        zlib.crc32(f"{a} {b}".encode())
-                        for a, b in zip(toks, toks[1:])
+                        (h1 * 1000003 + h2) % _MH_MOD
+                        for h1, h2 in zip(hs_list, hs_list[1:])
                     },
                     dtype=np.int64,
                 )
@@ -297,9 +383,10 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                     out["doc_id"].append(doc_id)
                     out["band"].append(band)
-                    out["bucket"].append(
-                        zlib.crc32(bytes([band]) + chunk.tobytes())
-                    )
+                    out["bucket"].append(",".join(map(str, chunk)))
+                    # shingle-hash set rides on the band-0 row only, so
+                    # the verify step reuses this cached pass
+                    out["sh"].append(hs if band == 0 else None)
             yield pd.DataFrame(out)
 
     # Cache the signature kernel: the band self-join below references
@@ -310,9 +397,9 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correct shape). A LAZY cache, not an eager checkpoint: this
     # builder is in the _MUST_BE_LAZY zero-jobs gate — the same
     # query-local cache + janitor-release pattern as the simhash-bands
-    # token stream. Tiny frame — _BANDS rows per doc, 3 longs each.
+    # token stream. Tiny frame — _BANDS rows per doc, 3 columns.
     buckets = d.select("doc_id", "text").mapInPandas(
-        band_buckets, "doc_id long, band int, bucket long"
+        band_buckets, "doc_id long, band int, bucket string, sh array<long>"
     ).cache()
     track_cache(buckets.unpersist)
     cand = (
@@ -329,19 +416,8 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact verification on JVM-built shingle arrays
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(2), F.size(toks)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i - F.lit(1)),
-                F.element_at(toks, i),
-            ),
-        )
-    )
-    docs = d.where(F.size(toks) >= 2).select("doc_id", shingles.alias("sh"))
+    # exact verification on the kernel's shingle-hash sets (band-0 rows)
+    docs = buckets.where(F.col("band") == 0).select("doc_id", "sh")
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -1038,24 +1114,40 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets — never all pairs. Everything shuffles ids and 8-int signatures,
     not text."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
+    t = F.split("text", " ")
+    toks = d.select("doc_id", F.explode(t).alias("tok"))
     vocab = toks.select("tok").distinct()
-    th = vocab.select(
-        "tok",
-        F.aggregate(
-            F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(7).cast("long"),
-            lambda acc, x: (acc * 131 + x) % _MH_MOD,
-        ).alias("h"),
+    # Vocab hash table materialized ONCE: both broadcast sides below
+    # reference it, and an un-pinned broadcast side re-runs the full
+    # explode+distinct+HOF vocabulary pass PER BROADCAST (measured 4.4 s
+    # -> 0.4 s for the bigram join at sf0.1). Vocab-sized — tiny
+    # relative to the corpus at any scale.
+    th = tracked_local_checkpoint(
+        vocab.select(
+            "tok",
+            F.aggregate(
+                F.transform(
+                    F.split("tok", ""), lambda c: F.ascii(c).cast("long")
+                ),
+                F.lit(7).cast("long"),
+                lambda acc, x: (acc * 131 + x) % _MH_MOD,
+            ).alias("h"),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.select(
+    # Adjacent bigram pairs formed ARRAY-SIDE (zip of the array with its
+    # own tail) — narrow, no shuffle. The r8 form ran lead() over a
+    # (doc_id, pos) window, which shuffled and sorted the full token
+    # stream as STRINGS before hashing; at 100 TB that exchange is the
+    # corpus. Zero exchanges now precede the distinct-shingle shuffle.
+    bg = d.select(
         "doc_id",
-        F.col("tok").alias("tok1"),
-        F.lead("tok", 1).over(w).alias("tok2"),
-    ).where(F.col("tok2").isNotNull())
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("tok1"), F.col("p.1").alias("tok2"))
     gh = (
         bg.join(F.broadcast(th.withColumnRenamed("h", "h1")), bg.tok1 == th.tok)
         .drop("tok")
@@ -1069,14 +1161,18 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             ((F.col("h1") * 1000003 + F.col("h2")) % _MH_MOD).alias("gh"),
         )
-        # cached: BOTH the signature agg (mh) and the truth-side shingle
-        # sets (sh) consume this stream — without the cache the whole
-        # token-hash pipeline runs twice. Query-local; janitor-freed at
-        # the next build.
-        .cache()
     )
-    track_cache(gh.unpersist)
-    mh = gh.groupBy("doc_id").agg(
+    # MIN is duplicate-invariant, so the signature agg needs only the
+    # DISTINCT (doc_id, gh) shingle sets — the same relation the truth
+    # join consumes on both sides and the size agg reads. Materialize it
+    # ONCE, eagerly: the r8 lazy-cache form recomputed the distinct from
+    # cache (and under block eviction the whole token-hash pipeline) up
+    # to three times, which was the measured 4.0–8.6 s run-to-run spread
+    # (r8 verdict watch item). An eager localCheckpoint pins the one
+    # shuffle deterministically; blocks die on the next foreign build.
+    # 16-byte rows (two longs) — ids and hashes shuffle, never text.
+    sh = tracked_local_checkpoint(gh.distinct())
+    mh = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("gh") + F.lit(b)) % _MH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(_MH_SEEDS)
@@ -1108,7 +1204,6 @@ def q_llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = gh.distinct()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("g_a"))
     b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("gh").alias("g_b"))

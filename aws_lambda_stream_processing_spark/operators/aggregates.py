@@ -327,15 +327,43 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct", oracle=None, category="2.D", tags=("weak",))
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS est_within_6pct,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="2.D",
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct — the 100 TB path for distinct
-    counting (mergeable sketch, O(1) memory per group). Sketch estimates are
-    engine-specific → weak rows-only check by design (SURVEY §2 conv. 5)."""
+    counting (mergeable sketch, O(1) memory per group) — certified
+    against the exact count inside the query (r8 verdict item 3: the
+    q_scale_hll_partitioned pattern). HLL++ register updates are max()
+    operations, so for fixed data and rsd the estimate is deterministic
+    regardless of partitioning; at rsd=0.02 the standard error is 2%,
+    so the 6% (3σ) gate is a real certification the driver can hash,
+    not a tautology. The raw estimate stays out of the hashed columns
+    because its exact value is engine-specific; its ERROR BOUND is not."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.06
+        ).alias("est_within_6pct"),
+        "cnt",
     )
 
 
@@ -369,24 +397,51 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile", oracle=None, category="2.D", tags=("weak",))
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    category="2.D",
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the KLL/GK-style sketch
-    (approx_percentile) — the 100 TB path for latency-percentile reporting
-    where exact percentile's full sort per group is off the table. Sketch
-    estimates are engine-specific → weak check; q_agg_percentile is the
-    exact twin. Output serialized to a string (SURVEY §2 convention 4) —
-    a raw array<double> column crashes the driver's pandas canonicalizer
-    (round-1 CORRECTNESS: `TypeError: unhashable type: 'list'`)."""
+    (approx_percentile) — the 100 TB path for latency-percentile
+    reporting where exact percentile's full sort per group is off the
+    table — certified against exact RANK truth inside the query (r8
+    verdict item 3). The GK sketch guarantees a returned element whose
+    rank is within ε·N of the target regardless of merge order, so the
+    per-quantile booleans (rank of the estimate within ±1% of the
+    target quantile, plus a 1/N discreteness slack) are deterministic
+    TRUE for any legal execution — hashable truth about an
+    engine-specific estimate. Rank check uses count(<est) / count(<=est)
+    bracketing so duplicate values can't fake a failure. One extra
+    broadcast join of group-sized estimates back to events: scale-safe."""
     e = load_table(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    # format_string, not format_number: format_number inserts thousands
-    # separators (commas) that would collide with the join delimiter.
-    return e.groupBy("event_type").agg(
-        F.array_join(
-            F.transform(pcts, lambda x: F.format_string("%.4f", x)), ","
-        ).alias("pcts"),
-        F.count("*").alias("cnt"),
+    est = e.groupBy("event_type").agg(
+        pcts.alias("ps"), F.count("*").alias("cnt")
+    )
+    j = e.join(F.broadcast(est), "event_type")
+    checks = []
+    for i, q in enumerate((0.5, 0.9, 0.99)):
+        p = F.element_at(F.col("ps"), i + 1)
+        n_lt = F.sum((F.col("value") < p).cast("long"))
+        n_le = F.sum((F.col("value") <= p).cast("long"))
+        n = F.first("cnt")
+        slack = F.lit(0.01) + 1.0 / n
+        checks.append(
+            (
+                (n_lt / n <= F.lit(q) + slack)
+                & (n_le / n >= F.lit(q) - slack)
+            ).alias(f"p{int(q * 100)}_ok")
+        )
+    return j.groupBy("event_type").agg(
+        F.first("cnt").alias("cnt"), *checks
     )
 
 
