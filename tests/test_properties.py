@@ -216,12 +216,16 @@ def test_ann_hot_bucket_splits_into_bounded_tasks_same_results(spark):
     """Hot-bucket cap (round-3): a deliberately skewed bucket — every
     vector in ONE LSH bucket / IVF list — must (a) split into multiple
     bounded (ga, gb) sub-block groups instead of one fat GEMM task, and
-    (b) produce exactly the same pair results as the uncapped kernel."""
+    (b) produce exactly the same pair results as the uncapped kernel.
+    Exercises the int64-quantized kernel (r9): integer dots make
+    capped-vs-uncapped equality EXACT — the float64 predecessor differed
+    in the last ULP between sub-block and full-matrix BLAS summation
+    orders, which made this gate flaky."""
     import os
 
     from aws_lambda_stream_processing_spark.llm.similarity import (
         _capped_blocks,
-        _capped_bucket_pair_sims,
+        _capped_bucket_pair_qdots,
     )
     from aws_lambda_stream_processing_spark.tables import load_table
 
@@ -230,10 +234,13 @@ def test_ann_hot_bucket_splits_into_bounded_tasks_same_results(spark):
     from tests.conftest import SF_DIR
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    # skew: all vectors into bucket 0
+    # skew: all vectors into bucket 0; int8-quantize like the ANN rungs
     skewed = emb.select(
         "vec_id", F.lit(0).cast("long").alias("bucket"),
-        F.col("embedding").alias("emb"),
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+        ).alias("emb"),
     )
     n = skewed.count()
     assert n > 32, "corpus too small to exercise the cap"
@@ -250,13 +257,13 @@ def test_ann_hot_bucket_splits_into_bounded_tasks_same_results(spark):
             f"expected {nb}({nb}+1)/2 sub-block groups, got {groups}"
         )
         capped = sorted(
-            map(tuple, _capped_bucket_pair_sims(skewed, "bucket", 50)
-                .orderBy(F.desc("sim"), "vec_a", "vec_b").limit(50).collect())
+            map(tuple, _capped_bucket_pair_qdots(skewed, "bucket", 50)
+                .orderBy(F.desc("qdot"), "vec_a", "vec_b").limit(50).collect())
         )
         os.environ["ALSP_ANN_BUCKET_CAP"] = str(10**9)
         uncapped = sorted(
-            map(tuple, _capped_bucket_pair_sims(skewed, "bucket", 50)
-                .orderBy(F.desc("sim"), "vec_a", "vec_b").limit(50).collect())
+            map(tuple, _capped_bucket_pair_qdots(skewed, "bucket", 50)
+                .orderBy(F.desc("qdot"), "vec_a", "vec_b").limit(50).collect())
         )
     finally:
         if saved is None:
