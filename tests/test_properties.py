@@ -613,3 +613,63 @@ def test_span_merge_islands_match_interval_merge(spark, hits):
     )
     got = {(r.doc_id, r.s, r.e) for r in spans.collect()}
     assert got == expected
+
+
+def test_int64_moment_guard_fires_on_overbound_frame(spark):
+    """r8 verdict item 4: the exact-moment rungs' int64 bound is an
+    asserted runtime guard, not a docstring promise. A synthetic frame
+    whose n²·max|x|·max|y| leaves int64 headroom must raise on collect;
+    the same shapes under the documented bound must still compute."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.profiling import (
+        _exact_corr_frame,
+        _exact_linreg_frame,
+    )
+
+    # n=3, max 2^30 → n²·max² = 9·2^60 > 2^62 trips the guard, while
+    # every actual moment sum stays inside int64 (Σx² ≈ 2^60) — the
+    # guard must fire BEFORE arithmetic wraps, not report it after
+    # (ANSI would raise ArithmeticException on a genuinely wrapped sum,
+    # which is the backstop, not the contract under test).
+    big = 1 << 30
+    over = spark.createDataFrame(
+        [("g", big, big), ("g", big // 2, big // 3), ("g", 7, 11)],
+        "k string, xv long, yv long",
+    )
+    with pytest.raises(Exception, match="int64 moment headroom"):
+        _exact_corr_frame(
+            over, "k", F.col("xv"), F.col("yv"), "r"
+        ).collect()
+    with pytest.raises(Exception, match="int64 moment headroom"):
+        _exact_linreg_frame(
+            over.select("k", F.col("xv").alias("x"), F.col("yv").alias("y")),
+            "k",
+        ).collect()
+
+    # positive control: in-bound data passes the guard and computes
+    ok = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 4), ("g", 3, 7)],
+        "k string, xv long, yv long",
+    )
+    row = _exact_corr_frame(ok, "k", F.col("xv"), F.col("yv"), "r").collect()[0]
+    # r for (1,2),(2,4),(3,7): cov=2.5/den sqrt(2/3)*sqrt(4.222..) → .993399
+    assert row["n"] == 3 and abs(row["r"] - 0.993399) < 1e-6
+    row = _exact_linreg_frame(
+        ok.select("k", F.col("xv").alias("x"), F.col("yv").alias("y")), "k"
+    ).collect()[0]
+    assert abs(row["slope_cents_day"] - 2.5) < 1e-9
+
+
+def test_jaccard_spectrum_contraction_gate_fires(spark, monkeypatch):
+    """r8 verdict item 5 vacuity control: the contracted-set bound is a
+    live gate, not a comment — shrink it below the fixture's set count
+    and the builder must refuse with the sample-first message."""
+    import aws_lambda_stream_processing_spark.llm.dedup as dd
+
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setattr(dd, "_JS_MAX_CONTRACTED_SETS", 1)
+    with pytest.raises(ValueError, match="contracted token-sets"):
+        dd.q_llm_jaccard_spectrum(spark, SF_DIR)
