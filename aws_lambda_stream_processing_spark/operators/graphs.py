@@ -1783,60 +1783,48 @@ _BFS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS path-count table R(s, v, d, sig) over the sparsified quotient
+    graph, computed DRIVER-SIDE over a structurally bounded collect (r8
+    verdict item 6): the quotient panel has <= _STRESS_BUCKETS nodes BY
+    CONSTRUCTION (partkey % 64), so the half-edge relation is <=
+    B(B-1)/2 = 2016 rows at ANY corpus size — the same bounded-collect
+    class as the IVF/PQ training samples. The r8 distributed form (6
+    levels x broadcast-join + group + anti-join + eager localCheckpoint)
+    spent 15.8 s of pure scheduling overhead on a 64-node graph; the
+    Python BFS is exact-identical (per-level sigma sums, first-visit
+    distance, unseen-only expansion) and costs milliseconds. R itself is
+    <= B^2 rows, emitted as a LocalTableScan the stress/eccentricity
+    readers re-read for free. Distributed BFS at data scale lives where
+    the data is unbounded: q_graph_bfs_3hop / harmonic_centrality."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _BFS_MEMO if k[0] != app]:
         del _BFS_MEMO[k]
     key = (app, sf_dir)
     if key in _BFS_MEMO:
         return _BFS_MEMO[key]
-    e0 = _quotient_edges(spark, sf_dir)
-    # family-scoped: the memoized R below references these checkpointed
-    # RDD blocks directly (no cache on top), so they must survive until
-    # the first NON-graph build, not just the next build
-    es = tracked_local_checkpoint(
-        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))),
-        scope="graphs",
-    )
-    nodes = es.select(F.col("u").alias("n")).distinct()
-    r = nodes.select(
-        F.col("n").alias("s"),
-        F.col("n").alias("v"),
-        F.lit(0).alias("d"),
-        F.lit(1).cast("long").alias("sig"),
-    )
-    frontier = r
-    for lvl in range(1, _STRESS_LEVELS + 1):
-        nxt = (
-            frontier.alias("r")
-            .join(
-                F.broadcast(es).alias("e"),
-                F.col("r.v") == F.col("e.u"),
-            )
-            .groupBy(
-                F.col("r.s").alias("s"), F.col("e.v").alias("v")
-            )
-            .agg(F.sum("sig").cast("long").alias("sig"))
-            .join(
-                r.select(
-                    F.col("s").alias("seen_s"),
-                    F.col("v").alias("seen_v"),
-                ),
-                (F.col("s") == F.col("seen_s"))
-                & (F.col("v") == F.col("seen_v")),
-                "left_anti",
-            )
-            .select("s", "v", F.lit(lvl).alias("d"), "sig")
-        )
-        frontier = tracked_local_checkpoint(nxt, scope="graphs")
-        # r stays a shallow union of <=7 lineage-TRUNCATED frontiers —
-        # bounded depth without its own checkpoint (checkpointing the
-        # union trips SPARK's AttributeMap on the duplicated exprIds a
-        # checkpointed child shares with its ancestor)
-        r = r.union(frontier)
-    # no cache() on top: every frontier is ALREADY a materialized
-    # localCheckpoint RDD, so consumers re-read blocks, never recompute
-    # levels — a cache here would double-store and add a pass (measured
-    # +8 s on the first reader)
+    half = _quotient_edges(spark, sf_dir).collect()  # bounded: <= 2016
+    adj: dict[int, list[int]] = {}
+    for row in half:
+        u, v = int(row.u), int(row.v)
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    out: list[tuple[int, int, int, int]] = []
+    for s in sorted(adj):
+        dist = {s: 0}
+        out.append((s, s, 0, 1))
+        frontier = {s: 1}
+        for lvl in range(1, _STRESS_LEVELS + 1):
+            nxt: dict[int, int] = {}
+            for v, sig in frontier.items():
+                for w in adj[v]:
+                    nxt[w] = nxt.get(w, 0) + sig
+            frontier = {w: c for w, c in nxt.items() if w not in dist}
+            for w, c in frontier.items():
+                dist[w] = lvl
+                out.append((s, w, lvl, c))
+            if not frontier:
+                break
+    r = spark.createDataFrame(out, "s bigint, v bigint, d int, sig bigint")
     _BFS_MEMO[key] = r
     track_cache(lambda key=key: _BFS_MEMO.pop(key, None), scope="graphs")
     return r
