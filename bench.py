@@ -142,6 +142,57 @@ def main() -> int:
             except Exception:
                 pass
 
+    # Self-adjudicated flags (ALSP_BENCH_SOLO_FLAGS=1, r8 verdict item
+    # 7): same-HEAD suite totals spread ~7% run to run, so every round
+    # burned builder+judge time fresh-solo re-measuring the >2x in-suite
+    # flags by hand. This pass automates exactly that methodology: any
+    # query whose in-suite time exceeds 2x its committed reference
+    # (newest BENCH_local_r*.json beside this file, override with
+    # ALSP_BENCH_REF) AND 1.0s absolute (the sub-second adjudication
+    # floor) is re-timed best-of-2 in a FRESH subprocess JVM, and the
+    # artifact carries the solo numbers next to the in-suite ones.
+    solo: dict[str, float] = {}
+    solo_ref: dict[str, float] = {}
+    if os.environ.get("ALSP_BENCH_SOLO_FLAGS") == "1" and not only:
+        import glob
+        import re as _re
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        ref_path = os.environ.get("ALSP_BENCH_REF")
+        if not ref_path:
+            cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+            cands.sort(
+                key=lambda p: int(
+                    _re.search(r"_r(\d+)\.json$", p).group(1)
+                )
+            )
+            ref_path = cands[-1] if cands else None
+        ref_q: dict[str, float] = {}
+        if ref_path and os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                ref_q = json.load(fh).get("queries", {})
+        flagged = sorted(
+            n for n, t in timings.items()
+            if n in ref_q and t > 2 * ref_q[n] and t > 1.0
+        )
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("ALSP_BENCH_SOLO_FLAGS", "ALSP_BENCH_WARM")
+        }
+        env["ALSP_BENCH_BEST2"] = "1"
+        for name in flagged:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), name],
+                    capture_output=True, text=True, env=env, timeout=600,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                solo[name] = json.loads(line)["queries"][name]
+                solo_ref[name] = ref_q[name]
+            except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
+                print(f"solo re-time FAIL {name}: {exc}", file=sys.stderr)
+
     # JVM telemetry for regression forensics: the round-2 driver bench
     # showed late-suite queries 10x slower with unchanged plans — the
     # default 240 MB code cache had filled and disabled the JIT. These
@@ -187,6 +238,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "failures": failures,
                 **({"best2": True} if best2 else {}),
+                **({"solo": solo, "solo_ref": solo_ref} if solo else {}),
                 **({"jvm": jvm} if jvm else {}),
                 **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
                 **(
