@@ -51,6 +51,55 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_softdedup",
+    oracle="""
+    WITH cls AS (
+      SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY sha256(text)
+    )
+    SELECT d.doc_id, c.cluster_size,
+           CAST(10000 // c.cluster_size AS BIGINT) AS weight_bp,
+           CAST((d.n_chars * 10000) // c.cluster_size AS BIGINT)
+             AS eff_chars_x10k
+    FROM documents d JOIN cls c ON sha256(d.text) = c.h
+    ORDER BY d.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SoftDeDup, public): instead of DROPPING exact
+    duplicates, reweight them — every member of a duplicate cluster gets
+    sampling weight 1/cluster_size so the cluster contributes one
+    document's worth of gradient mass while keeping all copies available
+    (the FineWeb/SlimPajama-style alternative when provenance diversity
+    matters more than corpus size). Clusters are the exact SHA-256
+    content classes of q_llm_exact_dedup; weights are integer basis
+    points (10000 div cls — exact floor division both engines) plus the
+    per-doc effective-chars contribution the weighted sampler would see.
+
+    Scale: one hash-agg on the 32-byte digest for cluster sizes, one
+    digest equi-join back — documents never shuffle, and the weight
+    column is what a downstream weighted sampler (q_llm_weighted_sample)
+    consumes directly."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    cls = d.groupBy(h.alias("h")).agg(F.count("*").alias("cluster_size"))
+    return (
+        d.select("doc_id", "n_chars", h.alias("h"))
+        .join(cls, "h")
+        .select(
+            "doc_id",
+            "cluster_size",
+            F.expr("10000 div cluster_size").alias("weight_bp"),
+            F.expr("(n_chars * 10000) div cluster_size").alias(
+                "eff_chars_x10k"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_llm_neardup_jaccard",
     # Oracle rewritten r3 (21.9 s → 1.2 s at sf0.1, identical pairs):
     # (a) identical-set groups contract to a representative (Jaccard

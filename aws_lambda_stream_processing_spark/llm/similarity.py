@@ -660,6 +660,106 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_ann_matryoshka",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, qv AS pa FROM q WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS cand_id,
+             list_reduce(list_transform(list_zip(p.pa[1:16], c.qv[1:16]),
+                                        z -> z[1] * z[2]),
+                         (u, v) -> u + v) AS qdot16,
+             list_reduce(list_transform(list_zip(p.pa, c.qv),
+                                        z -> z[1] * z[2]),
+                         (u, v) -> u + v) AS qdot
+      FROM p JOIN q c ON c.vec_id <> p.probe_id
+    ),
+    shortlist AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY qdot16 DESC, cand_id) AS r16
+      FROM scored
+    )
+    SELECT probe_id, cand_id, qdot16, qdot, rank FROM (
+      SELECT probe_id, cand_id, qdot16, qdot,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY qdot DESC, cand_id)
+                  AS INT) AS rank
+      FROM shortlist WHERE r16 <= 20)
+    WHERE rank <= 5 ORDER BY probe_id, rank
+    """,
+    category="2.J",
+)
+def q_llm_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati 2022 — public) two-stage ANN: score the
+    corpus against each probe with the 16-dim PREFIX of the embedding
+    (matryoshka representations are trained so prefixes are usable
+    embeddings), shortlist top-20 per probe, then re-rank the shortlist
+    with the full 64-dim dot and emit top-5. The coarse stage reads ¼ of
+    the vector bytes — at 100 TB that is the I/O and FLOP budget cut the
+    MRL deployment pattern exists for, and the prefix column can be
+    stored as its own narrower index relation.
+
+    Exact oracle: int8-quantized integer dots with (qdot desc, cand_id)
+    tie-breaks at both stages — the shortlist boundary and the final
+    ranking replay bit-for-bit in DuckDB. Scale shape: probes broadcast
+    (bounded probe set), corpus scanned once, shortlist is 20 rows per
+    probe — the full-dot re-rank touches 200 rows, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    probes = q.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pa")
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731 - local expr builder
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            int_dot(
+                F.slice("pa", 1, 16), F.slice("qv", 1, 16)
+            ).alias("qdot16"),
+            F.col("pa").alias("pa"),
+            F.col("qv").alias("qv"),
+        )
+    )
+    w16 = Window.partitionBy("probe_id").orderBy(
+        F.desc("qdot16"), F.asc("cand_id")
+    )
+    shortlist = (
+        scored.withColumn("r16", F.row_number().over(w16))
+        .where(F.col("r16") <= 20)
+        .select(
+            "probe_id", "cand_id", "qdot16",
+            int_dot("pa", "qv").alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("qdot"), F.asc("cand_id")
+    )
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "cand_id", "qdot16", "qdot", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
 # --- q_llm_embed_centroids (round 2) ---------------------------------------
 
 
