@@ -920,20 +920,47 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bucketed-layout argument applies at 100 TB; the unrolled plan
     is a static {iters}-stage chain with no driver-side loop state and
     no collect().""".format(iters=_LPA_ITERS)
-    half = _part_edges(spark, sf_dir).where(F.expr(_LPA_EDGE_PRED))
-    edges = (
-        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .coalesce(8)
-        .cache()
-    )
-    track_cache(edges.unpersist)  # query-local: janitor frees it next build
-    lab = _lpa_labels(edges, _LPA_ITERS)
+    lab = _lpa_labels_shared(spark, sf_dir)
     return (
         lab.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# (app_id, sf_dir) -> the converged LPA label relation, shared by
+# q_graph_lpa_communities and q_graph_modularity (same _EDGE_MEMO
+# discipline). LAZY caches only — lpa_communities is in the
+# zero-jobs-at-build gate, so the memo must not run jobs; the first
+# driver materialization fills both caches and the second consumer
+# reads them warm.
+_LPA_LABEL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lpa_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _LPA_LABEL_MEMO if k[0] != app]:
+        del _LPA_LABEL_MEMO[k]
+    key = (app, sf_dir)
+    if key in _LPA_LABEL_MEMO:
+        return _LPA_LABEL_MEMO[key]
+    half = _part_edges(spark, sf_dir).where(F.expr(_LPA_EDGE_PRED))
+    edges = (
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .coalesce(8)
+        .cache()
+    )
+    lab = _lpa_labels(edges, _LPA_ITERS).cache()
+    _LPA_LABEL_MEMO[key] = lab
+
+    def _release(key=key, edges=edges, lab=lab):
+        _LPA_LABEL_MEMO.pop(key, None)
+        lab.unpersist()
+        edges.unpersist()
+
+    track_cache(_release, scope="graphs")
+    return lab
 
 
 def _lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
@@ -967,6 +994,125 @@ def _lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
         if (i + 1) % _LPA_PIN_EVERY == 0 and (i + 1) < iters:
             lab = tracked_local_checkpoint(lab, eager=False)
     return lab
+
+
+def _modularity_oracle() -> str:
+    """LPA label chain (same unroll as _lpa_oracle) + the Newman
+    modularity of the resulting partition in pure integer arithmetic:
+    Q = (4m·Σ_c m_c − Σ_c d_c²) / (4m²), emitted as round-half-up ppm
+    via sign · ((|num|·10⁶ + den/2) div den) — den = 4m² is always even
+    and every intermediate fits int64 (m ≈ 1.1e5 sparsified edges →
+    |num|·10⁶ < 2^56), so no float touches the result."""
+    body = f"""
+    WITH half0 AS ({_EDGES_SQL}),
+    half AS (SELECT u, v FROM half0 WHERE {_LPA_EDGE_PRED}),
+    edges AS (
+      SELECT u, v FROM half
+      UNION ALL
+      SELECT v AS u, u AS v FROM half
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)"""
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        body += f""",
+    m{i} AS (
+      SELECT e.v AS node, MIN(p.lbl) AS minl
+      FROM edges e JOIN {prev} p ON p.node = e.u
+      GROUP BY e.v
+    ),
+    l{i} AS (
+      SELECT n.node,
+             LEAST(n.lbl, COALESCE(m.minl, n.lbl)) AS lbl
+      FROM {prev} n LEFT JOIN m{i} m ON m.node = n.node
+    )"""
+        prev = f"l{i}"
+    body += f""",
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY u),
+    dc AS (
+      SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS dsum
+      FROM deg d JOIN {prev} l USING (node) GROUP BY l.lbl
+    ),
+    parts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM half) AS m,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM half h
+              JOIN {prev} a ON a.node = h.u
+              JOIN {prev} b ON b.node = h.v AND b.lbl = a.lbl) AS intra,
+             (SELECT CAST(SUM(dsum * dsum) AS BIGINT) FROM dc) AS sds,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_communities
+    )
+    SELECT m, intra AS intra_edges, n_communities,
+           CAST(CASE WHEN 4 * m * intra - sds >= 0
+                THEN (ABS(4 * m * intra - sds) * 1000000 + 2 * m * m)
+                     // (4 * m * m)
+                ELSE -((ABS(4 * m * intra - sds) * 1000000 + 2 * m * m)
+                     // (4 * m * m)) END AS BIGINT) AS modularity_ppm
+    FROM parts
+    """
+    return body
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle(), category="2.C")
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition — the quality metric
+    that tells you whether the communities q_graph_lpa_communities
+    found are real structure or noise: Q = Σ_c [m_c/m − (d_c/2m)²],
+    i.e. intra-community edge mass against the degree-preserving random
+    expectation. Reuses the exact _lpa_labels chain (min-label, 3 fixed
+    iterations, bit-exact on any engine), then needs only one edge pass
+    (intra count via two label joins), one degree agg, and one
+    community agg — all integer. The result is emitted as
+    round-half-up ppm with pure int64 arithmetic (no float division:
+    sign · ((|4m·Σm_c − Σd_c²|·10⁶ + 2m²) div 4m²)), so the oracle
+    hash-matches bit-for-bit.
+
+    Scale: labels are node-sized, degree sums community-sized; the only
+    corpus-scale work is the two equi-joins of edges with labels — the
+    same topology as one LPA round, so the 100 TB argument carries."""
+    half = _part_edges(spark, sf_dir).where(F.expr(_LPA_EDGE_PRED))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # labels feed THREE consumers (degree sums + both sides of the
+    # intra join) — read them from the family-scoped LAZY cache shared
+    # with q_graph_lpa_communities: without a pin the 3-round LPA chain
+    # re-executes per consumer (measured 53 s at sf0.1); with the memo,
+    # in-suite runs after lpa_communities read the labels warm.
+    lab = _lpa_labels_shared(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    dc = deg.join(lab, deg["u"] == lab["node"]).groupBy("lbl").agg(
+        F.sum("deg").alias("dsum")
+    )
+    la = lab.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        half.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .agg(F.count("*").alias("intra"))
+    )
+    stats = dc.agg(
+        F.sum(F.col("dsum") * F.col("dsum")).alias("sds"),
+        F.count("*").alias("n_communities"),
+    )
+    m_row = half.agg(F.count("*").alias("m"))
+    num = 4 * F.col("m") * F.col("intra") - F.col("sds")
+    ppm = F.when(
+        num >= 0, F.expr("(abs(4*m*intra - sds) * 1000000 + 2*m*m) div (4*m*m)")
+    ).otherwise(
+        -F.expr("(abs(4*m*intra - sds) * 1000000 + 2*m*m) div (4*m*m)")
+    )
+    return (
+        m_row.crossJoin(intra)
+        .crossJoin(stats)
+        .select(
+            "m",
+            F.col("intra").alias("intra_edges"),
+            "n_communities",
+            ppm.cast("long").alias("modularity_ppm"),
+        )
+    )
 
 
 _KCORE_K = 8
