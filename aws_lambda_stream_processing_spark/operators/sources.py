@@ -713,6 +713,71 @@ def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_parquet_bloom",
+    oracle="""
+    WITH probe AS (SELECT MIN(user_id) + 7 AS k FROM events),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS cents
+      FROM events, probe WHERE user_id = probe.k
+    )
+    SELECT 'bloom' AS path, n, cents FROM agg
+    UNION ALL
+    SELECT 'plain', n, cents FROM agg
+    ORDER BY path
+    """,
+    category="2.A",
+)
+def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter index write + point-lookup read: the same
+    projection written twice — once with a bloom filter on the lookup
+    key (`parquet.bloom.filter.enabled#user_id`, 4 KB small row groups
+    so one file holds MANY groups) and once plain — then both read back
+    with the same point predicate and aggregated. At 100 TB this is the
+    needle-in-haystack storage knob: with blooms, row groups whose
+    filter excludes the key are skipped at the FOOTER, so a point
+    lookup touches O(matching groups) instead of scanning every
+    min/max-overlapping group; the equal aggregate pair proves the
+    skipping is lossless. The probe key is derived from the data
+    (min+7) so the rung is SF-independent; predicate pushdown on both
+    reads is plan-gated in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events")
+    proj = e.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    k = proj.agg(F.min("user_id")).collect()[0][0] + 7  # bounded scalar
+    out = tempfile.mkdtemp(prefix="alsp_bloom_")
+    try:
+        frames = []
+        for path, opts in [
+            ("bloom", {
+                "parquet.bloom.filter.enabled#user_id": "true",
+                "parquet.bloom.filter.expected.ndv#user_id": "10000",
+                "parquet.block.size": str(64 * 1024),
+            }),
+            ("plain", {}),
+        ]:
+            dst = os.path.join(out, path)
+            w = proj.write.mode("overwrite")
+            for opt, val in opts.items():
+                w = w.option(opt, val)
+            w.parquet(dst)
+            back = spark.read.parquet(dst).where(F.col("user_id") == k)
+            frames.append(
+                back.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+                ).select(F.lit(path).alias("path"), "n", "cents")
+            )
+        result = frames[0].unionByName(frames[1])
+        rows = result.orderBy("path").collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "q_source_text_lines",
     oracle="""
     SELECT lang,

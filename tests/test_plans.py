@@ -529,6 +529,41 @@ def test_sort_within_partitions_has_no_exchange(spark, registry):
     assert "rangepartitioning" not in head, head
 
 
+def test_bloom_sink_point_lookup_pushes_down(spark):
+    """q_sink_parquet_bloom: the point predicate must reach the parquet
+    scan of the bloom-indexed write as an EqualTo PushedFilter — that is
+    the precondition for footer-level row-group skipping; a filter
+    evaluated post-scan reads every group and the rung's 100 TB story
+    is a lie. (The write options and equal-aggregate pair are exercised
+    by the oracle; this gate pins the read path's plan shape.)"""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("user_id")
+    out = _tempfile.mkdtemp(prefix="alsp_bloom_gate_")
+    try:
+        (
+            e.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .parquet(_os.path.join(out, "b"))
+        )
+        df = spark.read.parquet(_os.path.join(out, "b")).where(
+            F.col("user_id") == 42
+        )
+        pf = pushed_filters(df)
+        assert pf and any(
+            "EqualTo(user_id" in f or ("user_id" in f and "42" in f)
+            for f in pf
+        ), pf
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
 def test_ts_filter_reaches_parquet_scan(spark, registry):
     """q_filter_ts_pushdown: the timestamp range must appear in the
     scan's PushedFilters — if the NTZ/LTZ cast wraps the column, the
