@@ -118,6 +118,18 @@ SAMPLE = [
     "q_stat_crosstab",  # value-derived column names across partitionings
     "q_source_python_datasource_pushdown",  # pruned partition set, any conf
     "q_str_mask_builtin",  # class-boundary masking is layout-free
+    # round-9 hazards (the weak-rung upgrades' exactness claims are
+    # merge-order-invariance claims — drive them at partitions=1):
+    "q_agg_approx_distinct",  # HLL register maxes: layout-free estimate
+    "q_agg_approx_percentile",  # GK rank brackets hold for ANY merge order
+    "q_llm_minhash_lsh",  # kernel batch boundaries: memo + band keys
+    "q_llm_dedup_eval",  # checkpointed distinct shingle sets + 8 mins
+    "q_llm_ann_lsh",  # LCG buckets + int-dot top-50 across batches
+    "q_llm_ann_ivf",  # integer Lloyd + stable top-2 list assignment
+    "q_llm_ann_pq_trained",  # per-subspace integer Lloyd codebooks
+    "q_llm_ann_matryoshka",  # two-stage shortlist boundary ties
+    "q_llm_softdedup",  # digest clusters + floor-division weights
+    "q_graph_modularity",  # shared LPA memo + integer modularity ppm
 ]
 
 
