@@ -161,7 +161,14 @@ def main() -> int:
         here = os.path.dirname(os.path.abspath(__file__))
         ref_path = os.environ.get("ALSP_BENCH_REF")
         if not ref_path:
-            cands = glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+            # skip empty/unparsable candidates: the artifact currently
+            # being written via `python bench.py > BENCH_local_rN.json`
+            # exists as a 0-byte file and would otherwise shadow the
+            # real newest reference
+            cands = [
+                p for p in glob.glob(os.path.join(here, "BENCH_local_r*.json"))
+                if os.path.getsize(p) > 0
+            ]
             cands.sort(
                 key=lambda p: int(
                     _re.search(r"_r(\d+)\.json$", p).group(1)
@@ -169,9 +176,13 @@ def main() -> int:
             )
             ref_path = cands[-1] if cands else None
         ref_q: dict[str, float] = {}
-        if ref_path and os.path.exists(ref_path):
-            with open(ref_path) as fh:
-                ref_q = json.load(fh).get("queries", {})
+        try:
+            if ref_path and os.path.exists(ref_path):
+                with open(ref_path) as fh:
+                    ref_q = json.load(fh).get("queries", {})
+        except (OSError, json.JSONDecodeError) as exc:
+            print(f"solo flags: unusable ref {ref_path}: {exc}",
+                  file=sys.stderr)
         flagged = sorted(
             n for n, t in timings.items()
             if n in ref_q and t > 2 * ref_q[n] and t > 1.0
