@@ -760,6 +760,100 @@ def q_llm_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_cluster_margin",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label,
+             generate_subscripts(qv, 1) AS d, unnest(qv) AS v
+      FROM q
+    ),
+    cent AS (
+      SELECT label AS k, d,
+             CAST(floor(CAST(SUM(v) * 128 AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS c
+      FROM flat GROUP BY label, d
+    ),
+    d2 AS (
+      SELECT f.vec_id, f.label, c.k,
+             CAST(SUM((f.v * 128 - c.c) * (f.v * 128 - c.c)) AS BIGINT)
+               AS dist2
+      FROM flat f JOIN cent c ON c.d = f.d
+      GROUP BY f.vec_id, f.label, c.k
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN k = label THEN dist2 END) AS a2,
+             MIN(CASE WHEN k <> label THEN dist2 END) AS b2
+      FROM d2 GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN b2 > a2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_well,
+           CAST(SUM(b2 - a2) AS BIGINT) AS margin_sum
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+    category="2.J",
+)
+def q_llm_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-margin cluster-quality audit — the simplified-silhouette
+    diagnostic next to q_llm_cluster_purity: for every embedding, a² =
+    squared distance to its OWN label centroid and b² = distance to the
+    nearest FOREIGN centroid; a label is healthy when b² > a² for most
+    members (n_well) and the aggregate margin Σ(b²−a²) is large.
+    Everything is pure int64 (the q_llm_ann_ivf centroid discipline:
+    int8-quantized vectors, floor(sum·128/n) integer centroids, squared
+    L2) and the output is sums and counts — no division anywhere, so
+    the oracle hash-matches bit-for-bit.
+
+    Scale: centroids are |labels|×64 integers (broadcast); distances
+    compute at the (vector, dim) grain joined to the centroid panel —
+    label fan-out is a bounded constant, so the corpus is scanned once
+    and the shuffle carries per-(vec,label) partial sums. At 100 TB
+    this is the training-data-audit query that runs after every
+    cluster-assign job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+    )
+    flat = emb.select(
+        "vec_id", "label", F.posexplode(qv).alias("d0", "v")
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    cent = flat.groupBy(F.col("label").alias("k"), "d").agg(
+        F.floor(
+            (F.sum("v") * 128).cast("double") / F.count("*")
+        ).cast("long").alias("c")
+    )
+    diff = F.col("v") * 128 - F.col("c")
+    d2 = (
+        flat.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "k")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("k") == F.col("label"), F.col("dist2"))).alias("a2"),
+        F.min(F.when(F.col("k") != F.col("label"), F.col("dist2"))).alias("b2"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum((F.col("b2") > F.col("a2")).cast("long")).alias("n_well"),
+            F.sum(F.col("b2") - F.col("a2")).alias("margin_sum"),
+        )
+        .orderBy("label")
+    )
+
+
 # --- q_llm_embed_centroids (round 2) ---------------------------------------
 
 

@@ -1115,6 +1115,96 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RICH_CLUB_KS = (32, 64, 128, 256)
+
+
+def _rich_club_oracle() -> str:
+    per_k = []
+    for k in _RICH_CLUB_KS:
+        per_k.append(f"""
+      SELECT {k} AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > {k})
+               AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM he
+              WHERE du > {k} AND dv > {k}) AS n_edges""")
+    sel = " UNION ALL ".join(per_k)
+    return f"""
+    WITH e AS ({_EDGES_SQL}),
+    ends AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ends GROUP BY node),
+    he AS (
+      SELECT a.deg AS du, b.deg AS dv
+      FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
+    ),
+    rc AS ({sel})
+    SELECT k, n_nodes, n_edges,
+           CAST(CASE WHEN n_nodes < 2 THEN 0
+                ELSE (4 * n_edges * 1000000 + n_nodes * (n_nodes - 1))
+                     // (2 * n_nodes * (n_nodes - 1)) END AS BIGINT)
+             AS density_ppm
+    FROM rc ORDER BY k
+    """
+
+
+@query("q_graph_rich_club", oracle=_rich_club_oracle(), category="2.C")
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve φ(k): for degree thresholds k ∈
+    {32,64,128,256}, the edge density among nodes of degree > k — a
+    rising curve means the hubs of the co-occurrence graph wire to each
+    other ('rich club'), which changes partitioning strategy at scale
+    (hub-hub edges are the skew). One degree agg + ONE pass over the
+    edge relation with both endpoint degrees joined (all four
+    thresholds as conditional sums — no per-k scans), density as
+    round-half-up ppm in pure int64: (4·E·10⁶ + N(N−1)) div (2·N(N−1)),
+    N<2 → 0. Max magnitude 4·1.2e6·10⁶ < 2^53 — exact, no float.
+
+    Scale: degrees broadcast into the edge join; output is
+    |thresholds| rows."""
+    e = _part_edges(spark, sf_dir)
+    ends = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("deg"))
+    he = (
+        e.join(
+            F.broadcast(deg.select(F.col("node").alias("u"),
+                                   F.col("deg").alias("du"))), "u")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"),
+                                   F.col("deg").alias("dv"))), "v")
+    )
+    edge_aggs = he.agg(*[
+        F.sum(
+            ((F.col("du") > k) & (F.col("dv") > k)).cast("long")
+        ).alias(f"e{k}")
+        for k in _RICH_CLUB_KS
+    ])
+    node_aggs = deg.agg(*[
+        F.sum((F.col("deg") > k).cast("long")).alias(f"n{k}")
+        for k in _RICH_CLUB_KS
+    ])
+    wide = edge_aggs.crossJoin(node_aggs)
+    stacked = wide.selectExpr(
+        "stack({}, {}) AS (k, n_nodes, n_edges)".format(
+            len(_RICH_CLUB_KS),
+            ", ".join(f"{k}, n{k}, e{k}" for k in _RICH_CLUB_KS),
+        )
+    )
+    ppm = F.when(F.col("n_nodes") < 2, F.lit(0)).otherwise(
+        F.expr(
+            "(4 * n_edges * 1000000 + n_nodes * (n_nodes - 1))"
+            " div (2 * n_nodes * (n_nodes - 1))"
+        )
+    )
+    return stacked.select(
+        F.col("k").cast("long").alias("k"),
+        "n_nodes",
+        "n_edges",
+        ppm.cast("long").alias("density_ppm"),
+    ).orderBy("k")
+
+
 _KCORE_K = 8
 _KCORE_ITERS = 4
 
