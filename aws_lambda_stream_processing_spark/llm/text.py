@@ -2625,3 +2625,89 @@ def q_llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_llm_rouge_l.__doc__ = q_llm_rouge_l.__doc__.format(
     n=_LCS_N, d=2 * _LCS_N - 1
 )
+
+
+@query(
+    "q_llm_ctfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY source, term
+    ),
+    ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+    tot AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS t,
+             (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM tf) AS nc
+      FROM ft
+    ),
+    w AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(floor(tf.tf * ln((tot.nc * ft.f + tot.t) * 1.0
+                                   / (tot.nc * ft.f)) * 1000000 + 0.5)
+                  AS BIGINT) AS w6
+      FROM tf JOIN ft USING (term) CROSS JOIN tot
+    )
+    SELECT source, term, tf, w6, rank FROM (
+      SELECT source, term, tf, w6,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY w6 DESC, term) AS INT) AS rank
+      FROM w)
+    WHERE rank <= 5 ORDER BY source, rank
+    """,
+    category="2.J",
+)
+def q_llm_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (c-TF-IDF, the BERTopic topic-term scoring —
+    public): each `source` class is treated as ONE concatenated
+    document, term weight = tf(t,c) · ln(1 + A/f_t) with A = average
+    tokens per class and f_t the corpus-wide term count; top-5 terms
+    per class by weight. This is the class-representative-terms query
+    every topic/source diagnostic runs — the DOC-grain q_llm_tfidf
+    cannot see class structure. The log argument is formed as the
+    exact-integer ratio (nc·f + T)/(nc·f) so both engines feed ln the
+    SAME double, and the ranking key is the 6dp fixed-point weight
+    with a term tie-break — deterministic across engines and layouts.
+
+    Scale: two hash-aggs (class-term, term) + a broadcast term-count
+    join; the weight math is per (class, term) row — |classes|·|vocab|
+    bounded, never corpus-sized. The per-class top-5 window partitions
+    by class."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    # |classes|x|vocab| relation consumed by FOUR branches (ft, t, nc,
+    # and the weight join) — pin it or the corpus token explode re-runs
+    # per branch (measured 4.5 -> 1.5 s best-of-2 at sf0.1).
+    tf = tracked_local_checkpoint(
+        tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    )
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    tot = ft.agg(F.sum("f").alias("t")).crossJoin(
+        tf.select(F.countDistinct("source").alias("nc"))
+    )
+    w = (
+        tf.join(F.broadcast(ft), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "term", "tf",
+            F.floor(
+                F.col("tf")
+                * F.log(
+                    (F.col("nc") * F.col("f") + F.col("t")).cast("double")
+                    / (F.col("nc") * F.col("f")).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("w6"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("w6"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 5)
+        .select("source", "term", "tf", "w6", "rank")
+        .orderBy("source", "rank")
+    )

@@ -130,6 +130,8 @@ SAMPLE = [
     "q_llm_ann_matryoshka",  # two-stage shortlist boundary ties
     "q_llm_softdedup",  # digest clusters + floor-division weights
     "q_graph_modularity",  # shared LPA memo + integer modularity ppm
+    "q_llm_cluster_margin",  # integer centroids + argmin margins
+    "q_graph_rich_club",  # threshold conditional sums over any layout
 ]
 
 
