@@ -3646,3 +3646,72 @@ def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(t_hi * 1000000.0 + 0.5) / 1000000.0).alias("t_upper"),
         ((t_lo > zc) & (t_hi < -zc)).alias("equivalent_z90"),
     ).orderBy("comparison")
+
+
+@query(
+    "q_anon_microagg",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, c_custkey) AS rn
+      FROM pts
+    ),
+    blocks AS (
+      SELECT (rn - 1) // 5 AS block_id, cents FROM ranked
+    )
+    SELECT block_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) * SUM(cents * cents) - SUM(cents) * SUM(cents)
+                AS BIGINT) AS sse_x_n2
+    FROM blocks GROUP BY block_id ORDER BY block_id
+    """,
+    category="2.D",
+)
+def q_anon_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microaggregation (k=5 fixed-size univariate blocks) — the
+    disclosure-control transform that completes the anonymization
+    family (k-anonymity / l-diversity / t-closeness / generalization /
+    DP counts): sort the sensitive attribute, partition into blocks of
+    k, and release per-block aggregates instead of raw values. Output
+    per block: n, the exact integer cents sum (the released mean is
+    sum/n), and the information-loss term SSE·n² = n·Σx² − (Σx)² —
+    exact int64, no division, so negative balances need no signed
+    rounding discipline.
+
+    Scale: global ranking via dprefix.two_phase_row_number (range
+    exchange + local window + broadcast offsets — no partition-less
+    window, audit-clean), then one hash-agg on block_id. At 100 TB the
+    same plan microaggregates any numeric column in two exchanges."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_row_number,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    ranked = two_phase_row_number(
+        pts, [("cents", True), ("c_custkey", True)], rn="rn"
+    )
+    blocks = ranked.select(
+        F.expr("(rn - 1) div 5").alias("block_id"), "cents"
+    )
+    return (
+        blocks.groupBy("block_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            (
+                F.count("*") * F.sum(F.col("cents") * F.col("cents"))
+                - F.sum("cents") * F.sum("cents")
+            ).alias("sse_x_n2"),
+        )
+        .orderBy("block_id")
+    )
