@@ -1783,3 +1783,100 @@ def q_llm_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6(pe).alias("p_expected"),
         f6((po - pe) / (1.0 - pe)).alias("kappa"),
     )
+
+
+@query(
+    "q_llm_rrf_fusion",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr6
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m
+    ),
+    r2 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ttr6 DESC, doc_id) AS rn
+      FROM m
+    ),
+    fused AS (
+      SELECT r1.doc_id,
+             CAST(1000000000 // (60 + r1.rn)
+                  + 1000000000 // (60 + r2.rn) AS BIGINT) AS rrf_x1e9,
+             CAST(r1.rn AS BIGINT) AS rank_len,
+             CAST(r2.rn AS BIGINT) AS rank_ttr
+      FROM r1 JOIN r2 USING (doc_id)
+    )
+    SELECT doc_id, rank_len, rank_ttr, rrf_x1e9,
+           CAST(row_number() OVER (ORDER BY rrf_x1e9 DESC, doc_id) AS INT)
+             AS rank
+    FROM fused
+    ORDER BY rrf_x1e9 DESC, doc_id LIMIT 20
+    """,
+    category="2.J",
+)
+def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack 2009 — the standard
+    hybrid-retrieval/curation combiner): rank the corpus by two
+    independent signals — document length and type-token ratio (a
+    lexical-diversity quality proxy, integer ppm via floor division) —
+    and fuse with RRF(d) = Σ 1/(60+rank_i), selecting the top-20. The
+    RRF contribution is computed as floor(10⁹/(60+rank)) so the fused
+    score is an exact int64 sum — no float ever touches a rank
+    boundary, and the oracle replays both rankings and the fusion
+    bit-for-bit.
+
+    Scale: both global rankings run through
+    dprefix.two_phase_row_number (range exchange + broadcast offsets —
+    no partition-less window), the fusion is one doc_id equi-join, and
+    the final cut is a top-20 TakeOrderedAndProject. The same plan
+    fuses any k ranking signals at 100 TB."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    m = tracked_local_checkpoint(
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                " * 1000000) div CAST(size(split(text, ' ')) AS BIGINT)"
+            ).alias("ttr6"),
+        ),
+        eager=False,
+    )
+    r1 = two_phase_row_number(
+        m.select("doc_id", "n_chars"),
+        [("n_chars", False), ("doc_id", True)],
+        rn="rn1",
+    ).select("doc_id", "rn1")
+    r2 = two_phase_row_number(
+        m.select("doc_id", "ttr6"),
+        [("ttr6", False), ("doc_id", True)],
+        rn="rn2",
+    ).select("doc_id", "rn2")
+    fused = r1.join(r2, "doc_id").select(
+        "doc_id",
+        F.col("rn1").alias("rank_len"),
+        F.col("rn2").alias("rank_ttr"),
+        (
+            F.expr("1000000000 div (60 + rn1)")
+            + F.expr("1000000000 div (60 + rn2)")
+        ).alias("rrf_x1e9"),
+    )
+    w = Window.orderBy(F.desc("rrf_x1e9"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_x1e9"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank_len", "rank_ttr", "rrf_x1e9", "rank")
+    )

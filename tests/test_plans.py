@@ -306,6 +306,10 @@ _GLOBAL_WINDOW_OK = {
     "q_ts_changepoint_cusum",
     # ln(rank) over the top-100 cut (TakeOrderedAndProject first): 100 rows.
     "q_llm_zipf_slope",
+    # final rank over the fused top-20 cut (TakeOrderedAndProject
+    # first): 20 rows — the zipf_slope class; both global RANKINGS run
+    # through dprefix, only the bounded post-limit numbering windows.
+    "q_llm_rrf_fusion",
     # running rank over the DISTINCT-cents grid: bounded by the value
     # domain (<= 56k rows), same argument as q_agg_ks_test.
     "q_agg_mann_whitney",
