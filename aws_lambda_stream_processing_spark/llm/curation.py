@@ -1842,7 +1842,6 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
     m = tracked_local_checkpoint(
         d.select(
             "doc_id",

@@ -47,6 +47,28 @@ SQL_DOT = (
 )
 
 
+def quantize_int8() -> Column:
+    """int8-scale quantization of the embedding column — the ONE
+    definition the integer-exact rungs (matryoshka, cluster_margin,
+    trained-PQ re-rank) share; every oracle embeds the equivalent
+    `list_transform(..., floor(x*127.0 + 0.5))` literal."""
+    return F.expr(
+        "transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+    )
+
+
+def dot_long(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot product of two quantized long vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 _N_BLOCKS = 8
 
 
@@ -386,7 +408,7 @@ _IVF_D2_SQL = (
 )
 
 
-def _ivf_lloyd_sql(n_iters: int = 5) -> str:
+def _ivf_lloyd_sql(n_iters: int = 5) -> tuple[str, str]:
     """Unrolled integer-exact Lloyd CTE chain (see q_llm_ann_ivf): each
     iteration is one assignment window + one per-dim integer-sum update,
     centroids stored as floor(sum*128/n) int64 vectors. Exactness of the
@@ -712,19 +734,16 @@ def q_llm_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded probe set), corpus scanned once, shortlist is 20 rows per
     probe — the full-dot re-rank touches 200 rows, never the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.expr(
-        "transform(embedding, "
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
-    )
-    q = emb.select("vec_id", qv.alias("qv"))
+    q = emb.select("vec_id", quantize_int8().alias("qv"))
     probes = q.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pa")
     )
-    int_dot = lambda a, b: F.aggregate(  # noqa: E731 - local expr builder
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    int_dot = dot_long
+    # the coarse exchange carries ONLY (probe_id, cand_id, qdot16) —
+    # shipping both 64-long arrays per probe×corpus row through the
+    # r16 window shuffle would move 4× the bytes the prefix stage
+    # exists to save (round-9 review finding); the 200-row shortlist
+    # joins the vectors back for the full-dot re-rank
     scored = (
         q.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -734,8 +753,6 @@ def q_llm_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_dot(
                 F.slice("pa", 1, 16), F.slice("qv", 1, 16)
             ).alias("qdot16"),
-            F.col("pa").alias("pa"),
-            F.col("qv").alias("qv"),
         )
     )
     w16 = Window.partitionBy("probe_id").orderBy(
@@ -744,6 +761,10 @@ def q_llm_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (
         scored.withColumn("r16", F.row_number().over(w16))
         .where(F.col("r16") <= 20)
+        .join(
+            F.broadcast(probes), "probe_id"
+        )
+        .join(q.select(F.col("vec_id").alias("cand_id"), "qv"), "cand_id")
         .select(
             "probe_id", "cand_id", "qdot16",
             int_dot("pa", "qv").alias("qdot"),
@@ -821,12 +842,8 @@ def q_llm_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the training-data-audit query that runs after every
     cluster-assign job."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.expr(
-        "transform(embedding, "
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
-    )
     flat = emb.select(
-        "vec_id", "label", F.posexplode(qv).alias("d0", "v")
+        "vec_id", "label", F.posexplode(quantize_int8()).alias("d0", "v")
     ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
     cent = flat.groupBy(F.col("label").alias("k"), "d").agg(
         F.floor(
@@ -847,7 +864,12 @@ def q_llm_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_vec.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.sum((F.col("b2") > F.col("a2")).cast("long")).alias("n_well"),
+            # when/otherwise, not a bare cast: on a single-label corpus
+            # b2 is NULL and SUM over cast(NULL) would return NULL
+            # where the oracle's CASE yields 0 (round-9 review finding)
+            F.sum(
+                F.when(F.col("b2") > F.col("a2"), 1).otherwise(0)
+            ).alias("n_well"),
             F.sum(F.col("b2") - F.col("a2")).alias("margin_sum"),
         )
         .orderBy("label")
@@ -1421,17 +1443,13 @@ def q_llm_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
-    qv = F.expr(
-        "transform(embedding, "
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"
+    qa = emb.select(
+        F.col("vec_id").alias("probe_id"), quantize_int8().alias("ea")
     )
-    qa = emb.select(F.col("vec_id").alias("probe_id"), qv.alias("ea"))
-    qb = emb.select(F.col("vec_id").alias("cand_id"), qv.alias("eb"))
-    qdot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    qb = emb.select(
+        F.col("vec_id").alias("cand_id"), quantize_int8().alias("eb")
     )
+    qdot = dot_long("ea", "eb")
     scored = (
         cand.join(F.broadcast(qa), "probe_id")
         .join(qb, "cand_id")

@@ -108,25 +108,25 @@ ORDER BY l_returnflag
 _INT64_HEADROOM = float(1 << 62)
 
 
-def _int64_moment_guard(result: Column, n: Column, maxes: list[Column],
+def _int64_moment_guard(result: Column, bounds: list[Column],
                         ctx: str) -> Column:
     """Gate `result` on the documented int64 bound actually holding —
-    raises instead of returning silently-wrapped moments. `maxes` are
-    per-group MAX(ABS(...)) columns of each raw variable."""
-    nn = n.cast("double")
+    raises instead of returning silently-wrapped moments. `bounds` are
+    DOUBLE upper-bound expressions, one per worst intermediate of the
+    caller's formula (e.g. n²·max|x|·max|y| for a moment product,
+    n²·max|x|²·max|y| for a cubic cross term like sy·sxx): callers
+    must enumerate every product their algebra forms — the r9
+    first-cut guard checked only pairwise n²·a·b and silently missed
+    linreg's cubic intercept intermediates."""
     ok = F.lit(True)
-    for i, a in enumerate(maxes):
-        for b in maxes[i:]:
-            ok = ok & (
-                nn * nn * a.cast("double") * b.cast("double")
-                < F.lit(_INT64_HEADROOM)
-            )
+    for b in bounds:
+        ok = ok & (b < F.lit(_INT64_HEADROOM))
     return F.when(ok, result).otherwise(
         F.raise_error(
             F.lit(
                 f"{ctx}: int64 moment headroom exceeded "
-                "(n^2*max|x|*max|y| >= 2^62) — move moments to "
-                "DECIMAL(38,0) for this data scale"
+                "(an intermediate bound reaches 2^62) — move moments "
+                "to DECIMAL(38,0) for this data scale"
             )
         )
     )
@@ -156,8 +156,14 @@ def _exact_corr_frame(df: DataFrame, key: str, x: Column, y: Column,
         F.floor(r * 1000000 + F.lit(0.5).cast("double"))
         / F.lit(1000000).cast("double")
     )
+    # every corr intermediate (n·sxy, sx·sy, n·sxx, sx², n·syy, sy²)
+    # is bounded by one of the pairwise n²·max·max products
+    nn = n.cast("double")
+    mx, my = F.col("mx").cast("double"), F.col("my").cast("double")
     guarded = _int64_moment_guard(
-        rounded, n, [F.col("mx"), F.col("my")], "q_agg_corr_exact"
+        rounded,
+        [nn * nn * mx * mx, nn * nn * my * my, nn * nn * mx * my],
+        "q_agg_corr_exact",
     )
     return m.select(key, "n", guarded.alias(out_name)).orderBy(key)
 
@@ -418,14 +424,21 @@ def _exact_linreg_frame(pts: DataFrame, key: str) -> DataFrame:
 
     slope = (n * sxy - sx * sy).cast("double") / den
     intercept = (sy * sxx - sx * sxy).cast("double") / den
-    guard = [F.col("mx"), F.col("my")]
+    # slope/den intermediates are pairwise (n²·max·max); the intercept
+    # numerator sy·sxx − sx·sxy is CUBIC — bounded by n²·mx²·my — and
+    # the first-cut r9 guard missed it (round-9 review finding)
+    nn = n.cast("double")
+    mx, my = F.col("mx").cast("double"), F.col("my").cast("double")
+    pairwise = [nn * nn * mx * mx, nn * nn * mx * my]
+    cubic = [nn * nn * mx * mx * my]
     return m.select(
         key, "n",
         _int64_moment_guard(
-            _round6_signed(slope), n, guard, "q_agg_linreg_exact"
+            _round6_signed(slope), pairwise, "q_agg_linreg_exact"
         ).alias("slope_cents_day"),
         _int64_moment_guard(
-            _round6_signed(intercept), n, guard, "q_agg_linreg_exact"
+            _round6_signed(intercept), pairwise + cubic,
+            "q_agg_linreg_exact",
         ).alias("intercept_cents"),
     ).orderBy(key)
 

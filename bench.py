@@ -165,16 +165,13 @@ def main() -> int:
             # being written via `python bench.py > BENCH_local_rN.json`
             # exists as a 0-byte file and would otherwise shadow the
             # real newest reference
-            cands = [
-                p for p in glob.glob(os.path.join(here, "BENCH_local_r*.json"))
-                if os.path.getsize(p) > 0
-            ]
-            cands.sort(
-                key=lambda p: int(
-                    _re.search(r"_r(\d+)\.json$", p).group(1)
-                )
-            )
-            ref_path = cands[-1] if cands else None
+            cands = []
+            for p in glob.glob(os.path.join(here, "BENCH_local_r*.json")):
+                m = _re.search(r"_r(\d+)\.json$", p)
+                if m and os.path.getsize(p) > 0:
+                    cands.append((int(m.group(1)), p))
+            cands.sort()
+            ref_path = cands[-1][1] if cands else None
         ref_q: dict[str, float] = {}
         try:
             if ref_path and os.path.exists(ref_path):

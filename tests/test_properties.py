@@ -648,6 +648,19 @@ def test_int64_moment_guard_fires_on_overbound_frame(spark):
             "k",
         ).collect()
 
+    # cubic case (round-9 review finding): the linreg INTERCEPT forms
+    # sy*sxx - sx*sxy, bounded by n²·mx²·my — choose magnitudes that
+    # pass every pairwise n²·max·max check (100²·2^40 ≈ 1.1e16 < 2^62)
+    # but blow the cubic bound (100²·2^60 ≈ 1.1e22), with all actual
+    # sums still safely inside int64 (Σx² ≈ 1.1e14).
+    mid = 1 << 20
+    cubic = spark.createDataFrame(
+        [("g", mid - i, mid - 2 * i) for i in range(100)],
+        "k string, x long, y long",
+    )
+    with pytest.raises(Exception, match="int64 moment headroom"):
+        _exact_linreg_frame(cubic, "k").collect()
+
     # positive control: in-bound data passes the guard and computes
     ok = spark.createDataFrame(
         [("g", 1, 2), ("g", 2, 4), ("g", 3, 7)],
