@@ -171,10 +171,13 @@ def load_all() -> dict[str, QuerySpec]:
     `functions` and rotated sqlfront + sketches + profiling to the head
     of `operators` (50 first-time certifications). Round 8 moved the
     never-certified `udf` package (§2.K) + modernsql + the profiling
-    tail to the front (~48 first-time IDs). Round 9 moves the `llm`
+    tail to the front (~48 first-time IDs). Round 9 moved the `llm`
     package first with `timeseries` (41 rungs, 41 never certified) and
-    `text` (36, 36 never) at its head (see llm/__init__.py) — the
-    first-50 prefix is 50 first-time IDs, all cheap batch queries.
+    `text` (36, 36 never) at its head (50 first-time IDs certified).
+    Round 10 rotates within `llm` (see llm/__init__.py): `curation`
+    (25 rungs, 25 never certified through r9), `multimodal` (7, 7
+    never) and `dedup` (21, 21 never) lead, so the first-50 prefix is
+    again 50 first-time IDs, all batch queries.
     Rotation only permutes dict insertion order; every query keeps its
     ID, oracle, and behavior.
     """
