@@ -123,8 +123,9 @@ def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT random(): at 100 TB a re-run must reproduce the exact same
     dataset, membership must be decidable per-row with no coordination,
     and a second engine must be able to verify it — which is why this op
-    has an exact oracle while `q_sample_seeded` (engine-RNG sampling) is
-    rows-only. Pure scan + broadcast of a 5-row rate table: no shuffle at
+    hashes its rows exactly while `q_sample_seeded` (engine-RNG sampling)
+    hashes deterministic certificates about its sample instead.
+    Pure scan + broadcast of a 5-row rate table: no shuffle at
     all. Overflow: doc_id·2654435761 < 2^63 through doc_id ≈ 3.5e9 —
     beyond that, hash the id string (xxhash64) instead."""
     d = load_table(spark, sf_dir, "documents")

@@ -232,8 +232,8 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic 5% sample: every key with o_orderkey ≡ 7 (mod 20).
-    The deterministic counterpart of q_sample_seeded (engine-RNG, weak
-    check): membership is a pure per-row predicate, so it pushes to the
+    The row-deterministic counterpart of q_sample_seeded (engine-RNG
+    rows, certificate-checked): membership is a pure per-row predicate, so it pushes to the
     parquet scan, re-runs identically at any scale, and a second engine
     verifies it exactly — the properties that make hash/systematic
     sampling the only sampling used in reproducible 100 TB pipelines."""

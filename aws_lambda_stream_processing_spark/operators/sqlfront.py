@@ -161,15 +161,100 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample_seeded", oracle=None, category="2.B", tags=("weak",))
+@query(
+    "q_sample_seeded",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM events GROUP BY event_type
+    ),
+    strata AS (
+      SELECT event_type, n_source FROM per_type
+      UNION ALL
+      SELECT '(all)' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM events
+    )
+    SELECT event_type, n_source,
+           true AS rate_in_ci,
+           CAST(0 AS BIGINT) AS subset_violations,
+           CAST(0 AS BIGINT) AS dup_violations
+    FROM strata ORDER BY event_type
+    """,
+    category="2.B",
+)
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (10%) — reproducible within Spark (fixed
-    seed per split) but engine-specific RNG → weak check. The 100 TB use
-    is cheap corpus statistics without a full scan of downstream ops."""
+    """Seeded Bernoulli sample (10%) certified by deterministic
+    CERTIFICATES instead of the sampled rows themselves (r9 verdict ask:
+    the weak-rung playbook applied to the last weak rung). The sample is
+    engine-RNG — the concrete row set is reproducible within one Spark
+    build (fixed seed, per-split XORShift) but not across engines — so
+    the hashed output carries only properties every correct 10% Bernoulli
+    sample must satisfy, each computed from the REAL sample by a real
+    distributed check, never assumed:
+
+      rate_in_ci        — per event_type (and overall '(all)' row), the
+                          achieved sample count lies within a 6-sigma
+                          binomial CI around 0.1*n_source (+1 continuity
+                          slack; violation odds ~1e-9 per stratum, so the
+                          certificate is deterministic-true for any sane
+                          RNG while still falsifying a broken sampler).
+      subset_violations — sampled event_ids not present in the source
+                          (left-anti join against the scan; exact 0).
+      dup_violations    — sampled rows minus distinct sampled event_ids
+                          (Bernoulli is without replacement; exact 0).
+
+    The 100 TB story is unchanged: sample() is a scan-local coin flip
+    (no shuffle), and the certificate aggregates shuffle 5 types + one
+    anti-join on 8-byte keys — the audit you'd actually run to trust a
+    sampled corpus-statistics job."""
     e = load_table(spark, sf_dir, "events")
-    return e.sample(fraction=0.1, seed=42).select(
+    s = e.sample(fraction=0.1, seed=42).select(
         "event_id", "user_id", "event_type"
     )
+
+    def certs(group_col):
+        src = (
+            e.groupBy(group_col.alias("event_type"))
+            .agg(F.count("*").alias("n_source"))
+        )
+        smp = (
+            s.groupBy(group_col.alias("event_type"))
+            .agg(
+                F.count("*").alias("n_sample"),
+                F.count_distinct("event_id").alias("n_distinct"),
+            )
+        )
+        anti = (
+            s.join(e.select("event_id"), "event_id", "left_anti")
+            .groupBy(group_col.alias("event_type"))
+            .agg(F.count("*").alias("viol"))
+        )
+        return (
+            src.join(smp, "event_type", "left")
+            .join(anti, "event_type", "left")
+            .select(
+                "event_type",
+                F.col("n_source").cast("long").alias("n_source"),
+                (
+                    F.abs(
+                        F.coalesce("n_sample", F.lit(0))
+                        - 0.1 * F.col("n_source")
+                    )
+                    <= 6.0 * F.sqrt(0.1 * 0.9 * F.col("n_source")) + 1.0
+                ).alias("rate_in_ci"),
+                F.coalesce("viol", F.lit(0)).cast("long").alias(
+                    "subset_violations"
+                ),
+                (
+                    F.coalesce("n_sample", F.lit(0))
+                    - F.coalesce("n_distinct", F.lit(0))
+                ).cast("long").alias("dup_violations"),
+            )
+        )
+
+    per_type = certs(F.col("event_type"))
+    overall = certs(F.lit("(all)"))
+    return per_type.unionByName(overall).orderBy("event_type")
 
 
 _Q5_BODY = """

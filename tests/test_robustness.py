@@ -132,6 +132,8 @@ SAMPLE = [
     "q_graph_modularity",  # shared LPA memo + integer modularity ppm
     "q_llm_cluster_margin",  # integer centroids + argmin margins
     "q_graph_rich_club",  # threshold conditional sums over any layout
+    # round-10 hazards:
+    "q_sample_seeded",  # certificate booleans must hold for ANY sample
 ]
 
 
