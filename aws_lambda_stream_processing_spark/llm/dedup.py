@@ -1696,6 +1696,14 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stay calibration-sized. Assert it, don't assume it: above the
     # bound the correct move is running this rung on a sample, not
     # silently launching an n² stage.
+    # Failure semantics (r9 ADVICE, adjudicated "none required"): this
+    # raises inside the query FUNCTION, which every harness wraps
+    # per-query (driver_sim, bench.py, the pytest sweep) — an
+    # over-bound corpus records a clean single-rung failure with this
+    # message; registry import/load_all never executes query bodies,
+    # so registry construction cannot abort here. The eager
+    # classes.count() is the price of refusing BEFORE the n² stage is
+    # scheduled rather than after.
     n_sets = classes.count()
     if n_sets > _JS_MAX_CONTRACTED_SETS:
         raise ValueError(

@@ -2672,6 +2672,16 @@ def q_llm_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME double, and the ranking key is the 6dp fixed-point weight
     with a term tie-break — deterministic across engines and layouts.
 
+    Cross-libm hazard (r9 ADVICE, accepted residual): unlike sqrt,
+    ln is NOT IEEE-754 correctly rounded, so JVM Math.log and DuckDB
+    std::log may differ by 1 ulp on the same double input; scaled by
+    tf·1e6 that can flip w6 by 1 exactly at a floor boundary and, if
+    two terms sit within 1 of the rank-5 cut, reorder the per-class
+    top-5. Data-dependent: on every shipped fixture the nearest
+    adjacent w6 gap at the cut is far above 1, and the term tie-break
+    absorbs exact ties. Same residual class as the other ln/exp rungs
+    (q_llm_bleu's ln/exp tree).
+
     Scale: two hash-aggs (class-term, term) + a broadcast term-count
     join; the weight math is per (class, term) row — |classes|·|vocab|
     bounded, never corpus-sized. The per-class top-5 window partitions

@@ -732,7 +732,7 @@ def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet bloom-filter index write + point-lookup read: the same
     projection written twice — once with a bloom filter on the lookup
-    key (`parquet.bloom.filter.enabled#user_id`, 4 KB small row groups
+    key (`parquet.bloom.filter.enabled#user_id`, 64 KB small row groups
     so one file holds MANY groups) and once plain — then both read back
     with the same point predicate and aggregated. At 100 TB this is the
     needle-in-haystack storage knob: with blooms, row groups whose

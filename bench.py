@@ -153,6 +153,8 @@ def main() -> int:
     # artifact carries the solo numbers next to the in-suite ones.
     solo: dict[str, float] = {}
     solo_ref: dict[str, float] = {}
+    machine_factor: float | None = None
+    control_ratio: dict[str, float] = {}
     if os.environ.get("ALSP_BENCH_SOLO_FLAGS") == "1" and not only:
         import glob
         import re as _re
@@ -180,23 +182,83 @@ def main() -> int:
         except (OSError, json.JSONDecodeError) as exc:
             print(f"solo flags: unusable ref {ref_path}: {exc}",
                   file=sys.stderr)
+        # Machine-factor normalization (r9 verdict "bench-reference
+        # hygiene"): two consecutive rounds of cross-round machine drift
+        # (r8→r9 raw 1.22× with UNTOUCHED control rungs at 3-5× their
+        # committed times on the judge box) made every >2× flag a manual
+        # machine-vs-code adjudication. Re-time three fixed control
+        # rungs — untouched since r5, spanning scan+agg, shuffle-agg and
+        # window shapes — best-of-3 in this same session and divide the
+        # flag gate by the median control ratio, so a uniformly slow
+        # machine stops producing flags and a genuine single-query
+        # regression still does. The factor is clamped at >=1 for
+        # flagging (a faster machine must not hide regressions); the raw
+        # value is recorded in the artifact for the ADVICE flag table.
+        # (r9 adjudication correction, recorded where the next round
+        # reads it: q_agg_approx_distinct's r9 solo 2.565s vs r8 0.369s
+        # was NOT machine factor — it is the real, by-design cost of the
+        # r9 exact-certification oracle, which added countDistinct next
+        # to the HLL sketch in the same aggregation. Right trade, now
+        # labeled honestly; its committed r9 reference time already
+        # carries the new cost.)
+        CONTROLS = ("q_date_extract", "q_agg_count_distinct", "q_agg_gini")
+        for cname in CONTROLS:
+            if cname not in registry or ref_q.get(cname, 0) <= 0:
+                continue
+            best = float("inf")
+            try:
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    registry[cname].fn(spark, sf_dir).toPandas()
+                    best = min(best, time.perf_counter() - t0)
+                control_ratio[cname] = round(best / ref_q[cname], 3)
+            except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
+                print(f"control re-time FAIL {cname}: {exc}",
+                      file=sys.stderr)
+        if control_ratio:
+            rs = sorted(control_ratio.values())
+            mid = len(rs) // 2
+            machine_factor = round(
+                rs[mid] if len(rs) % 2 else (rs[mid - 1] + rs[mid]) / 2, 3
+            )
+        mf_gate = max(1.0, machine_factor or 1.0)
         flagged = sorted(
             n for n, t in timings.items()
-            if n in ref_q and t > 2 * ref_q[n] and t > 1.0
+            if n in ref_q and t > 2 * mf_gate * ref_q[n] and t > 1.0
         )
         env = {
             k: v for k, v in os.environ.items()
             if k not in ("ALSP_BENCH_SOLO_FLAGS", "ALSP_BENCH_WARM")
         }
         env["ALSP_BENCH_BEST2"] = "1"
+
+        def first_json_line(text: str) -> dict | None:
+            # The child artifact is SOME stdout line, not necessarily the
+            # last (r9 ADVICE: trailing telemetry/warnings after the JSON
+            # silently killed every solo re-time). Scan for the first
+            # parseable object that looks like a bench artifact.
+            for ln in text.splitlines():
+                ln = ln.strip()
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    obj = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(obj, dict) and "queries" in obj:
+                    return obj
+            return None
+
         for name in flagged:
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), name],
                     capture_output=True, text=True, env=env, timeout=600,
                 )
-                line = proc.stdout.strip().splitlines()[-1]
-                solo[name] = json.loads(line)["queries"][name]
+                obj = first_json_line(proc.stdout)
+                if obj is None:
+                    raise ValueError("no bench JSON line in child stdout")
+                solo[name] = obj["queries"][name]
                 solo_ref[name] = ref_q[name]
             except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
                 print(f"solo re-time FAIL {name}: {exc}", file=sys.stderr)
@@ -246,6 +308,12 @@ def main() -> int:
                 "n_queries": len(timings),
                 "failures": failures,
                 **({"best2": True} if best2 else {}),
+                **(
+                    {"machine_factor": machine_factor,
+                     "machine_factor_controls": control_ratio}
+                    if machine_factor is not None
+                    else {}
+                ),
                 **({"solo": solo, "solo_ref": solo_ref} if solo else {}),
                 **({"jvm": jvm} if jvm else {}),
                 **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
