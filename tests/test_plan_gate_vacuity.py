@@ -164,3 +164,17 @@ def test_takeordered_and_window_group_limit_are_matchable(spark):
         a.withColumn("rn", F.row_number().over(w)).where("rn <= 2")
     )
     assert "WindowGroupLimit" in plan_string(top)
+
+
+def test_single_partition_is_matchable_simple(spark):
+    # gates: test_skewed_hot_key_range_joins asserts NOT "SinglePartition"
+    # in simple mode — prove the token CAN appear there: a partition-less
+    # window funnels everything through one Exchange SinglePartition.
+    from pyspark.sql import Window
+
+    a, _ = _pair(spark)
+    bad = a.withColumn(
+        "r", F.row_number().over(Window.orderBy("x"))
+    )
+    plan = plan_string(bad, "simple")
+    assert "SinglePartition" in plan, plan[:1500]
