@@ -9,8 +9,9 @@ Scale ladder (the whole point of having three):
                           all-pairs explosion a naive token join produces on
                           a small vocabulary.
   MinHash-LSH           — constant-size signatures + banding; the 100 TB path
-                          where even prefix postings are too big. Approximate
-                          → weak check by design.
+                          where even prefix postings are too big. Integer-
+                          exact since r9: the DuckDB oracle replays the whole
+                          signature/band pipeline, no weak check.
 """
 
 from __future__ import annotations
@@ -2373,4 +2374,135 @@ def q_llm_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000.0
         ).alias("dup_pct"),
+    )
+
+
+_CONTAIN_MAX_VOCAB = 63  # single-BIGINT bitmask verification bound
+
+
+@query(
+    "q_llm_neardup_containment",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS st
+      FROM documents
+    ),
+    cls AS (
+      SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY st
+    ),
+    sup AS (
+      SELECT a.st AS st, CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS n_sup
+      FROM cls a LEFT JOIN cls b
+        ON a.st <> b.st AND list_has_all(b.st, a.st)
+      GROUP BY a.st
+    )
+    SELECT s.doc_id,
+           CAST(len(s.st) AS BIGINT) AS u,
+           CAST(sup.n_sup + cls.cnt - 1 AS BIGINT) AS n_containing
+    FROM s JOIN cls ON s.st = cls.st JOIN sup ON s.st = sup.st
+    ORDER BY s.doc_id
+    """,
+    category="2.J",
+)
+def q_llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — per doc, how many OTHER docs' token sets
+    CONTAIN this doc's set (A ⊆ B). Jaccard misses exactly this case: a
+    short doc wholly embedded in a longer one scores J = |A|/|B| → 0 as
+    B grows, yet A contributes zero new tokens to the corpus — the
+    boilerplate-fragment / quote-extraction duplication every web-corpus
+    cleaning pass must see. Output: (doc_id, u, n_containing) where
+    n_containing counts strict-superset docs plus identical-set docs.
+
+    Plan — the PPJoin prefix filter turned up to containment: candidate
+    generation CANNOT be the m² class cross-join (3,935 contracted
+    classes at sf0.1 → 15.5M pairs, growing quadratically). Instead,
+    every superset of A must contain A's RAREST token (rarest by class
+    document-frequency, ties by dictionary index), so each class joins
+    only the classes that carry its rarest token — fanout is Σ df(rarest)
+    and rare tokens have small df BY CONSTRUCTION of the argmin. Each
+    candidate is then verified in one codegen'd instruction: token sets
+    are encoded as single-BIGINT bitmasks over the sorted vocabulary
+    dictionary (gated at <= 63 tokens; this corpus' vocabulary is 31 —
+    FIXTURES.md; beyond 63 the verify becomes the array-subset form and
+    the right corpus-scale move is MinHash banding first), and A ⊆ B
+    iff mask_a & mask_b = mask_a. Docs ride the pipeline only as
+    (doc_id, set-key): counting happens at the CONTRACTED class grain
+    and expands back by one equi-join — the SoftDeDup discipline.
+
+    The DuckDB oracle keeps the m² list_has_all formulation (fine at
+    oracle scale, sf<=0.01 → 446 classes); results are identical because
+    the prefix filter is lossless: a superset that lacked the rarest
+    token of A would lack an element of A.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("s"),
+    )
+    # read thrice (classes, dict, final expand) — pin the interpreted split
+    docs = docs.cache()
+    track_cache(docs.unpersist)
+    classes = tracked_local_checkpoint(
+        docs.groupBy("s").agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # deterministic dense token ids over the sorted vocabulary (the
+    # jaccard_spectrum tdict pattern: vocabulary-bounded global window)
+    toks = classes.select(F.explode("s").alias("tok")).distinct()
+    w_tok = Window.orderBy("tok")
+    tdict = tracked_local_checkpoint(toks.select(
+        "tok", (F.row_number().over(w_tok) - 1).alias("idx")
+    ))
+    n_vocab = tdict.count()  # bounded scalar (vocabulary-sized)
+    if n_vocab > _CONTAIN_MAX_VOCAB:
+        raise ValueError(
+            f"q_llm_neardup_containment: vocabulary {n_vocab} exceeds the "
+            f"single-mask bound {_CONTAIN_MAX_VOCAB} — switch the verify "
+            "to array containment / MinHash-band the corpus first"
+        )
+    ct = classes.select("s", F.explode("s").alias("tok")).join(
+        F.broadcast(tdict), "tok"
+    )
+    masks = ct.groupBy("s").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask")
+    )
+    # class-level document frequency per token -> rarest token per class
+    tokdf = ct.groupBy("idx").agg(F.count("*").alias("df"))
+    ct_df = ct.join(F.broadcast(tokdf), "idx")
+    rare = ct_df.groupBy("s").agg(
+        F.min_by("idx", F.struct("df", "idx")).alias("ridx")
+    )
+    cl = (
+        classes.join(masks, "s").join(rare, "s")
+        .select("s", "mask", "cnt", "ridx")
+    )
+    cl = tracked_local_checkpoint(cl)
+    # candidates: every class B that carries A's rarest token
+    bside = ct.join(
+        masks.withColumnRenamed("mask", "mask_b"), "s"
+    ).join(
+        classes.select(
+            "s", F.col("cnt").alias("cnt_b")
+        ), "s"
+    ).select("idx", "mask_b", "cnt_b")
+    verified = (
+        cl.join(bside, cl.ridx == bside.idx)
+        .where(F.col("mask_b") != F.col("mask"))
+        .where(
+            F.col("mask").bitwiseAND(F.col("mask_b")) == F.col("mask")
+        )
+    )
+    nsup = verified.groupBy("mask").agg(
+        F.sum("cnt_b").cast("long").alias("n_sup")
+    )
+    return (
+        docs.join(cl.select("s", "mask", "cnt"), "s")
+        .join(nsup, "mask", "left")
+        .select(
+            "doc_id",
+            F.size("s").cast("long").alias("u"),
+            (
+                F.coalesce("n_sup", F.lit(0)) + F.col("cnt") - 1
+            ).cast("long").alias("n_containing"),
+        )
+        .orderBy("doc_id")
     )

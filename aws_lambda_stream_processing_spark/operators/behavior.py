@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import (
     query,
+    track_cache,
     tracked_local_checkpoint,
 )
 from aws_lambda_stream_processing_spark.tables import load_table
@@ -2594,3 +2595,126 @@ def q_events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@query(
+    "q_basket_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, pt.p_brand AS p
+      FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    supp AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY p
+    ),
+    freq AS (
+      SELECT supp.p, supp.n_item FROM supp, n
+      WHERE supp.n_item >= GREATEST(5, (n.n_orders + 499) // 500)
+    ),
+    fb AS (SELECT b.o, b.p, f.n_item FROM b JOIN freq f USING (p)),
+    pairs AS (
+      SELECT a.p AS item_a, c.p AS item_b,
+             MAX(a.n_item) AS n_a, MAX(c.n_item) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
+      GROUP BY a.p, c.p
+    ),
+    rules AS (
+      SELECT item_a, item_b, n_a, n_b, n_pair,
+             CAST((2 * CAST(n_pair AS HUGEINT) * 1000000 + n_a)
+                  // (2 * CAST(n_a AS HUGEINT)) AS BIGINT) AS conf6,
+             CAST((2 * CAST(n_pair AS HUGEINT) * n.n_orders * 1000000
+                   + CAST(n_a AS HUGEINT) * n_b)
+                  // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift6
+      FROM pairs, n
+      WHERE n_pair >= GREATEST(3, (n.n_orders + 1999) // 2000)
+    )
+    SELECT item_a, item_b, n_a, n_b, n_pair, conf6, lift6
+    FROM rules
+    ORDER BY lift6 DESC, item_a, item_b
+    LIMIT 20
+    """,
+    category="2.D",
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    order baskets at BRAND grain, a-priori pruned — the co-purchase
+    analytics every retail warehouse runs, and the canonical example of
+    candidate pruning BEFORE a quadratic stage. SKU-grain pairs are
+    support-starved on uniform TPC-H baskets (measured: zero pairs reach
+    any sane support floor at sf0.01), which is the real-world situation
+    too — basket mining runs at category/brand rollup. The part
+    dimension broadcasts (it is the small side by construction), so the
+    item rollup costs no extra shuffle. Top-20 rules by lift.
+
+    Plan, in the order the pruning must happen at 100 TB:
+      1. lineitem ⋈ broadcast(part) → distinct (order, brand) — one
+         shuffle, the only corpus-sized one;
+      2. per-item support, then the A-PRIORI gate: only items in >= 0.2%
+         of orders (floor 5) survive — any pair containing an infrequent
+         item cannot reach the pair threshold (downward closure), so the
+         pair join's input shrinks before it fans out;
+      3. within-order self-join of the FREQUENT items only (order
+         baskets are bounded — TPC-H ≤ 7 lines, so ≤ 7 distinct brands,
+         per-order fanout ≤ C(7,2); the join shuffles on the order key
+         it is already partitioned by);
+      4. pair support gate (>= 0.05% of orders, floor 3), then exact
+         integer confidence/lift at 6dp fixed point: both are
+         round-half-up integer divisions computed in DECIMAL(38,0) —
+         (2·n_pair·N·10^6 + n_a·n_b) DIV (2·n_a·n_b) — so no float
+         enters the ranking, and the top-20 cut (lift6 desc, item_a,
+         item_b) is a TakeOrderedAndProject, never a global sort.
+    The oracle replays the same thresholds and HUGEINT divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("p")
+        )
+        .distinct()
+    )
+    b = b.cache()
+    track_cache(b.unpersist)
+    n_orders = b.select(F.count_distinct("o").alias("n")).first()[0]
+    minsup = max(5, (n_orders + 499) // 500)
+    minpair = max(3, (n_orders + 1999) // 2000)
+    supp = b.groupBy("p").agg(F.count("*").cast("long").alias("n_item"))
+    freq = supp.where(F.col("n_item") >= minsup)
+    fb = b.join(freq, "p").select("o", "p", "n_item")
+    fa = fb.select(
+        "o", F.col("p").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    fc = fb.select(
+        "o", F.col("p").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    pairs = (
+        fa.join(fc, "o")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count("*").cast("long").alias("n_pair"),
+        )
+        .where(F.col("n_pair") >= minpair)
+    )
+    dec = "DECIMAL(38,0)"
+    conf6 = F.expr(
+        "CAST((2 * CAST(n_pair AS DECIMAL(38,0)) * 1000000 + n_a) "
+        "DIV (2 * CAST(n_a AS DECIMAL(38,0))) AS BIGINT)"
+    ).alias("conf6")
+    out = pairs.select(
+        "item_a", "item_b", "n_a", "n_b", "n_pair",
+        conf6,
+        F.expr(
+            f"CAST((2 * CAST(n_pair AS {dec}) * {int(n_orders)} * 1000000"
+            f" + CAST(n_a AS {dec}) * n_b)"
+            f" DIV (2 * CAST(n_a AS {dec}) * n_b) AS BIGINT)"
+        ).alias("lift6"),
+    )
+    return out.orderBy(
+        F.desc("lift6"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)

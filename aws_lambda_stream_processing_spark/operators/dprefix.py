@@ -69,10 +69,36 @@ def ranged(df: DataFrame, order: OrderSpec, n_parts: int = DEFAULT_PARTS) -> Dat
     After `repartitionByRange` every row in partition p sorts before every
     row in partition p+1 (AQE never re-splits an explicit numPartitions
     shuffle), so __pid order IS key order.
+
+    CACHED, and this is load-bearing for correctness, not a cache
+    hint: every helper below forks this frame into a local-window
+    branch and an offsets branch, and RangePartitioner SAMPLES its
+    boundaries with a per-RDD-instance seed. When the two branches
+    execute the exchange separately — which AQE's ReusedExchange
+    usually prevents but demonstrably does NOT when the scan below is
+    a cached InMemoryRelation (the ALSP_CACHE_TABLES=1 driver-sweep
+    posture; found r10 via q_scale_range_boundaries: a 15k-row grid
+    produced non-monotone cumsums, while sub-sample-size relations
+    stay correct because the sampler degenerates to reading every
+    row) — each branch draws DIFFERENT boundaries and local rank +
+    foreign offset reconstructs garbage. The cache pins ONE RDD
+    instance, so the shuffle plans (and samples) exactly once and both
+    branches read the same frozen partitioning. cache(), not
+    localCheckpoint: a checkpoint truncates lineage into a LogicalRDD
+    and would blind every dprefix plan gate (global-window and
+    range-exchange assertions read the subtree that the
+    InMemoryRelation keeps visible). Cost: one bounded materialization
+    of the ranked relation (the relations ranked here are
+    grids/rollups, not raw corpora); blocks are janitor-released when
+    the next query builds.
     """
-    return df.repartitionByRange(n_parts, *_sort_exprs(order)).withColumn(
+    from aws_lambda_stream_processing_spark.registry import track_cache
+
+    out = df.repartitionByRange(n_parts, *_sort_exprs(order)).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).cache()
+    track_cache(out.unpersist)
+    return out
 
 
 def two_phase_row_number(

@@ -1480,3 +1480,121 @@ def q_scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_RB_K = 32  # target partition count for the boundary plan
+
+
+@query(
+    "q_scale_range_boundaries",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM cents),
+    grid AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM cents GROUP BY v
+    ),
+    targets AS (
+      SELECT i, (i * n.n_rows + {_RB_K} - 1) // {_RB_K} AS t
+      FROM range(1, {_RB_K}) r(i), n
+    ),
+    bounds AS (
+      SELECT t.i, MIN(g.v) AS b FROM targets t JOIN grid g ON g.cum >= t.t
+      GROUP BY t.i
+    ),
+    bucketed AS (
+      SELECT g.v, g.cnt,
+             1 + CAST(COALESCE(SUM(CASE WHEN b.b < g.v THEN 1 END), 0)
+                      AS INTEGER) AS bucket
+      FROM grid g LEFT JOIN bounds b ON b.b < g.v
+      GROUP BY g.v, g.cnt
+    )
+    SELECT bucket, CAST(MIN(v) AS BIGINT) AS lo_cents,
+           CAST(MAX(v) AS BIGINT) AS hi_cents,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST((2 * SUM(cnt) * {_RB_K} * 1000000 + n.n_rows)
+                // (2 * n.n_rows) AS BIGINT) AS balance6
+    FROM bucketed, n
+    GROUP BY bucket, n.n_rows
+    ORDER BY bucket
+    """,
+    category="2.F",
+)
+def q_scale_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundary PLANNING — the job a 100 TB
+    engine runs before a repartitionByRange/sort-on-write: pick K-1
+    split points so every downstream range partition holds ~N/K rows,
+    then certify the achieved balance per bucket (balance6 = bucket
+    share × K at 6dp fixed point; 1,000,000 = perfectly level). Spark's
+    own RangePartitioner does this by SAMPLING; this rung computes the
+    EXACT boundaries, which is what you persist as table metadata when
+    the layout must be reproducible (sort keys for compaction, Z-order
+    tiles, shard manifests).
+
+    Scale shape: the corpus-sized relation is touched ONCE, by the
+    grid hash-agg onto DISTINCT price cents — everything after runs on
+    the value-domain grid (bounded by the cents domain, the q_agg_ks_test
+    argument), where the cumulative count comes from the dprefix
+    two-phase cumsum (no partition-less window over anything
+    data-scaled), boundary selection is a broadcast join of the K-row
+    target-rank table against the grid, and bucket assignment folds the
+    grid's counts — the raw rows are never rescanned. Ties are
+    well-defined: b_i = MIN v with cum ≥ ⌈i·N/K⌉ and rows equal to a
+    boundary close the LOWER bucket, identically in both engines."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    grid = cents.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    grid = two_phase_cumsum(
+        grid, [("v", True)], "cnt", out="cum", total="n_total"
+    )
+    from aws_lambda_stream_processing_spark.registry import (
+        tracked_local_checkpoint,
+    )
+
+    grid = tracked_local_checkpoint(grid)
+    targets = spark.range(1, _RB_K).select(
+        F.col("id").cast("long").alias("i")
+    )
+    bounds = (
+        grid.crossJoin(F.broadcast(targets))
+        .where(
+            F.col("cum")
+            >= F.expr(f"(i * n_total + {_RB_K - 1}) DIV {_RB_K}")
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+    )
+    bucketed = (
+        grid.join(F.broadcast(bounds), F.col("b") < F.col("v"), "left")
+        .groupBy("v", "cnt", "n_total")
+        .agg(
+            (1 + F.coalesce(F.count("b"), F.lit(0))).cast("int").alias(
+                "bucket"
+            )
+        )
+    )
+    return (
+        bucketed.groupBy("bucket", "n_total")
+        .agg(
+            F.min("v").cast("long").alias("lo_cents"),
+            F.max("v").cast("long").alias("hi_cents"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+        .select(
+            "bucket", "lo_cents", "hi_cents", "n_rows",
+            F.expr(
+                f"CAST((2 * n_rows * {_RB_K} * 1000000 + n_total) "
+                "DIV (2 * n_total) AS BIGINT)"
+            ).alias("balance6"),
+        )
+        .orderBy("bucket")
+    )
