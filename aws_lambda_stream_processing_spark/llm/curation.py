@@ -1880,3 +1880,78 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "rank_len", "rank_ttr", "rrf_x1e9", "rank")
     )
+
+
+@query(
+    "q_llm_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, {SQL_QUALITY} AS quality FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             ntile(4) OVER (ORDER BY quality DESC, doc_id) AS band,
+             (doc_id * 2654435761) % 2147483648 AS hkey
+      FROM q
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY band, hkey, doc_id)
+                  AS BIGINT) AS pos,
+             doc_id, CAST(band AS INTEGER) AS band, source
+      FROM b
+    )
+    SELECT pos, doc_id, band, source FROM c WHERE pos <= 40 ORDER BY pos
+    """,
+    category="2.J",
+)
+def q_llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — the deterministic schedule a staged training
+    run feeds its loader: quality QUARTILE bands easy→hard (band 1 = top
+    quality), and WITHIN each band a seedless deterministic shuffle (the
+    Knuth multiplicative hash of the stable doc_id, the
+    q_llm_weighted_sample discipline) so no band replays its docs in
+    source/crawl order — source-burst runs inside a band are exactly the
+    ordering pathology curriculum loaders shuffle away, and a re-run
+    must produce the IDENTICAL schedule (hash, not rand(), so a resumed
+    100 TB job can recompute any shard's slice independently). Output:
+    the first 40 schedule positions with band and source.
+
+    Scale shape: band assignment is the two-phase global rank + integer
+    ntile reconstruction (operators/dprefix.py — ntile over the
+    data-scaled doc relation never runs partition-less), the schedule
+    position is a second two-phase rank over (band, hash, doc_id), and
+    the pos<=40 cut filters AFTER a distributed rank (no global sort;
+    the rank is the product, the limit is the sample). Overflow bound:
+    doc_id·2654435761 < 2^63 through doc_id ≈ 3.5e9, same as
+    q_llm_weighted_sample."""
+    from aws_lambda_stream_processing_spark.llm.text import quality_expr
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        ntile_from_rank, two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "source", "n_chars",
+        F.split("text", " ").alias("t"),
+    ).select("doc_id", "source", quality_expr().alias("quality"))
+    r1 = two_phase_row_number(
+        q, [("quality", False), ("doc_id", True)], rn="qrn", total="n"
+    )
+    banded = r1.select(
+        "doc_id", "source",
+        ntile_from_rank("qrn", "n", 4).cast("int").alias("band"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).alias(
+            "hkey"
+        ),
+    )
+    pos = two_phase_row_number(
+        banded,
+        [("band", True), ("hkey", True), ("doc_id", True)],
+        rn="pos",
+    )
+    return (
+        pos.where(F.col("pos") <= 40)
+        .select(F.col("pos").cast("long").alias("pos"),
+                "doc_id", "band", "source")
+        .orderBy("pos")
+    )

@@ -2721,3 +2721,103 @@ def q_llm_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "w6", "rank")
         .orderBy("source", "rank")
     )
+
+
+@query(
+    "q_llm_bigram_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(2, len(string_split(text, ' ')) + 1),
+               i -> string_split(text, ' ')[i-1] || ' '
+                    || string_split(text, ' ')[i])) AS g
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS fd FROM tok GROUP BY g
+    ),
+    newc AS (
+      SELECT fd, CAST(COUNT(*) AS BIGINT) AS nv FROM first_seen GROUP BY fd
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(string_split(text, ' ')) - 1, 0) AS BIGINT)
+               AS n_bi
+      FROM documents
+    ),
+    serie AS (
+      SELECT p.doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY p.doc_id) AS BIGINT) AS rnk,
+             CAST(SUM(p.n_bi) OVER (ORDER BY p.doc_id) AS BIGINT)
+               AS cum_tokens,
+             CAST(SUM(COALESCE(n.nv, 0)) OVER (ORDER BY p.doc_id)
+                  AS BIGINT) AS cum_vocab
+      FROM per p LEFT JOIN newc n ON p.doc_id = n.fd
+    )
+    SELECT rnk, doc_id, cum_tokens, cum_vocab
+    FROM serie WHERE rnk % 50 = 0 ORDER BY rnk
+    """,
+    category="2.J",
+)
+def q_llm_bigram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostic) at BIGRAM grain:
+    cumulative distinct-bigram count vs cumulative bigram count, sampled
+    every 50 docs in corpus (doc_id) order — the checkpointed-series
+    sibling of the decile-bucketed unigram curve q_llm_vocab_growth
+    (operators/profiling.py), which saturates on this fixture's 31-token
+    unigram vocabulary while bigrams keep growing. This is the datasheet curve
+    that tells you whether a corpus keeps contributing new phrasing as
+    it grows or has gone redundant — the macro companion to the per-pair
+    dedup rungs (a flattening curve is the population-level symptom of
+    the duplication they find pairwise). Bigrams: 916 distinct at
+    sf0.01 over 500 docs, so the curve stays informative at every SF.
+
+    Scale shape: 'cumulative distinct' never materializes running sets —
+    each bigram contributes at its FIRST document (min doc_id per
+    bigram: one hash-agg on the bigram key), so the curve is an ordinary
+    cumulative sum of per-doc new-bigram counts. Bigrams come from the
+    posexplode+lag form q_llm_neardup_shingle measured fastest; the
+    per-doc series then runs rank + two cumulative sums through the
+    dprefix two-phase helpers (the doc-grain relation scales with the
+    corpus — no partition-less window), and only rank-multiple-of-50
+    checkpoint rows survive to the output."""
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum, two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tr = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = tr.select(
+        "doc_id", F.lag("tok").over(wdoc).alias("p"), "tok"
+    ).where(F.col("p").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "p", "tok").alias("g")
+    )
+    first_seen = big.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    newc = first_seen.groupBy("fd").agg(
+        F.count("*").cast("long").alias("nv")
+    )
+    per = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split("text", " ")) - 1, F.lit(0)
+        ).cast("long").alias("n_bi"),
+    ).join(newc, d.doc_id == newc.fd, "left").select(
+        "doc_id", "n_bi", F.coalesce("nv", F.lit(0)).alias("nv")
+    )
+    s = two_phase_row_number(per, [("doc_id", True)], rn="rnk")
+    s = two_phase_cumsum(s, [("doc_id", True)], "n_bi", out="cum_tokens")
+    s = two_phase_cumsum(s, [("doc_id", True)], "nv", out="cum_vocab")
+    return (
+        s.where(F.col("rnk") % 50 == 0)
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        )
+        .orderBy("rnk")
+    )

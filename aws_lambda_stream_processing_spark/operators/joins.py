@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.parity import dsum
-from aws_lambda_stream_processing_spark.registry import query
+from aws_lambda_stream_processing_spark.registry import query, track_cache
 from aws_lambda_stream_processing_spark.tables import load_table
 
 
@@ -1019,3 +1019,103 @@ def q_join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "bal_cents")
     )
     return nat.lateralJoin(top2).select("n_name", "c_name", "bal_cents")
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.user_id, a.day, CAST(COUNT(*) AS BIGINT) AS n_partners
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id <> b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY 1, 2
+    )
+    SELECT i.user_id, CAST(i.day AS TIMESTAMP) AS day,
+           CAST((epoch_us(i.e) - epoch_us(i.s)) // 1000000 AS BIGINT)
+             AS dur_s,
+           COALESCE(p.n_partners, 0) AS n_partners
+    FROM iv i LEFT JOIN p ON i.user_id = p.user_id AND i.day = p.day
+    ORDER BY i.user_id, i.day
+    """,
+    category="2.C",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — both sides are intervals, no equi key
+    between them: per (user, day) error-activity interval [first, last
+    error], count how many OTHER users' intervals OVERLAP it (the
+    concurrent-incident blast-radius question; q_join_interval is the
+    point-in-range case WITH a user equi key, this is the harder
+    interval×interval case without one).
+
+    Scale shape — BANDING, the interval-tree equivalent for shuffles:
+    a naive formulation joins on the day alone and filters, which is a
+    per-day cross join (every user pair, O(U²) per day). Instead each
+    interval is exploded to the HOUR buckets it covers (bounded ≤ 24×
+    fanout — intervals live inside one calendar day), candidates meet
+    on the hour-bucket equi key, the exact overlap predicate
+    (a.s ≤ b.e AND b.s ≤ a.e) verifies each candidate, and duplicate
+    candidates from multi-hour overlaps collapse with one DISTINCT on
+    the pair key. Partner counts then attach back to the full interval
+    relation with a LEFT join so zero-partner intervals survive. The
+    oracle keeps the day-keyed quadratic formulation (fine at oracle
+    scale); results are identical because two intervals overlap iff
+    they share at least one covered hour bucket."""
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    iv = iv.cache()
+    track_cache(iv.unpersist)
+    hb = iv.select(
+        "user_id", "day", "s", "e",
+        F.explode(
+            F.sequence(
+                F.expr("unix_micros(s) div 3600000000"),
+                F.expr("unix_micros(e) div 3600000000"),
+            )
+        ).alias("h"),
+    )
+    a = hb.select(
+        F.col("user_id").alias("ua"), F.col("day").alias("da"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"), "h",
+    )
+    b = hb.select(
+        F.col("user_id").alias("ub"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"), "h",
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("ua") != F.col("ub"))
+        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .select("ua", "da", "ub")
+        .distinct()
+    )
+    cnt = pairs.groupBy("ua", "da").agg(
+        F.count("*").cast("long").alias("n_partners")
+    )
+    return (
+        iv.join(
+            cnt,
+            (iv.user_id == cnt.ua) & (iv.day == cnt.da),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.expr(
+                "CAST((unix_micros(e) - unix_micros(s)) DIV 1000000 "
+                "AS BIGINT)"
+            ).alias("dur_s"),
+            F.coalesce("n_partners", F.lit(0)).cast("long").alias(
+                "n_partners"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )
