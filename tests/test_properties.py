@@ -686,3 +686,37 @@ def test_jaccard_spectrum_contraction_gate_fires(spark, monkeypatch):
     monkeypatch.setattr(dd, "_JS_MAX_CONTRACTED_SETS", 1)
     with pytest.raises(ValueError, match="contracted token-sets"):
         dd.q_llm_jaccard_spectrum(spark, SF_DIR)
+
+
+def test_dprefix_consistent_over_cached_large_relation(spark):
+    """Regression (r10): RangePartitioner samples boundaries with a
+    per-RDD-instance seed, so when the local-window branch and the
+    offsets branch of a dprefix helper execute the range exchange
+    separately — AQE's ReusedExchange demonstrably does NOT fire when
+    the scan below is a cached InMemoryRelation — the two branches
+    disagree on partition membership and the reconstructed global
+    cumsum goes non-monotone (observed: 15k-row grid, tail 14819 of
+    15000). ranged() now pins the partitioning in one cached RDD;
+    this drives the exact failing shape: a CACHED ~15k-row relation,
+    large enough that the boundary sampler subsamples (sub-sample-size
+    inputs are immune — the sampler reads every row)."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_stream_processing_spark.operators.dprefix import (
+        two_phase_cumsum,
+    )
+
+    base = spark.range(15000).select(
+        (F.col("id") * 7919 % 1000003).alias("v"), F.lit(1).alias("cnt")
+    ).cache()
+    try:
+        base.count()  # materialize the InMemoryRelation (the hazard shape)
+        grid = base.groupBy("v").agg(F.sum("cnt").alias("m"))
+        out = two_phase_cumsum(
+            grid, [("v", True)], "m", out="cum", total="n_total"
+        ).toPandas().sort_values("v")
+        assert out.cum.iloc[-1] == 15000, out.cum.iloc[-1]
+        assert (out.cum.diff().dropna() > 0).all()
+        assert (out.n_total == 15000).all()
+    finally:
+        base.unpersist()

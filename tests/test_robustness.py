@@ -134,6 +134,12 @@ SAMPLE = [
     "q_graph_rich_club",  # threshold conditional sums over any layout
     # round-10 hazards:
     "q_sample_seeded",  # certificate booleans must hold for ANY sample
+    "q_llm_neardup_containment",  # rare-token argmin + mask agg, any layout
+    "q_basket_association_rules",  # DECIMAL fixed-point lift, any layout
+    "q_scale_range_boundaries",  # two-phase cum + boundary pick, any layout
+    "q_llm_bigram_growth",  # 3 chained two-phase passes, any layout
+    "q_llm_curriculum_order",  # rank->ntile->rank chain, any layout
+    "q_join_interval_overlap",  # hour-band candidates + distinct, any layout
 ]
 
 
