@@ -57,23 +57,64 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, sf_dir)
     if key in _EDGE_MEMO:
         return _EDGE_MEMO[key]
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
+    # Cross-JVM persisted copy (r9 verdict item 4, same design as the
+    # quotient-BFS artifact): the in-process memo amortizes the build
+    # across a suite, but a fresh-JVM solo (bench flag adjudication,
+    # one-query driver run) re-paid the full lineitem scan + combination
+    # explode (~7 s cold at sf0.1; harmonic-centrality solo measured
+    # 13.8 s of which this build dominated). Keyed by source-file
+    # identity (path+size+mtime), written atomically via dir rename;
+    # read cost ≈ 0.5 s. This IS the q_graph_edges_build docstring's
+    # posture — a derived graph is a materialized artifact with its own
+    # build job — applied to the engine's own internals.
+    cache_dir = None
+    if os.environ.get("ALSP_BFS_DISK_CACHE", "1") == "1":
+        p = _bfs_cache_path(sf_dir)
+        if p is not None:
+            # sibling keyed artifact: same digest (same source identity
+            # + panel params), its own directory namespace
+            digest = os.path.basename(p).removeprefix("bfs_").removesuffix(
+                ".parquet"
+            )
+            cache_dir = os.path.join(
+                "/tmp/alsp_part_edges_cache", f"edges_{digest}.pq"
+            )
+    edges = None
+    if cache_dir is not None and os.path.isdir(cache_dir):
+        try:
+            edges = spark.read.parquet(cache_dir).select("u", "v").cache()
+        except Exception:  # noqa: BLE001 - unreadable cache → rebuild
+            edges = None
+    if edges is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .select("e.u", "e.v")
-        .distinct()
-        .cache()
-    )
+        edges = (
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps)), "
+                        "y -> struct(x AS u, y AS v))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .distinct()
+            .cache()
+        )
+        if cache_dir is not None:
+            try:
+                tmp = f"{cache_dir}.tmp.{os.getpid()}"
+                edges.coalesce(4).write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, cache_dir)
+            except Exception:  # noqa: BLE001 - cache write is best-effort
+                import shutil as _sh
+
+                _sh.rmtree(f"{cache_dir}.tmp.{os.getpid()}",
+                           ignore_errors=True)
     _EDGE_MEMO[key] = edges
 
     def _release(key=key, edges=edges):
