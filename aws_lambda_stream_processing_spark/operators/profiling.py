@@ -3728,3 +3728,119 @@ def q_anon_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_id")
     )
+
+
+@query(
+    "q_anon_suppression",
+    oracle="""
+    WITH lv AS (
+      SELECT c_custkey,
+             CAST(0 AS INTEGER) AS level,
+             c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+               AS qi
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1,
+             c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
+      FROM customer
+    ),
+    g AS (
+      SELECT level, qi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lv GROUP BY level, qi
+    ),
+    lad AS (
+      SELECT level,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_suppressed,
+             CAST((2 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000
+                   + SUM(n)) // (2 * SUM(n)) AS BIGINT) AS supp_bp
+      FROM g GROUP BY level
+    )
+    SELECT level, n_classes, n_suppressed, supp_bp,
+           supp_bp <= 500 AND COALESCE(SUM(CASE WHEN supp_bp <= 500
+                                               THEN 1 END)
+               OVER (ORDER BY level
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) = 0 AS chosen
+    FROM lad ORDER BY level
+    """,
+    category="2.D",
+)
+def q_anon_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity SUPPRESSION ladder — the audit behind the release
+    decision q_anon_kanonymity only flags: walk a 3-level
+    generalization ladder over the quasi-identifier (mktsegment,
+    nationkey, acctbal band: $100 bands → $1000 bands → attribute
+    dropped), count at each level the rows living in classes of size
+    < k=5 (the rows record-suppression would delete), and mark the
+    FIRST level whose suppression rate meets the 5% (500 bp) release
+    budget. This is the Datafly/Samarati trade made measurable:
+    generalize more and suppress less, with the ladder itself as the
+    release artifact.
+
+    Scale shape: three hash aggs over one scan each (the UNION ALL of
+    generalization levels is a projection fan-out, no join, no
+    shuffle beyond the per-level group-by on the bounded QI domain);
+    the ladder relation is |levels| rows, the window that picks the
+    first qualifying level runs on 3 rows. Suppression rate is an
+    exact round-half-up basis-point division; no float anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    qi0 = F.concat_ws(
+        "|", "c_mktsegment", F.col("c_nationkey").cast("string"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").cast("string"),
+    )
+    qi1 = F.concat_ws(
+        "|", "c_mktsegment", F.col("c_nationkey").cast("string"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").cast("string"),
+    )
+    qi2 = F.concat_ws(
+        "|", "c_mktsegment", F.col("c_nationkey").cast("string")
+    )
+    lv = (
+        c.select(F.lit(0).cast("int").alias("level"), qi0.alias("qi"))
+        .unionByName(
+            c.select(F.lit(1).cast("int").alias("level"), qi1.alias("qi"))
+        )
+        .unionByName(
+            c.select(F.lit(2).cast("int").alias("level"), qi2.alias("qi"))
+        )
+    )
+    g = lv.groupBy("level", "qi").agg(F.count("*").alias("n"))
+    lad = g.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("long").alias("n_suppressed"),
+        F.expr(
+            "CAST((2 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000"
+            " + SUM(n)) DIV (2 * SUM(n)) AS BIGINT)"
+        ).alias("supp_bp"),
+    )
+    w_prev = (
+        Window.orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        lad.select(
+            "level", "n_classes", "n_suppressed", "supp_bp",
+            (
+                (F.col("supp_bp") <= 500)
+                & (
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("supp_bp") <= 500, 1)
+                        ).over(w_prev),
+                        F.lit(0),
+                    )
+                    == 0
+                )
+            ).alias("chosen"),
+        )
+        .orderBy("level")
+    )

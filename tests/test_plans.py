@@ -347,6 +347,9 @@ _GLOBAL_WINDOW_OK = {
     # radius/diameter MIN/MAX over the 64-node quotient panel:
     # panel-bounded by construction.
     "q_graph_eccentricity",
+    # first-qualifying-level pick over the generalization LADDER:
+    # |levels| = 3 rows by construction, never data-scaled.
+    "q_anon_suppression",
 }
 
 # Builders that execute side effects (write/stream/collect) during plan
