@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import (
     query,
+    track_cache,
     tracked_local_checkpoint,
 )
 from aws_lambda_stream_processing_spark.tables import load_table
@@ -2801,4 +2802,115 @@ def q_llm_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("beta2")).alias("beta2"),
         round6(icpt).alias("intercept"),
         (F.floor(r2 * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("r2"),
+    )
+
+
+@query(
+    "q_llm_embed_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, j, qv[j] AS v
+      FROM q CROSS JOIN range(1, {_COV_DIM} + 1) t(j)
+    ),
+    s AS (
+      SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM x GROUP BY j
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM q),
+    d AS (
+      SELECT x.vec_id,
+             CAST(SUM((n.nn * x.v - s.sj) * (n.nn * x.v - s.sj))
+                  AS BIGINT) AS d2
+      FROM x JOIN s USING (j) CROSS JOIN n
+      GROUP BY x.vec_id
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             CAST(SUM(CAST(d2 AS HUGEINT)) AS HUGEINT) AS sd,
+             CAST(SUM(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT))
+                  AS HUGEINT) AS sdd
+      FROM d
+    )
+    SELECT d.vec_id, d.d2
+    FROM d CROSS JOIN st
+    WHERE (st.nn * d.d2 - st.sd) > 0
+      AND (st.nn * d.d2 - st.sd) * (st.nn * d.d2 - st.sd)
+          > 4 * (st.nn * st.sdd - st.sd * st.sd)
+    ORDER BY d.vec_id
+    """,
+    category="2.J",
+)
+def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: vectors whose squared distance to
+    the corpus centroid sits more than 2σ ABOVE the mean — the standard
+    embedding-quality gate before clustering/SemDedup trusts the space
+    (encoder failures, all-zero rows and mojibake docs all land out
+    here). Exact integers throughout: coordinates quantize to the
+    established milli grid (q_llm_embed_quantize), the distance is the
+    mean-free form D_i = Σ_j (n·q_ij − S_j)² (no division — distances
+    to the TRUE centroid scaled by n², identical ranking), and the 2σ
+    gate multiplies out to (n·D_i − ΣD)² > 4·(n·ΣD² − (ΣD)²) computed
+    in DECIMAL(38,0) against DuckDB HUGEINT — no float, no sqrt, no
+    epsilon. One-sided: only ABOVE-mean distances flag (below-mean
+    means unusually central, not broken).
+
+    Scale shape: posexplode to (vec, dim) once, the 64-row per-dim sum
+    broadcasts back, D folds per vec in one hash agg, the 1-row moment
+    table broadcasts into the filter — two data passes, nothing
+    data-scaled on the driver. Headroom: (n·D)² must fit DECIMAL(38)
+    ⇒ safe through n ≈ 1e6 at milli quantization; beyond that, coarsen
+    the grid (centi) exactly like the covariance rung prescribes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * 1000.0 + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("j", "v"),
+    )
+    q = q.cache()
+    track_cache(q.unpersist)
+    s = q.groupBy("j").agg(F.sum("v").alias("sj"))
+    n = q.select((F.count_distinct("vec_id")).alias("nn"))
+    d = (
+        q.join(F.broadcast(s), "j")
+        .crossJoin(F.broadcast(n))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("nn") * F.col("v") - F.col("sj"))
+                * (F.col("nn") * F.col("v") - F.col("sj"))
+            ).cast("long").alias("d2")
+        )
+    )
+    st = d.agg(
+        F.count("*").cast("decimal(38,0)").alias("snn"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd"),
+        F.sum(
+            F.col("d2").cast("decimal(38,0)")
+            * F.col("d2").cast("decimal(38,0)")
+        ).alias("sdd"),
+    )
+    dev = F.col("snn") * F.col("d2").cast("decimal(38,0)") - F.col("sd")
+    return (
+        d.crossJoin(F.broadcast(st))
+        .where(
+            (dev > 0)
+            & (
+                dev * dev
+                > 4 * (F.col("snn") * F.col("sdd") - F.col("sd") * F.col("sd"))
+            )
+        )
+        .select("vec_id", "d2")
+        .orderBy("vec_id")
     )

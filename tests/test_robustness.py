@@ -141,6 +141,7 @@ SAMPLE = [
     "q_llm_curriculum_order",  # rank->ntile->rank chain, any layout
     "q_join_interval_overlap",  # hour-band candidates + distinct, any layout
     "q_anon_suppression",  # ladder aggregation + 3-row pick, any layout
+    "q_llm_embed_outliers",  # DECIMAL moment gate, any layout
 ]
 
 
