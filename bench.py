@@ -186,14 +186,19 @@ def main() -> int:
         # hygiene"): two consecutive rounds of cross-round machine drift
         # (r8→r9 raw 1.22× with UNTOUCHED control rungs at 3-5× their
         # committed times on the judge box) made every >2× flag a manual
-        # machine-vs-code adjudication. Re-time three fixed control
-        # rungs — untouched since r5, spanning scan+agg, shuffle-agg and
-        # window shapes — best-of-3 in this same session and divide the
-        # flag gate by the median control ratio, so a uniformly slow
-        # machine stops producing flags and a genuine single-query
-        # regression still does. The factor is clamped at >=1 for
-        # flagging (a faster machine must not hide regressions); the raw
-        # value is recorded in the artifact for the ADVICE flag table.
+        # machine-vs-code adjudication. Divide the flag gate by the
+        # median IN-SUITE ratio of three fixed control rungs — untouched
+        # since r5, spanning scan+project, shuffle-agg and dprefix
+        # shapes — against the same rungs in the committed reference.
+        # METHODOLOGY-MATCHED on purpose: both sides are the cold,
+        # in-suite, best-of-2 measurement. The first r10 implementation
+        # re-timed the controls warm (best-of-3, end of session) and
+        # read machine_factor 0.74 on a session whose in-suite control
+        # ratios were 1.0-1.4 — steady-state JVM speed is NOT the
+        # quantity the in-suite reference numbers were measured in. The
+        # factor is clamped at >=1 for flagging (a faster machine must
+        # not hide regressions); the raw value + per-control ratios land
+        # in the artifact for the ADVICE flag table.
         # (r9 adjudication correction, recorded where the next round
         # reads it: q_agg_approx_distinct's r9 solo 2.565s vs r8 0.369s
         # was NOT machine factor — it is the real, by-design cost of the
@@ -203,18 +208,10 @@ def main() -> int:
         # carries the new cost.)
         CONTROLS = ("q_date_extract", "q_agg_count_distinct", "q_agg_gini")
         for cname in CONTROLS:
-            if cname not in registry or ref_q.get(cname, 0) <= 0:
-                continue
-            best = float("inf")
-            try:
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    registry[cname].fn(spark, sf_dir).toPandas()
-                    best = min(best, time.perf_counter() - t0)
-                control_ratio[cname] = round(best / ref_q[cname], 3)
-            except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
-                print(f"control re-time FAIL {cname}: {exc}",
-                      file=sys.stderr)
+            if timings.get(cname, 0) > 0 and ref_q.get(cname, 0) > 0:
+                control_ratio[cname] = round(
+                    timings[cname] / ref_q[cname], 3
+                )
         if control_ratio:
             rs = sorted(control_ratio.values())
             mid = len(rs) // 2
