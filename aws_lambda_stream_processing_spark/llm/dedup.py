@@ -887,8 +887,9 @@ def _cc_labels(spark: SparkSession, docs: DataFrame):
 
 # --- q_llm_minhash_exact (round 2) -----------------------------------------
 
-# Cross-engine-verifiable MinHash: unlike q_llm_minhash_lsh (engine-native
-# vectorized hashing -> weak rows-only check), these signatures are built
+# Cross-engine-verifiable MinHash: q_llm_minhash_lsh's numpy-kernel
+# signatures ran as a weak rows-only check before its r9 integer-LCG
+# oracle upgrade; these signatures are built
 # from explicit integer arithmetic both engines reproduce bit-for-bit, so
 # the oracle hash-matches. Token hashes come from a character-level
 # polynomial fold computed ONCE over the DISTINCT vocabulary (tiny relative

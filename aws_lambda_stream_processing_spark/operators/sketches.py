@@ -3,7 +3,8 @@ Bloom filter, and KMV distinct-count — the sketches a 100 TB pipeline
 actually ships between stages, built from EXPLICIT integer hash
 arithmetic instead of engine-native sketch aggregates, so every one has
 an exact cross-engine oracle (the same reason `q_llm_minhash_exact`
-exists beside the weak `q_llm_minhash_lsh`: engine-internal sketches
+exists beside `q_llm_minhash_lsh` — whose own oracle has replayed the
+full signature/band pipeline since r9: engine-internal sketches
 (HLL, datasketches) are implementation-defined; these are
 specification-defined).
 

@@ -3,8 +3,10 @@ surface (SURVEY.md §2). `__spark_entry__.py` exposes this registry to the
 driver harness; tests iterate it; bench.py picks headline entries from it.
 
 Each registered query is a (PySpark builder, DuckDB oracle SQL) pair. The
-oracle is optional: approximate / streaming-sink / side-effecting ops declare
-no oracle and get the driver's weaker rows-only check (SURVEY.md §2 conv. 5).
+oracle is TECHNICALLY optional (a None-oracle op gets the driver's weaker
+rows-only check, SURVEY.md §2 conv. 5) but as of round 10 every one of the
+537 registered queries carries an exact oracle — approximate/RNG/sink ops
+hash error-bound certificates or replayed pipelines instead of going weak.
 """
 
 from __future__ import annotations
