@@ -177,7 +177,9 @@ def test_deterministic_across_partitioning(spark, registry, name):
      "q_ts_pacf",  # daily scaffold under a hostile zone
      "q_ts_ljung_box",  # same scaffold ACF machinery
      "q_ts_strength",  # MA window + dow means under a hostile zone
-     "q_events_cuped"],  # pre/post split at a timestamp literal
+     "q_events_cuped",  # pre/post split at a timestamp literal
+     "q_join_interval_overlap",  # ts→day intervals + hour banding (r10)
+     "q_events_dau_wau"],  # ts→day distinct pairs + day range join
 )
 def test_hostile_session_timezone(spark, registry, name):
     """Timezone-sensitive queries must pin UTC themselves — the driver's
