@@ -1,15 +1,15 @@
 """LLM-data-pipeline operators (SURVEY.md §2.J): dedup, similarity search,
 text analysis, multimodal columns, time-series similarity."""
 
-# Import order = registration order = driver certification order (see
-# registry.load_all). Round-10 rotation: multimodal (7 rungs, none
-# driver-certified through r9), dedup (21, none) and similarity (24,
-# none) lead, so the driver's ~50-query sample prefix is all
-# first-time IDs. curation (25 never) cannot lead: its module-level
-# `from llm.text import SQL_QUALITY` (curation.py, decorator-time
-# oracle interpolation) registers all 37 text rungs after curation's
-# 15th, and text's head was already certified in r9. The fully
-# certified timeseries family moves last.
+# Import order = registration order (see registry.load_all). Through
+# round 10 this order WAS the driver certification order and rotated
+# per round (r10: multimodal/dedup/similarity led; curation cannot
+# lead — its module-level `from llm.text import SQL_QUALITY`
+# (decorator-time oracle interpolation) registers all 37 text rungs
+# after curation's 15th). Round 11 moved certification rotation to the
+# explicit registry.CERT_PREFIX_R11 list applied by
+# __spark_entry__.queries(), so import order here no longer needs to
+# churn; it still groups families for the cache janitor's locality.
 from aws_lambda_stream_processing_spark.llm import (  # noqa: F401
     multimodal,
     dedup,

@@ -2863,9 +2863,19 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: posexplode to (vec, dim) once, the 64-row per-dim sum
     broadcasts back, D folds per vec in one hash agg, the 1-row moment
     table broadcasts into the filter — two data passes, nothing
-    data-scaled on the driver. Headroom: (n·D)² must fit DECIMAL(38)
-    ⇒ safe through n ≈ 1e6 at milli quantization; beyond that, coarsen
-    the grid (centi) exactly like the covariance rung prescribes."""
+    data-scaled on the driver.
+
+    Overflow gate (r10 ADVICE): the BIGINT-typed D_i = Σ_j (n·v − S_j)²
+    is the binding bound, NOT the DECIMAL(38) moment stage — at milli
+    grid/dim 64 it saturates near n ≈ 2–4·10⁵, and past it Spark's
+    non-ANSI long sum WRAPS silently while DuckDB HUGEINT keeps going,
+    so the failure mode would be a silent cross-engine divergence. The
+    builder therefore measures (n, max|v|) from the cached quantized
+    relation and REFUSES with the corrective action (coarsen the grid,
+    as the covariance rung prescribes) whenever the worst-case
+    dim·(2·n·max|v|)² exceeds 2⁶³−1 — the same refuse-before-scheduling
+    discipline as q_llm_jaccard_spectrum's contraction gate; harnesses
+    record it as a clean per-query failure."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -2880,6 +2890,19 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = q.cache()
     track_cache(q.unpersist)
+    lim = q.agg(
+        F.count_distinct("vec_id").alias("n"),
+        F.max(F.abs(F.col("v"))).alias("vmax"),
+    ).first()
+    n_vec, vmax = int(lim["n"] or 0), int(lim["vmax"] or 0)
+    # |n·v − S_j| ≤ n·(|v| + |mean_j|) ≤ 2·n·max|v|, so the worst D_i is
+    # dim·(2·n·max|v|)²; refuse while the sum is still provably exact.
+    if _COV_DIM * (2 * n_vec * max(vmax, 1)) ** 2 > 2**63 - 1:
+        raise ValueError(
+            f"q_llm_embed_outliers: n={n_vec} vectors at max|q|={vmax} "
+            f"overflow the exact BIGINT distance bound (dim={_COV_DIM}) — "
+            "coarsen the quantization grid (milli → centi) before rerunning"
+        )
     s = q.groupBy("j").agg(F.sum("v").alias("sj"))
     n = q.select((F.count_distinct("vec_id")).alias("nn"))
     d = (

@@ -63,24 +63,22 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-query driver run) re-paid the full lineitem scan + combination
     # explode (~7 s cold at sf0.1; harmonic-centrality solo measured
     # 13.8 s of which this build dominated). Keyed by source-file
-    # identity (path+size+mtime), written atomically via dir rename;
+    # identity (path+size+mtime) under the user-owned verified cache
+    # root (see the artifact-cache block below _BFS_MEMO) with its OWN
+    # version constant — the edge build and the BFS build invalidate
+    # independently (r10 ADVICE). Written atomically via dir rename;
     # read cost ≈ 0.5 s. This IS the q_graph_edges_build docstring's
     # posture — a derived graph is a materialized artifact with its own
     # build job — applied to the engine's own internals.
     cache_dir = None
     if os.environ.get("ALSP_BFS_DISK_CACHE", "1") == "1":
-        p = _bfs_cache_path(sf_dir)
-        if p is not None:
-            # sibling keyed artifact: same digest (same source identity
-            # + panel params), its own directory namespace
-            digest = os.path.basename(p).removeprefix("bfs_").removesuffix(
-                ".parquet"
-            )
-            cache_dir = os.path.join(
-                "/tmp/alsp_part_edges_cache", f"edges_{digest}.pq"
-            )
+        cache_dir = _edges_cache_path(sf_dir)
     edges = None
-    if cache_dir is not None and os.path.isdir(cache_dir):
+    if (
+        cache_dir is not None
+        and os.path.isdir(cache_dir)
+        and _owned_by_us(cache_dir)
+    ):
         try:
             edges = spark.read.parquet(cache_dir).select("u", "v").cache()
         except Exception:  # noqa: BLE001 - unreadable cache → rebuild
@@ -110,6 +108,10 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tmp = f"{cache_dir}.tmp.{os.getpid()}"
                 edges.coalesce(4).write.mode("overwrite").parquet(tmp)
                 os.rename(tmp, cache_dir)
+                _prune_artifacts(
+                    os.path.dirname(cache_dir), "edges",
+                    _ARTIFACT_KEEP_PER_KIND,
+                )
             except Exception:  # noqa: BLE001 - cache write is best-effort
                 import shutil as _sh
 
@@ -2066,37 +2068,123 @@ _BFS_MEMO: dict[tuple[str, str], DataFrame] = {}
 # one-query driver invocation) paid the full lineitem scan +
 # edge-contraction every time (~5.7 s of the stress/eccentricity solo
 # cost at sf0.1). R is a <= B^2-row integer table, so persist it the
-# way q_llm_ann_index_persist persists its index: parquet under
-# /tmp, keyed by the panel parameters AND the identity of the source
-# file (path + size + mtime — a regenerated lineitem.parquet misses
-# and rebuilds), written atomically (tmp + rename) so concurrent
-# builders race benignly. Opt out with ALSP_BFS_DISK_CACHE=0.
-_BFS_CACHE_DIR = "/tmp/alsp_quotient_bfs_cache"
-_BFS_CACHE_VERSION = "v1-mod9eq3"  # bump when the sparsifier changes
+# way q_llm_ann_index_persist persists its index: parquet keyed by the
+# panel parameters AND the identity of the source file (path + size +
+# mtime — a regenerated lineitem.parquet misses and rebuilds), written
+# atomically (tmp + rename) so concurrent builders race benignly. Opt
+# out with ALSP_BFS_DISK_CACHE=0.
+#
+# Placement + trust (r10 ADVICE medium): the r9/r10 location was a
+# FIXED world-shared /tmp path — on a multi-user host any local user
+# could pre-create the predictable digest-named artifact (every digest
+# input is knowable) and silently poison graph results, and the dirs
+# grew unboundedly across fixture regenerations. The cache now lives
+# under a USER-OWNED 0700 root (~/.cache/alsp_graph_artifacts, override
+# ALSP_ARTIFACT_CACHE), ownership+mode are verified on EVERY access
+# (uid match, no group/other write — a pre-existing foreign or loose
+# dir disables the cache entirely rather than being trusted), each
+# entry's ownership is re-verified before read, and successful writes
+# opportunistically prune the oldest same-kind entries beyond a small
+# keep budget so regenerated fixtures can't accumulate stale digests.
+#
+# Versioning (r10 ADVICE low): each artifact kind carries its OWN
+# version constant — the BFS table and the part-edges relation are
+# built by independent code paths, so a change to either build must
+# invalidate only its own artifacts. Bump _BFS_CACHE_VERSION when the
+# sparsifier/BFS shape changes; _EDGES_CACHE_VERSION when the
+# co-occurrence edge build changes.
+_BFS_CACHE_VERSION = "bfs-v1-mod9eq3"
+_EDGES_CACHE_VERSION = "edges-v1-cooccur"
+_ARTIFACT_KEEP_PER_KIND = 8
 
 
-def _bfs_cache_path(sf_dir: str) -> str | None:
-    import hashlib
+def _artifact_cache_root() -> str | None:
+    """User-owned 0700 artifact-cache root, or None (cache disabled)."""
+    base = os.environ.get("ALSP_ARTIFACT_CACHE")
+    if not base:
+        home = os.path.expanduser("~")
+        if not home or home == "~":
+            return None
+        base = os.path.join(home, ".cache", "alsp_graph_artifacts")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.stat(base)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            return None  # foreign or group/other-writable dir: never trust
+    except OSError:
+        return None
+    return base
 
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
+
+
+def _prune_artifacts(root: str, kind: str, keep: int) -> None:
+    """Best-effort: drop the oldest `kind_*` entries beyond `keep`."""
+    import shutil
+
+    try:
+        entries = [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if e.startswith(f"{kind}_") and ".tmp." not in e
+        ]
+        entries.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+        for stale in entries[keep:]:
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                os.unlink(stale)
+    except OSError:
+        pass
+
+
+def _source_identity(sf_dir: str) -> list[tuple] | None:
+    """(name, size, mtime) stats of lineitem.parquet, or None if absent."""
     src = os.path.join(sf_dir, "lineitem.parquet")
     try:
         if os.path.isdir(src):
-            stats = sorted(
+            return sorted(
                 (f, os.path.getsize(os.path.join(src, f)),
                  int(os.path.getmtime(os.path.join(src, f))))
                 for f in os.listdir(src)
             )
-        else:
-            stats = [(src, os.path.getsize(src),
-                      int(os.path.getmtime(src)))]
+        return [(src, os.path.getsize(src), int(os.path.getmtime(src)))]
     except OSError:
         return None
-    key = repr((
-        _BFS_CACHE_VERSION, os.path.abspath(sf_dir), _STRESS_BUCKETS,
-        _STRESS_LEVELS, stats,
-    ))
+
+
+def _artifact_cache_path(
+    kind: str, version: str, sf_dir: str, params: tuple, ext: str
+) -> str | None:
+    import hashlib
+
+    root = _artifact_cache_root()
+    if root is None:
+        return None
+    stats = _source_identity(sf_dir)
+    if stats is None:
+        return None
+    key = repr((version, os.path.abspath(sf_dir), params, stats))
     digest = hashlib.sha256(key.encode()).hexdigest()[:24]
-    return os.path.join(_BFS_CACHE_DIR, f"bfs_{digest}.parquet")
+    return os.path.join(root, f"{kind}_{digest}{ext}")
+
+
+def _bfs_cache_path(sf_dir: str) -> str | None:
+    return _artifact_cache_path(
+        "bfs", _BFS_CACHE_VERSION, sf_dir,
+        (_STRESS_BUCKETS, _STRESS_LEVELS), ".parquet",
+    )
+
+
+def _edges_cache_path(sf_dir: str) -> str | None:
+    return _artifact_cache_path(
+        "edges", _EDGES_CACHE_VERSION, sf_dir, (), ".pq",
+    )
 
 
 def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,7 +2213,7 @@ def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk = os.environ.get("ALSP_BFS_DISK_CACHE", "1") == "1"
     cache = _bfs_cache_path(sf_dir) if disk else None
     out: list[tuple[int, int, int, int]] | None = None
-    if cache is not None and os.path.exists(cache):
+    if cache is not None and os.path.exists(cache) and _owned_by_us(cache):
         try:
             import pyarrow.parquet as pq
 
@@ -2162,7 +2250,6 @@ def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import pyarrow as pa
                 import pyarrow.parquet as pq
 
-                os.makedirs(_BFS_CACHE_DIR, exist_ok=True)
                 cols = list(zip(*out)) if out else ([], [], [], [])
                 t = pa.table({
                     "s": pa.array(cols[0], pa.int64()),
@@ -2173,6 +2260,9 @@ def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tmp = f"{cache}.tmp.{os.getpid()}"
                 pq.write_table(t, tmp)
                 os.replace(tmp, cache)
+                _prune_artifacts(
+                    os.path.dirname(cache), "bfs", _ARTIFACT_KEEP_PER_KIND
+                )
             except Exception:  # noqa: BLE001 - cache write is best-effort
                 pass
     r = spark.createDataFrame(

@@ -7,6 +7,11 @@ oracle is TECHNICALLY optional (a None-oracle op gets the driver's weaker
 rows-only check, SURVEY.md §2 conv. 5) but as of round 10 every one of the
 537 registered queries carries an exact oracle — approximate/RNG/sink ops
 hash error-bound certificates or replayed pipelines instead of going weak.
+Certificate-class oracles state their strength honestly at the rung: for
+engine-RNG output (q_sample_seeded) "exact" means an exact INVARIANT
+certificate — per-stratum source counts, rate CI, subset/dup/seed-replay
+checks — not an exact value multiset, which engine RNG cannot have
+cross-engine (r10 ADVICE; vacuity bounds in the rung docstring).
 """
 
 from __future__ import annotations
@@ -180,6 +185,13 @@ def load_all() -> dict[str, QuerySpec]:
     (25 rungs, 25 never certified through r9), `multimodal` (7, 7
     never) and `dedup` (21, 21 never) lead, so the first-50 prefix is
     again 50 first-time IDs, all batch queries.
+    Round 11 switches the mechanism: after five import-order rotations
+    the never-certified pockets are module TAILS (a module's head
+    certifies the first time it leads, its tail never does), which
+    import permutation cannot reach without moving source. The prefix
+    is now the EXPLICIT list CERT_PREFIX_R11 below, applied by
+    __spark_entry__.queries() on top of this import order — surgical
+    selection of exactly 50 never-certified IDs, zero source churn.
     Rotation only permutes dict insertion order; every query keeps its
     ID, oracle, and behavior.
     """
@@ -190,3 +202,50 @@ def load_all() -> dict[str, QuerySpec]:
     import aws_lambda_stream_processing_spark.streaming  # noqa: F401
 
     return REGISTRY
+
+
+# Round-11 driver-certification prefix (see load_all docstring): the 50
+# IDs a sequential driver sweep should reach FIRST this round. Chosen
+# from the 211 rungs never driver-certified through r10 (recomputed
+# union of CORRECTNESS_r01..r10), cheap batch rungs first per the r10
+# verdict: the operators/sources.py family (31 — the whole §2.A
+# source/sink surface has only full-sweep evidence so far), the
+# operators/profiling.py tail (15), and four singletons including the
+# two rungs this round touched (q_sample_seeded's seed-replay
+# certificate; q_str_mask_builtin). All 50 are first-time IDs; grouping
+# stays module-contiguous so family-scoped cache memos keep their
+# locality during the sweep.
+CERT_PREFIX_R11: tuple[str, ...] = (
+    "q_scan_parquet", "q_scan_pruned", "q_source_json_props",
+    "q_sink_parquet", "q_stream_source_replay",
+    "q_stream_sink_foreachbatch", "q_source_kinesis_envelope",
+    "q_sink_csv_roundtrip", "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip", "q_source_python_datasource",
+    "q_observe_metrics", "q_source_csv_malformed",
+    "q_sink_xml_roundtrip", "q_source_binary_file",
+    "q_scan_schema_evolution", "q_sink_parquet_codecs",
+    "q_sink_parquet_bloom", "q_source_text_lines",
+    "q_source_csv_dialect", "q_source_kpl_deaggregate",
+    "q_sink_jsonl_gz_roundtrip", "q_source_csv_multiline",
+    "q_scan_metadata_columns", "q_scan_ignore_corrupt_files",
+    "q_sink_dynamic_overwrite", "q_source_wholetext",
+    "q_source_glob_recursive", "q_sink_python_datasource",
+    "q_source_modified_after", "q_source_python_datasource_pushdown",
+    "q_agg_pchart", "q_agg_theil_decomp", "q_agg_corr_matrix",
+    "q_anon_generalization", "q_profile_psi_drift",
+    "q_profile_constraint_audit", "q_agg_fdr_bh",
+    "q_agg_hodges_lehmann", "q_agg_levene_bf", "q_agg_cramers_v",
+    "q_agg_mcnemar", "q_agg_anova2_unweighted",
+    "q_agg_tost_equivalence", "q_anon_microagg", "q_anon_suppression",
+    "q_set_union_by_name", "q_stat_crosstab", "q_sample_seeded",
+    "q_str_mask_builtin",
+)
+
+
+def rotation_order(registry: dict[str, QuerySpec]) -> list[str]:
+    """Registry names with the certification prefix first (see
+    CERT_PREFIX_R11); unknown prefix entries are ignored so a renamed
+    rung degrades to its registration position instead of KeyError."""
+    prefix = [n for n in CERT_PREFIX_R11 if n in registry]
+    rest = [n for n in registry if n not in set(prefix)]
+    return prefix + rest

@@ -1,10 +1,28 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query (SURVEY.md §2 inventory)
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and print the full artifact JSON line:
 
     {"metric": "suite_seconds", "value": N, "unit": "sec",
      "queries": {"q_agg_groupby": s, ...}, "sf": 0.1}
+
+followed by ONE COMPACT summary line (metric/value/n_queries/failures/
+machine_factor, no per-query dict) as the LAST stdout line. The driver
+harness keeps only a stdout TAIL and parses it — the 537-query artifact
+line truncates mid-object in that tail, which left every BENCH_r{N}
+artifact `parsed: null` for ten straight rounds (r10 verdict item 2);
+the compact trailer is complete in any sane tail window.
+
+Multi-run de-noising (r10 verdict item 3): `python bench.py -n 3` runs
+the FULL suite in 3 fresh subprocess JVMs and emits a merged artifact
+whose `queries` dict is the per-query MINIMUM across runs (with every
+run's value preserved in `queries_runs`). One session's stray major GC
+lands on whichever query is unlucky (r10: q_graph_dyad_census 27.6 s
+in-suite vs 1.7/2.5 s in the sibling runs) — the min across fresh
+sessions is the committed-artifact number both builder and judge
+otherwise recompute by hand. >2x-vs-reference flags are adjudicated
+directly on the min (no solo re-time subprocesses needed: min-of-N IS
+the de-noising the solo pass existed to provide).
 
 Timing = plan build + execution + full materialization (collect) per query,
 on one shared SparkSession with AQE on — the posture SURVEY.md §6 commits
@@ -18,10 +36,180 @@ import os
 import sys
 import time
 
+# Machine-factor control rungs: fixed, shape-spanning (scan+project,
+# distinct shuffle-agg, Q1-style shuffle-agg), and — r10 ADVICE — free
+# of any shared mutable operator infrastructure, so an infra change
+# elsewhere cannot shift a control and mask real regressions.
+# q_agg_gini (a dprefix consumer) was replaced by q_agg_groupby when
+# r10's ranged() caching change touched dprefix under it; the r10
+# reference artifact already carries post-change times for all three.
+CONTROLS = ("q_date_extract", "q_agg_count_distinct", "q_agg_groupby")
+
+
+def _newest_ref_path(here: str) -> str | None:
+    """Newest non-empty committed BENCH_local_r*.json next to bench.py."""
+    import glob
+    import re as _re
+
+    ref_path = os.environ.get("ALSP_BENCH_REF")
+    if ref_path:
+        return ref_path
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_local_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", p)
+        if m and os.path.getsize(p) > 0:
+            cands.append((int(m.group(1)), p))
+    cands.sort()
+    return cands[-1][1] if cands else None
+
+
+def _load_ref_queries(ref_path: str | None) -> dict[str, float]:
+    try:
+        if ref_path and os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                return json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError) as exc:
+        print(f"bench ref: unusable {ref_path}: {exc}", file=sys.stderr)
+    return {}
+
+
+def _machine_factor(
+    timings: dict[str, float], ref_q: dict[str, float]
+) -> tuple[float | None, dict[str, float]]:
+    control_ratio: dict[str, float] = {}
+    for cname in CONTROLS:
+        if timings.get(cname, 0) > 0 and ref_q.get(cname, 0) > 0:
+            control_ratio[cname] = round(timings[cname] / ref_q[cname], 3)
+    if not control_ratio:
+        return None, control_ratio
+    rs = sorted(control_ratio.values())
+    mid = len(rs) // 2
+    mf = round(rs[mid] if len(rs) % 2 else (rs[mid - 1] + rs[mid]) / 2, 3)
+    return mf, control_ratio
+
+
+def _print_artifact(obj: dict) -> None:
+    """Full artifact line, then the compact driver-parseable trailer."""
+    print(json.dumps(obj))
+    compact = {
+        "metric": obj["metric"],
+        "value": obj["value"],
+        "unit": obj["unit"],
+        "sf": obj["sf"],
+        "n_queries": obj["n_queries"],
+        "failures": obj["failures"],
+    }
+    for k in ("machine_factor", "n_runs", "gc_total_ms_runs"):
+        if k in obj and obj[k] is not None:
+            compact[k] = obj[k]
+    jvm = obj.get("jvm") or {}
+    if "gc_total_ms" in jvm:
+        compact.setdefault("gc_total_ms", jvm["gc_total_ms"])
+    print(json.dumps(compact))
+
+
+def _artifact_line(text: str) -> dict | None:
+    """Last stdout line that parses as a full bench artifact."""
+    found = None
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            obj = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "queries" in obj:
+            found = obj
+    return found
+
+
+def multi_run(n_runs: int, only: list[str]) -> int:
+    """Run the suite `n_runs` times in fresh subprocess JVMs and merge."""
+    import subprocess
+
+    env = dict(os.environ)
+    # Children skip the solo-flag subprocess pass: min-of-N across fresh
+    # sessions is the de-noising it existed for; flags are adjudicated
+    # on the merged min below. Best-of-2 stays per child if set.
+    env.pop("ALSP_BENCH_SOLO_FLAGS", None)
+    runs: list[dict] = []
+    for i in range(n_runs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *only],
+            capture_output=True, text=True, env=env, timeout=7200,
+        )
+        obj = _artifact_line(proc.stdout)
+        if obj is None:
+            print(
+                f"bench -n: run {i + 1}/{n_runs} produced no artifact "
+                f"(rc={proc.returncode}); stderr tail: "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            continue
+        print(
+            f"bench -n: run {i + 1}/{n_runs} value={obj.get('value')} "
+            f"gc_total_ms={(obj.get('jvm') or {}).get('gc_total_ms')}",
+            file=sys.stderr,
+        )
+        runs.append(obj)
+    if not runs:
+        print("bench -n: all runs failed", file=sys.stderr)
+        return 1
+
+    queries_runs: dict[str, list[float]] = {}
+    for r in runs:
+        for name, t in r.get("queries", {}).items():
+            queries_runs.setdefault(name, []).append(t)
+    merged_q = {n: min(ts) for n, ts in queries_runs.items()}
+    failures = sorted({f for r in runs for f in r.get("failures", [])})
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref_q = _load_ref_queries(_newest_ref_path(here))
+    mf, control_ratio = _machine_factor(merged_q, ref_q)
+    mf_gate = max(1.0, mf or 1.0)
+    flagged = sorted(
+        n for n, t in merged_q.items()
+        if n in ref_q and t > 2 * mf_gate * ref_q[n] and t > 1.0
+    )
+
+    out = {
+        "metric": "suite_seconds",
+        "value": round(sum(merged_q.values()), 3),
+        "unit": "sec",
+        "queries": merged_q,
+        "sf": runs[0].get("sf"),
+        "n_queries": len(merged_q),
+        "failures": failures,
+        "n_runs": len(runs),
+        "queries_runs": queries_runs,
+        "run_values": [r.get("value") for r in runs],
+        "gc_total_ms_runs": [
+            (r.get("jvm") or {}).get("gc_total_ms") for r in runs
+        ],
+        **({"best2": True} if runs[0].get("best2") else {}),
+        **(
+            {"machine_factor": mf,
+             "machine_factor_controls": control_ratio}
+            if mf is not None
+            else {}
+        ),
+        **({"flags_vs_ref_on_min": flagged} if flagged else {}),
+    }
+    _print_artifact(out)
+    return 1 if failures else 0
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    only = set(sys.argv[1:])  # optional query-name filter
+    argv = sys.argv[1:]
+    if "-n" in argv:
+        i = argv.index("-n")
+        n_runs = int(argv[i + 1])
+        rest = argv[:i] + argv[i + 2:]
+        return multi_run(n_runs, rest)
+    only = set(argv)  # optional query-name filter
 
     # SURVEY §6 bench posture: one shared session, base tables cached.
     os.environ["ALSP_CACHE_TABLES"] = "1"
@@ -156,32 +344,10 @@ def main() -> int:
     machine_factor: float | None = None
     control_ratio: dict[str, float] = {}
     if os.environ.get("ALSP_BENCH_SOLO_FLAGS") == "1" and not only:
-        import glob
-        import re as _re
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
-        ref_path = os.environ.get("ALSP_BENCH_REF")
-        if not ref_path:
-            # skip empty/unparsable candidates: the artifact currently
-            # being written via `python bench.py > BENCH_local_rN.json`
-            # exists as a 0-byte file and would otherwise shadow the
-            # real newest reference
-            cands = []
-            for p in glob.glob(os.path.join(here, "BENCH_local_r*.json")):
-                m = _re.search(r"_r(\d+)\.json$", p)
-                if m and os.path.getsize(p) > 0:
-                    cands.append((int(m.group(1)), p))
-            cands.sort()
-            ref_path = cands[-1][1] if cands else None
-        ref_q: dict[str, float] = {}
-        try:
-            if ref_path and os.path.exists(ref_path):
-                with open(ref_path) as fh:
-                    ref_q = json.load(fh).get("queries", {})
-        except (OSError, json.JSONDecodeError) as exc:
-            print(f"solo flags: unusable ref {ref_path}: {exc}",
-                  file=sys.stderr)
+        ref_q = _load_ref_queries(_newest_ref_path(here))
         # Machine-factor normalization (r9 verdict "bench-reference
         # hygiene"): two consecutive rounds of cross-round machine drift
         # (r8→r9 raw 1.22× with UNTOUCHED control rungs at 3-5× their
@@ -206,18 +372,7 @@ def main() -> int:
         # to the HLL sketch in the same aggregation. Right trade, now
         # labeled honestly; its committed r9 reference time already
         # carries the new cost.)
-        CONTROLS = ("q_date_extract", "q_agg_count_distinct", "q_agg_gini")
-        for cname in CONTROLS:
-            if timings.get(cname, 0) > 0 and ref_q.get(cname, 0) > 0:
-                control_ratio[cname] = round(
-                    timings[cname] / ref_q[cname], 3
-                )
-        if control_ratio:
-            rs = sorted(control_ratio.values())
-            mid = len(rs) // 2
-            machine_factor = round(
-                rs[mid] if len(rs) % 2 else (rs[mid - 1] + rs[mid]) / 2, 3
-            )
+        machine_factor, control_ratio = _machine_factor(timings, ref_q)
         mf_gate = max(1.0, machine_factor or 1.0)
         flagged = sorted(
             n for n, t in timings.items()
@@ -294,39 +449,37 @@ def main() -> int:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "failures": failures,
-                **({"best2": True} if best2 else {}),
-                **(
-                    {"machine_factor": machine_factor,
-                     "machine_factor_controls": control_ratio}
-                    if machine_factor is not None
-                    else {}
-                ),
-                **({"solo": solo, "solo_ref": solo_ref} if solo else {}),
-                **({"jvm": jvm} if jvm else {}),
-                **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
-                **(
-                    {"warm_value": round(sum(warm.values()), 3),
-                     "warm_queries": warm}
-                    if warm
-                    else {}
-                ),
-                **(
-                    {"warm_gc_deltas_ms": warm_gc_deltas}
-                    if warm_gc_deltas
-                    else {}
-                ),
-            }
-        )
+    _print_artifact(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+            "failures": failures,
+            **({"best2": True} if best2 else {}),
+            **(
+                {"machine_factor": machine_factor,
+                 "machine_factor_controls": control_ratio}
+                if machine_factor is not None
+                else {}
+            ),
+            **({"solo": solo, "solo_ref": solo_ref} if solo else {}),
+            **({"jvm": jvm} if jvm else {}),
+            **({"gc_deltas_ms": gc_deltas} if gc_deltas else {}),
+            **(
+                {"warm_value": round(sum(warm.values()), 3),
+                 "warm_queries": warm}
+                if warm
+                else {}
+            ),
+            **(
+                {"warm_gc_deltas_ms": warm_gc_deltas}
+                if warm_gc_deltas
+                else {}
+            ),
+        }
     )
     return 1 if failures else 0
 

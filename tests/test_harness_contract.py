@@ -1,0 +1,236 @@
+"""Round-11 harness-contract gates: certification-rotation prefix,
+bench.py multi-run/compact-trailer plumbing, and the trust gates on the
+user-owned graph artifact cache (r10 ADVICE medium item).
+
+These are driver-/judge-facing contracts, not query semantics: the
+driver certifies the FIRST ~50 entries of __spark_entry__.queries(),
+tail-parses bench stdout, and a multi-user host must not be able to
+poison the cross-JVM graph artifacts. Each gate here pins one of those
+behaviors so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Certification rotation (r10 verdict item 1)
+
+
+def test_rotation_prefix_is_50_registered_oracle_backed_ids(registry):
+    from aws_lambda_stream_processing_spark.registry import (
+        CERT_PREFIX_R11,
+        rotation_order,
+    )
+
+    assert len(CERT_PREFIX_R11) == 50
+    assert len(set(CERT_PREFIX_R11)) == 50
+    missing = [n for n in CERT_PREFIX_R11 if n not in registry]
+    assert not missing, f"prefix names not in registry: {missing}"
+    # the driver's sample is only useful as exact certification if every
+    # prefix rung carries an oracle
+    weak = [n for n in CERT_PREFIX_R11 if registry[n].oracle is None]
+    assert not weak, f"prefix rungs without oracles: {weak}"
+
+    order = rotation_order(registry)
+    assert order[:50] == list(CERT_PREFIX_R11)
+    assert len(order) == len(registry)
+    assert len(set(order)) == len(registry), "rotation dropped/duped a name"
+
+
+def test_rotation_prefix_was_never_driver_certified_before_r11():
+    """Every prefix ID must be absent from the union of GREEN
+    (rows+schema+hash) entries across CORRECTNESS_r01..r10 — the whole
+    point of the rotation is 50 FIRST-TIME exact certifications, the
+    same union the judge recomputes per round. (q_sample_seeded was
+    driver-SAMPLED in r07 but only as the then-weak rows-only check;
+    its first exact certification is this round's, so it belongs in the
+    prefix.)"""
+    import glob
+
+    from aws_lambda_stream_processing_spark.registry import CERT_PREFIX_R11
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified: set[str] = set()
+    seen_any = False
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        if "local" in os.path.basename(p):
+            continue
+        with open(p) as fh:
+            for name, rec in json.load(fh).items():
+                seen_any = True
+                if (
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                ):
+                    certified.add(name)
+    if not seen_any:
+        pytest.skip("no driver CORRECTNESS artifacts beside the repo")
+    overlap = sorted(set(CERT_PREFIX_R11) & certified)
+    assert not overlap, f"already driver-certified: {overlap}"
+
+
+def test_spark_entry_queries_order_matches_rotation(registry):
+    import __spark_entry__ as entry
+    from aws_lambda_stream_processing_spark.registry import rotation_order
+
+    names = list(entry.queries())
+    assert names == rotation_order(registry)
+    # oracle_sql keys must be a subset in the same relative order
+    onames = list(entry.oracle_sql())
+    pos = {n: i for i, n in enumerate(names)}
+    assert all(n in pos for n in onames)
+    assert onames == sorted(onames, key=pos.__getitem__)
+
+
+def test_rotation_order_ignores_unknown_prefix_entries():
+    from aws_lambda_stream_processing_spark.registry import rotation_order
+
+    fake = {"q_a": None, "q_b": None}
+    out = rotation_order(fake)  # CERT_PREFIX_R11 ∩ fake = ∅
+    assert out == ["q_a", "q_b"]
+
+
+# ---------------------------------------------------------------------------
+# bench.py artifact plumbing (r10 verdict items 2+3)
+
+
+def _bench():
+    import importlib.util
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(here, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_compact_trailer_is_last_line_and_complete(capsys):
+    bench = _bench()
+    bench._print_artifact(
+        {
+            "metric": "suite_seconds", "value": 12.3, "unit": "sec",
+            "queries": {"q_x": 12.3}, "sf": 0.1, "n_queries": 1,
+            "failures": [], "machine_factor": 1.01,
+            "jvm": {"gc_total_ms": 777},
+        }
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    full, compact = json.loads(lines[0]), json.loads(lines[1])
+    assert "queries" in full
+    # the compact trailer is what the driver's stdout-tail parser gets:
+    # complete, per-query-free, and carrying the adjudication fields
+    assert "queries" not in compact
+    assert compact["metric"] == "suite_seconds"
+    assert compact["value"] == 12.3
+    assert compact["n_queries"] == 1
+    assert compact["failures"] == []
+    assert compact["machine_factor"] == 1.01
+    assert compact["gc_total_ms"] == 777
+
+
+def test_bench_artifact_line_picks_full_artifact_not_trailer():
+    bench = _bench()
+    text = "\n".join(
+        [
+            "noise",
+            json.dumps({"metric": "suite_seconds", "queries": {"q_x": 1.0},
+                        "value": 1.0}),
+            json.dumps({"metric": "suite_seconds", "value": 1.0}),  # trailer
+        ]
+    )
+    obj = bench._artifact_line(text)
+    assert obj is not None and "queries" in obj
+
+
+def test_bench_machine_factor_controls_are_pure_shapes():
+    """r10 ADVICE: controls must not share mutable operator infra. The
+    allowed set is pinned here — scan/project, distinct shuffle-agg,
+    Q1-style shuffle-agg — so a future edit that sneaks a
+    shared-infra consumer (the old q_agg_gini / dprefix case) back in
+    fails loudly."""
+    bench = _bench()
+    assert set(bench.CONTROLS) == {
+        "q_date_extract", "q_agg_count_distinct", "q_agg_groupby",
+    }
+    mf, ratios = bench._machine_factor(
+        {"q_date_extract": 0.2, "q_agg_count_distinct": 0.4,
+         "q_agg_groupby": 2.0},
+        {"q_date_extract": 0.1, "q_agg_count_distinct": 0.4,
+         "q_agg_groupby": 1.0},
+    )
+    assert ratios == {"q_date_extract": 2.0, "q_agg_count_distinct": 1.0,
+                      "q_agg_groupby": 2.0}
+    assert mf == 2.0  # median
+    mf_none, _ = bench._machine_factor({"q_date_extract": 0.2}, {})
+    assert mf_none is None
+
+
+# ---------------------------------------------------------------------------
+# Graph artifact cache trust gates (r10 ADVICE medium)
+
+
+def test_artifact_cache_rejects_untrusted_root(tmp_path, monkeypatch):
+    from aws_lambda_stream_processing_spark.operators import graphs
+
+    loose = tmp_path / "loose"
+    loose.mkdir(mode=0o700)
+    os.chmod(loose, 0o777)  # group/other-writable → must be refused
+    monkeypatch.setenv("ALSP_ARTIFACT_CACHE", str(loose))
+    assert graphs._artifact_cache_root() is None
+
+    owned = tmp_path / "owned"
+    monkeypatch.setenv("ALSP_ARTIFACT_CACHE", str(owned))
+    root = graphs._artifact_cache_root()
+    assert root == str(owned)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+
+def test_artifact_cache_versions_are_independent(tmp_path, monkeypatch):
+    """BFS and part-edges artifacts must key on their OWN version
+    constants: bumping one must move only its own paths."""
+    import shutil
+
+    from aws_lambda_stream_processing_spark.operators import graphs
+
+    monkeypatch.setenv("ALSP_ARTIFACT_CACHE", str(tmp_path / "c"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/lineitem.parquet", sf / "lineitem.parquet"
+    )
+    b1, e1 = graphs._bfs_cache_path(str(sf)), graphs._edges_cache_path(str(sf))
+    assert b1 and e1 and b1 != e1
+    monkeypatch.setattr(graphs, "_BFS_CACHE_VERSION", "bfs-v2-test")
+    b2, e2 = graphs._bfs_cache_path(str(sf)), graphs._edges_cache_path(str(sf))
+    assert b2 != b1, "BFS version bump must move the BFS artifact"
+    assert e2 == e1, "BFS version bump must NOT move the edges artifact"
+    monkeypatch.setattr(graphs, "_EDGES_CACHE_VERSION", "edges-v2-test")
+    b3, e3 = graphs._bfs_cache_path(str(sf)), graphs._edges_cache_path(str(sf))
+    assert b3 == b2 and e3 != e1
+
+
+def test_artifact_cache_prunes_stale_digests(tmp_path, monkeypatch):
+    from aws_lambda_stream_processing_spark.operators import graphs
+
+    root = tmp_path / "c"
+    root.mkdir(mode=0o700)
+    for i in range(12):
+        p = root / f"bfs_{i:024d}.parquet"
+        p.write_bytes(b"x")
+        os.utime(p, (1000 + i, 1000 + i))
+    (root / "edges_keepme.pq").mkdir()
+    graphs._prune_artifacts(str(root), "bfs", keep=8)
+    left = sorted(e for e in os.listdir(root) if e.startswith("bfs_"))
+    assert len(left) == 8
+    # newest 8 kept (highest mtimes = indices 4..11)
+    assert left[0] == "bfs_000000000000000000000004.parquet"
+    assert (root / "edges_keepme.pq").is_dir(), "foreign kind untouched"
