@@ -68,7 +68,16 @@ def get_spark(app_name: str = "alsp-spark-engine") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # 12g, not the box's full 128 GiB share: the suite's working set
+        # is far below either, and on a huge heap G1's rare-but-massive
+        # mixed collections become the measured bench tail (r10: gc_total
+        # 40-143 s/session). Controlled r11 A/B, full 537-query suite,
+        # best-of-2, 3 fresh sessions per config on one box: 32g heap →
+        # min-of-3 414.0 s, gc_total 63-90 s/run; 12g heap → min-of-3
+        # 372.5 s, gc_total 17-41 s/run (median per-query ratio 0.887,
+        # streaming family ~+1 s total worse, graphs/joins far better).
+        # Raise via SPARK_DRIVER_MEM when an operator genuinely needs it.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         # A full-surface sweep (273 queries) emits thousands of Janino
         # whole-stage-codegen classes; the JVM's default 240 MB reserved
         # code cache fills mid-suite, the JIT shuts off, and every later

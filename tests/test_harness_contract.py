@@ -76,7 +76,19 @@ def test_rotation_prefix_was_never_driver_certified_before_r11():
 
 
 def test_spark_entry_queries_order_matches_rotation(registry):
-    import __spark_entry__ as entry
+    # __spark_entry__ sets ALSP_CACHE_TABLES=1 at import (the driver
+    # sweep posture). Inside THIS pytest process that would flip every
+    # later load_table() to .cache()d InMemoryRelations and break the
+    # plan-gate suite's PushedFilters assertions — restore the env var
+    # to its pre-import state before leaving the test.
+    had = os.environ.get("ALSP_CACHE_TABLES")
+    try:
+        import __spark_entry__ as entry
+    finally:
+        if had is None:
+            os.environ.pop("ALSP_CACHE_TABLES", None)
+        else:
+            os.environ["ALSP_CACHE_TABLES"] = had
     from aws_lambda_stream_processing_spark.registry import rotation_order
 
     names = list(entry.queries())
