@@ -163,6 +163,33 @@ def test_bench_artifact_line_picks_full_artifact_not_trailer():
     assert obj is not None and "queries" in obj
 
 
+def test_bench_merge_runs_takes_per_query_min_and_unions_failures():
+    bench = _bench()
+    runs = [
+        {"queries": {"q_a": 2.0, "q_b": 0.5}, "failures": []},
+        {"queries": {"q_a": 1.0, "q_c": 3.0}, "failures": ["q_b"]},
+        {"queries": {"q_a": 27.6, "q_b": 0.4}, "failures": []},
+    ]
+    merged, per_run, failures = bench._merge_runs(runs)
+    # a single-session GC spike (27.6) cannot reach the merged headline
+    assert merged == {"q_a": 1.0, "q_b": 0.4, "q_c": 3.0}
+    assert per_run["q_a"] == [2.0, 1.0, 27.6]
+    assert failures == ["q_b"]
+
+
+def test_bench_flag_gate_applies_machine_factor_and_absolute_floor():
+    bench = _bench()
+    ref = {"q_slow": 1.0, "q_tiny": 0.1, "q_new": None}
+    timings = {"q_slow": 2.5, "q_tiny": 0.5, "q_unref": 9.9}
+    # mf_gate 1.0: q_slow is 2.5x ref and >1s -> flagged; q_tiny is 5x
+    # but under the 1s floor; q_unref has no reference
+    assert bench._flagged(timings, {"q_slow": 1.0, "q_tiny": 0.1}, 1.0) == [
+        "q_slow"
+    ]
+    # a 1.3 machine factor widens the gate past 2.5x
+    assert bench._flagged(timings, {"q_slow": 1.0}, 1.3) == []
+
+
 def test_bench_machine_factor_controls_are_pure_shapes():
     """r10 ADVICE: controls must not share mutable operator infra. The
     allowed set is pinned here — scan/project, distinct shuffle-agg,
