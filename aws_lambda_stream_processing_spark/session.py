@@ -94,7 +94,18 @@ def get_spark(app_name: str = "alsp-spark-engine") -> SparkSession:
         .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/alsp_warehouse")
+        # User-owned warehouse, not a world-shared /tmp path (same
+        # hazard class as the r10 ADVICE on the graph artifact caches:
+        # under /tmp another local user can pre-own the fixed path and
+        # break or shadow managed-table writes; the CTAS rung's
+        # drop-and-clean already prevents silent READ poisoning, so the
+        # residual risk was write failure, but the fix is one line).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "alsp_warehouse"
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
