@@ -2870,12 +2870,18 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid/dim 64 it saturates near n ≈ 2–4·10⁵, and past it Spark's
     non-ANSI long sum WRAPS silently while DuckDB HUGEINT keeps going,
     so the failure mode would be a silent cross-engine divergence. The
-    builder therefore measures (n, max|v|) from the cached quantized
-    relation and REFUSES with the corrective action (coarsen the grid,
-    as the covariance rung prescribes) whenever the worst-case
-    dim·(2·n·max|v|)² exceeds 2⁶³−1 — the same refuse-before-scheduling
-    discipline as q_llm_jaccard_spectrum's contraction gate; harnesses
-    record it as a clean per-query failure."""
+    builder therefore measures per-dim (max|v_j|, |S_j|) plus n from
+    the cached quantized relation and REFUSES with the corrective
+    action (coarsen the grid, as the covariance rung prescribes)
+    whenever the worst-case Σ_j (n·max|v_j| + |S_j|)² exceeds 2⁶³−1 —
+    the same refuse-before-scheduling discipline as
+    q_llm_jaccard_spectrum's contraction gate; harnesses record it as
+    a clean per-query failure. (r11 ADVICE: the bound is PER-DIM —
+    |n·v_ij − S_j| ≤ n·max|v_j| + |S_j| for each dim separately —
+    rather than the earlier global dim·(2·n·max|v|)², so a single
+    wide dimension no longer inflates the bound for all 64; the gate
+    stays eager because its one job is what materializes the cached
+    exploded relation every later stage reuses.)"""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -2890,18 +2896,30 @@ def q_llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = q.cache()
     track_cache(q.unpersist)
-    lim = q.agg(
-        F.count_distinct("vec_id").alias("n"),
-        F.max(F.abs(F.col("v"))).alias("vmax"),
-    ).first()
-    n_vec, vmax = int(lim["n"] or 0), int(lim["vmax"] or 0)
-    # |n·v − S_j| ≤ n·(|v| + |mean_j|) ≤ 2·n·max|v|, so the worst D_i is
-    # dim·(2·n·max|v|)²; refuse while the sum is still provably exact.
-    if _COV_DIM * (2 * n_vec * max(vmax, 1)) ** 2 > 2**63 - 1:
+    # Each dim j has exactly one row per vector (posexplode of a
+    # fixed-length array), so count(*) per j IS n; one 64-row collect
+    # yields n plus the exact per-dim ingredients of the bound.
+    dims = q.groupBy("j").agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("v"))).alias("vmax_j"),
+        F.abs(F.sum("v")).alias("sabs_j"),
+    ).collect()
+    n_vec = int(dims[0]["n"]) if dims else 0
+    # |n·v_ij − S_j| ≤ n·max|v_j| + |S_j| per dim, so the worst D_i is
+    # Σ_j (n·max|v_j| + |S_j|)²; refuse while the sum is still provably
+    # exact. Per-dim (r11 ADVICE) — a single wide dimension no longer
+    # inflates the bound for every other dim the way the old global
+    # dim·(2·n·max|v|)² form did.
+    worst = sum(
+        (n_vec * int(r["vmax_j"] or 0) + int(r["sabs_j"] or 0)) ** 2
+        for r in dims
+    )
+    if worst > 2**63 - 1:
         raise ValueError(
-            f"q_llm_embed_outliers: n={n_vec} vectors at max|q|={vmax} "
-            f"overflow the exact BIGINT distance bound (dim={_COV_DIM}) — "
-            "coarsen the quantization grid (milli → centi) before rerunning"
+            f"q_llm_embed_outliers: n={n_vec} vectors overflow the exact "
+            f"BIGINT distance bound (worst-case {worst} > 2^63-1, "
+            f"dim={_COV_DIM}) — coarsen the quantization grid "
+            "(milli → centi) before rerunning"
         )
     s = q.groupBy("j").agg(F.sum("v").alias("sj"))
     n = q.select((F.count_distinct("vec_id")).alias("nn"))

@@ -192,6 +192,8 @@ def load_all() -> dict[str, QuerySpec]:
     is now the EXPLICIT list CERT_PREFIX_R11 below, applied by
     __spark_entry__.queries() on top of this import order — surgical
     selection of exactly 50 never-certified IDs, zero source churn.
+    Round 12 continues that mechanism with CERT_PREFIX_R12 (the next 50
+    never-certified IDs from the r01..r11 union).
     Rotation only permutes dict insertion order; every query keeps its
     ID, oracle, and behavior.
     """
@@ -215,7 +217,7 @@ def load_all() -> dict[str, QuerySpec]:
 # certificate; q_str_mask_builtin). All 50 are first-time IDs; grouping
 # stays module-contiguous so family-scoped cache memos keep their
 # locality during the sweep.
-CERT_PREFIX_R11: tuple[str, ...] = (
+CERT_PREFIX_R11: tuple[str, ...] = (  # historical — see CERT_PREFIX_R12
     "q_scan_parquet", "q_scan_pruned", "q_source_json_props",
     "q_sink_parquet", "q_stream_source_replay",
     "q_stream_sink_foreachbatch", "q_source_kinesis_envelope",
@@ -242,10 +244,41 @@ CERT_PREFIX_R11: tuple[str, ...] = (
 )
 
 
+# Round-12 driver-certification prefix: the next 50 of the 161 rungs
+# never driver-certified through r11 (recomputed union of
+# CORRECTNESS_r01..r11 green rows+schema+hash entries — 376/537). All 50
+# are cheap batch rungs and module-contiguous in registration order (the
+# llm/similarity.py tail (4), the llm/curation.py tail (22), and the
+# llm/text.py tail (24) — exactly the "module tails certify never"
+# pockets the r11 verdict named), so family-scoped cache memos keep
+# their locality during the sweep. 111 rungs remain after this round
+# (operator tails + functions + the 27-rung streaming family); r13/r14
+# finish the job at the same cadence.
+CERT_PREFIX_R12: tuple[str, ...] = (
+    "q_llm_mmr_diversify", "q_llm_rag_context_pack", "q_llm_linear_probe",
+    "q_llm_embed_outliers", "q_llm_contamination", "q_llm_stratified_sample",
+    "q_llm_seq_pack", "q_llm_length_band_filter", "q_llm_contamination_matrix",
+    "q_llm_pii_scrub", "q_llm_weighted_sample", "q_llm_dataset_split",
+    "q_llm_code_detect", "q_llm_gopher_rules", "q_llm_domain_quota",
+    "q_llm_dsir_weights", "q_llm_token_budget_quota", "q_llm_reservoir_sample",
+    "q_llm_span_corruption", "q_llm_pipeline", "q_llm_cooccurrence",
+    "q_llm_bm25", "q_llm_keywords", "q_llm_repetition_ratio",
+    "q_llm_mixture_weights", "q_llm_unigram_xent", "q_llm_zipf_slope",
+    "q_llm_langid_confusion", "q_llm_inverted_index", "q_llm_bigram_lm",
+    "q_llm_corpus_summary", "q_llm_js_divergence", "q_llm_perplexity_band",
+    "q_llm_feature_hash", "q_llm_bpe_train", "q_llm_ngram_novelty",
+    "q_llm_tokenizer_fertility", "q_llm_entropy_rate", "q_llm_rare_token_docs",
+    "q_llm_winnowing", "q_llm_char_entropy", "q_llm_oov_rate",
+    "q_llm_dup_trigram_chars", "q_llm_bigram_pmi", "q_llm_bleu",
+    "q_llm_rouge_l", "q_llm_ctfidf", "q_llm_bigram_growth",
+    "q_llm_quality_calibration", "q_llm_shard_balance",
+)
+
+
 def rotation_order(registry: dict[str, QuerySpec]) -> list[str]:
-    """Registry names with the certification prefix first (see
-    CERT_PREFIX_R11); unknown prefix entries are ignored so a renamed
+    """Registry names with the current certification prefix first (see
+    CERT_PREFIX_R12); unknown prefix entries are ignored so a renamed
     rung degrades to its registration position instead of KeyError."""
-    prefix = [n for n in CERT_PREFIX_R11 if n in registry]
+    prefix = [n for n in CERT_PREFIX_R12 if n in registry]
     rest = [n for n in registry if n not in set(prefix)]
     return prefix + rest

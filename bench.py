@@ -64,10 +64,23 @@ def _newest_ref_path(here: str) -> str | None:
 
 
 def _load_ref_queries(ref_path: str | None) -> dict[str, float]:
+    """Per-query timings from a committed reference artifact.
+
+    Line-tolerant (r11 ADVICE): bench output is TWO JSON lines (full
+    artifact + compact trailer), and a committed artifact file captured
+    by plain redirection keeps both — a whole-file json.load rejects
+    that with 'Extra data' and silently disables the machine-factor /
+    flag reference. Reuse _artifact_line to pick the line that carries
+    the per-query dict; fall back to whole-file parse for legacy
+    single-object artifacts with embedded newlines."""
     try:
         if ref_path and os.path.exists(ref_path):
             with open(ref_path) as fh:
-                return json.load(fh).get("queries", {})
+                text = fh.read()
+            obj = _artifact_line(text)
+            if obj is None:
+                obj = json.loads(text)
+            return obj.get("queries", {})
     except (OSError, json.JSONDecodeError) as exc:
         print(f"bench ref: unusable {ref_path}: {exc}", file=sys.stderr)
     return {}
@@ -158,10 +171,19 @@ def multi_run(n_runs: int, only: list[str]) -> int:
     env.pop("ALSP_BENCH_SOLO_FLAGS", None)
     runs: list[dict] = []
     for i in range(n_runs):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *only],
-            capture_output=True, text=True, env=env, timeout=7200,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *only],
+                capture_output=True, text=True, env=env, timeout=7200,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung child must not discard the completed runs
+            # (r11 ADVICE): treat it as a failed run and keep merging
+            print(
+                f"bench -n: run {i + 1}/{n_runs} timed out after 7200s",
+                file=sys.stderr,
+            )
+            continue
         obj = _artifact_line(proc.stdout)
         if obj is None:
             print(
@@ -220,7 +242,16 @@ def main() -> int:
     argv = sys.argv[1:]
     if "-n" in argv:
         i = argv.index("-n")
-        n_runs = int(argv[i + 1])
+        try:
+            n_runs = int(argv[i + 1])
+            if n_runs < 1:
+                raise ValueError(n_runs)
+        except (IndexError, ValueError):
+            print(
+                "usage: bench.py [-n RUNS] [query ...]  (RUNS: positive int)",
+                file=sys.stderr,
+            )
+            return 2
         rest = argv[:i] + argv[i + 2:]
         return multi_run(n_runs, rest)
     only = set(argv)  # optional query-name filter
@@ -353,15 +384,20 @@ def main() -> int:
     # ALSP_BENCH_REF) AND 1.0s absolute (the sub-second adjudication
     # floor) is re-timed best-of-2 in a FRESH subprocess JVM, and the
     # artifact carries the solo numbers next to the in-suite ones.
+    # Machine factor is computed UNCONDITIONALLY (r11 verdict item 4):
+    # the driver runs plain `python bench.py`, and its stdout-tail
+    # parser keeps only the compact trailer — which must carry the
+    # control-ratio machine factor the cross-round adjudication leans
+    # on, not just suite/failures/gc. Cost is one small-file read.
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref_q = _load_ref_queries(_newest_ref_path(here))
+    machine_factor, control_ratio = _machine_factor(timings, ref_q)
+
     solo: dict[str, float] = {}
     solo_ref: dict[str, float] = {}
-    machine_factor: float | None = None
-    control_ratio: dict[str, float] = {}
     if os.environ.get("ALSP_BENCH_SOLO_FLAGS") == "1" and not only:
         import subprocess
 
-        here = os.path.dirname(os.path.abspath(__file__))
-        ref_q = _load_ref_queries(_newest_ref_path(here))
         # Machine-factor normalization (r9 verdict "bench-reference
         # hygiene"): two consecutive rounds of cross-round machine drift
         # (r8→r9 raw 1.22× with UNTOUCHED control rungs at 3-5× their
@@ -387,7 +423,6 @@ def main() -> int:
         # to the HLL sketch in the same aggregation. Right trade, now
         # labeled honestly; its committed r9 reference time already
         # carries the new cost.)
-        machine_factor, control_ratio = _machine_factor(timings, ref_q)
         flagged = _flagged(timings, ref_q, max(1.0, machine_factor or 1.0))
         env = {
             k: v for k, v in os.environ.items()

@@ -1,4 +1,4 @@
-"""Round-11 harness-contract gates: certification-rotation prefix,
+"""Harness-contract gates (r11, extended r12): certification-rotation prefix,
 bench.py multi-run/compact-trailer plumbing, and the trust gates on the
 user-owned graph artifact cache (r10 ADVICE medium item).
 
@@ -23,43 +23,42 @@ import pytest
 
 def test_rotation_prefix_is_50_registered_oracle_backed_ids(registry):
     from aws_lambda_stream_processing_spark.registry import (
-        CERT_PREFIX_R11,
+        CERT_PREFIX_R12,
         rotation_order,
     )
 
-    assert len(CERT_PREFIX_R11) == 50
-    assert len(set(CERT_PREFIX_R11)) == 50
-    missing = [n for n in CERT_PREFIX_R11 if n not in registry]
+    assert len(CERT_PREFIX_R12) == 50
+    assert len(set(CERT_PREFIX_R12)) == 50
+    missing = [n for n in CERT_PREFIX_R12 if n not in registry]
     assert not missing, f"prefix names not in registry: {missing}"
     # the driver's sample is only useful as exact certification if every
     # prefix rung carries an oracle
-    weak = [n for n in CERT_PREFIX_R11 if registry[n].oracle is None]
+    weak = [n for n in CERT_PREFIX_R12 if registry[n].oracle is None]
     assert not weak, f"prefix rungs without oracles: {weak}"
 
     order = rotation_order(registry)
-    assert order[:50] == list(CERT_PREFIX_R11)
+    assert order[:50] == list(CERT_PREFIX_R12)
     assert len(order) == len(registry)
     assert len(set(order)) == len(registry), "rotation dropped/duped a name"
 
 
-def test_rotation_prefix_was_never_driver_certified_before_r11():
-    """Every prefix ID must be absent from the union of GREEN
-    (rows+schema+hash) entries across CORRECTNESS_r01..r10 — the whole
-    point of the rotation is 50 FIRST-TIME exact certifications, the
-    same union the judge recomputes per round. (q_sample_seeded was
-    driver-SAMPLED in r07 but only as the then-weak rows-only check;
-    its first exact certification is this round's, so it belongs in the
-    prefix.)"""
+def _certified_union_before(rotation_round: int) -> set[str] | None:
+    """Union of GREEN (rows+schema+hash) IDs across CORRECTNESS_r01..
+    r(rotation_round-1) beside the repo, or None when no artifact from
+    those rounds exists. The upper bound is load-bearing (r11 verdict
+    item 1): an unbounded glob also matches the CURRENT round's driver
+    artifact, which certifies exactly the prefix under test — so the
+    test would fail BECAUSE the rotation succeeded."""
     import glob
-
-    from aws_lambda_stream_processing_spark.registry import CERT_PREFIX_R11
+    import re
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified: set[str] = set()
     seen_any = False
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        if "local" in os.path.basename(p):
-            continue
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if not m or int(m.group(1)) >= rotation_round:
+            continue  # local artifacts, this round, future rounds
         with open(p) as fh:
             for name, rec in json.load(fh).items():
                 seen_any = True
@@ -69,9 +68,30 @@ def test_rotation_prefix_was_never_driver_certified_before_r11():
                     and rec.get("hash_match")
                 ):
                     certified.add(name)
-    if not seen_any:
-        pytest.skip("no driver CORRECTNESS artifacts beside the repo")
-    overlap = sorted(set(CERT_PREFIX_R11) & certified)
+    return certified if seen_any else None
+
+
+@pytest.mark.parametrize("rotation_round, prefix_name", [
+    (11, "CERT_PREFIX_R11"),
+    (12, "CERT_PREFIX_R12"),
+])
+def test_rotation_prefix_was_never_driver_certified_before(
+    rotation_round, prefix_name
+):
+    """Every prefix ID must be absent from the union of GREEN
+    (rows+schema+hash) entries across the rounds BEFORE its rotation
+    round — the whole point of the rotation is 50 FIRST-TIME exact
+    certifications, the same union the judge recomputes per round.
+    (q_sample_seeded was driver-SAMPLED in r07 but only as the
+    then-weak rows-only check; its first exact certification was r11's,
+    so it belonged in that prefix.)"""
+    from aws_lambda_stream_processing_spark import registry as reg
+
+    prefix = getattr(reg, prefix_name)
+    certified = _certified_union_before(rotation_round)
+    if certified is None:
+        pytest.skip("no prior-round CORRECTNESS artifacts beside the repo")
+    overlap = sorted(set(prefix) & certified)
     assert not overlap, f"already driver-certified: {overlap}"
 
 
@@ -104,7 +124,7 @@ def test_rotation_order_ignores_unknown_prefix_entries():
     from aws_lambda_stream_processing_spark.registry import rotation_order
 
     fake = {"q_a": None, "q_b": None}
-    out = rotation_order(fake)  # CERT_PREFIX_R11 ∩ fake = ∅
+    out = rotation_order(fake)  # CERT_PREFIX_R12 ∩ fake = ∅
     assert out == ["q_a", "q_b"]
 
 
@@ -161,6 +181,44 @@ def test_bench_artifact_line_picks_full_artifact_not_trailer():
     )
     obj = bench._artifact_line(text)
     assert obj is not None and "queries" in obj
+
+
+def test_bench_ref_loader_tolerates_two_line_artifacts(tmp_path):
+    """r11 ADVICE (medium): a committed artifact captured by plain
+    redirection holds TWO JSON lines (full + compact trailer); the
+    reference loader must pick the line with the per-query dict instead
+    of failing the whole-file parse and silently disabling the
+    machine-factor / flag reference."""
+    bench = _bench()
+    two = tmp_path / "BENCH_local_r99.json"
+    two.write_text(
+        json.dumps({"metric": "suite_seconds", "value": 1.0,
+                    "queries": {"q_x": 1.0}})
+        + "\n"
+        + json.dumps({"metric": "suite_seconds", "value": 1.0})
+        + "\n"
+    )
+    assert bench._load_ref_queries(str(two)) == {"q_x": 1.0}
+    # legacy pretty-printed single-object artifact still loads
+    legacy = tmp_path / "BENCH_local_r98.json"
+    legacy.write_text(json.dumps({"queries": {"q_y": 2.0}}, indent=2))
+    assert bench._load_ref_queries(str(legacy)) == {"q_y": 2.0}
+    assert bench._load_ref_queries(None) == {}
+
+
+def test_bench_n_flag_is_validated(capsys):
+    bench = _bench()
+    import sys as _sys
+
+    for argv in (["bench.py", "-n"], ["bench.py", "-n", "zero"],
+                 ["bench.py", "-n", "0"]):
+        old = _sys.argv
+        _sys.argv = argv
+        try:
+            assert bench.main() == 2
+        finally:
+            _sys.argv = old
+        assert "usage:" in capsys.readouterr().err
 
 
 def test_bench_merge_runs_takes_per_query_min_and_unions_failures():

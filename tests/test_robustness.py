@@ -405,3 +405,28 @@ def test_rocksdb_provider_engages_and_conf_restored(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_embed_outliers_overflow_gate_refuses_huge_grid(spark, tmp_path):
+    """The exact-BIGINT overflow gate (r10 ADVICE, tightened per-dim in
+    r12 per r11 ADVICE) must REFUSE — with the corrective action in the
+    message — before scheduling the distance stage, once the worst-case
+    per-dim deviation bound Σ_j (n·max|v_j| + |S_j|)² exceeds 2⁶³−1.
+    Four vectors at coordinate 1e6 (milli-quantized → 1e9) push every
+    dim's (n·max|v_j|)² term to ~1.6e19 > 2⁶³−1 on its own."""
+    import pandas as pd
+
+    big = [[1.0e6] * 64, [-1.0e6] * 64, [9.9e5] * 64, [-9.9e5] * 64]
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2, 3, 4], "embedding": big, "label": [0, 1, 0, 1]}
+    )
+    sf = tmp_path / "sf_huge"
+    sf.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(sf / "embeddings.parquet")
+    )
+    from aws_lambda_stream_processing_spark.registry import load_all
+
+    spec = load_all()["q_llm_embed_outliers"]
+    with pytest.raises(ValueError, match="coarsen the quantization grid"):
+        spec.fn(spark, str(sf))
