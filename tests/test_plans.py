@@ -8,6 +8,9 @@ relies on — pushdown, pruning, broadcast, group-limit, no cartesian blowup
 
 from __future__ import annotations
 
+import re
+import pytest
+
 from aws_lambda_stream_processing_spark.plans import (
     has_operator,
     plan_string,
@@ -1563,3 +1566,159 @@ def test_skewed_hot_key_range_joins(spark, registry, tmp_path_factory):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert "SinglePartition" not in plan, plan
     _skew_parity(spark, registry["q_join_interval"], skew_dir)
+
+
+# --- round-12 prefix rungs: gate every docstring plan claim ----------------
+#
+# The CERT_PREFIX_R12 rotation fronts the llm/similarity, llm/curation and
+# llm/text module tails; 31 of those rungs make an explicit plan claim in
+# their docstring (broadcast, one-shuffle, map-side combine, pure-map, ...)
+# that had no gate in this file. One table-driven gate per rung — the claim,
+# asserted — so a plan regression fails even while answers stay right.
+#
+# Spec fields: require = operators that must appear; forbid = operators that
+# must not; hash_eq = exact count of data-scaled hash exchanges (None = don't
+# pin); partial = map-side combine claimed; no_python = "no Python in the
+# loop" claimed; codegen = whole-stage-codegen claimed ("*(" span markers in
+# simple mode); no_global_window = two-phase/range-parallel design claimed.
+
+_R12_PLAN_CLAIMS = {
+    # two-phase global rank over (key, ...) + |key|-row broadcast bases —
+    # the hot-domain-safe quota/sample family (no bounded-key window)
+    "q_llm_domain_quota": dict(
+        require=["BroadcastHashJoin", "Exchange rangepartitioning"],
+        forbid=["CartesianProduct"], no_global_window=True),
+    "q_llm_token_budget_quota": dict(
+        require=["BroadcastHashJoin", "Exchange rangepartitioning"],
+        forbid=["CartesianProduct"], no_global_window=True),
+    "q_llm_reservoir_sample": dict(
+        require=["BroadcastHashJoin", "Exchange rangepartitioning"],
+        forbid=["CartesianProduct"], no_global_window=True),
+    # exactly-one data-scaled shuffle claims
+    "q_llm_length_band_filter": dict(hash_eq=1, no_global_window=True),
+    "q_llm_repetition_ratio": dict(hash_eq=1, partial=True),
+    "q_llm_dup_trigram_chars": dict(
+        require=["BroadcastHashJoin"], hash_eq=1, partial=True),
+    # pure map stage: no shuffle at all (ORDER BY is presentation-only →
+    # one range exchange allowed), JVM-only codegen-capable string ops
+    "q_llm_pii_scrub": dict(hash_eq=0, no_python=True, map_only=True),
+    # broadcast-join claims (dim/vocab/scalar side broadcasts; the only
+    # data-scaled stages are scans, hash-aggs and co-keyed joins)
+    "q_llm_mmr_diversify": dict(
+        require=["BroadcastHashJoin", "WindowGroupLimit"],
+        forbid=["CartesianProduct"]),
+    "q_llm_embed_outliers": dict(
+        require=["BroadcastHashJoin"], forbid=["CartesianProduct"],
+        partial=True),
+    "q_llm_dsir_weights": dict(
+        require=["BroadcastHashJoin"], forbid=["CartesianProduct"],
+        no_python=True, partial=True),
+    "q_llm_cooccurrence": dict(
+        require=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct"], no_python=True, partial=True),
+    "q_llm_bm25": dict(
+        require=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+        partial=True),
+    "q_llm_keywords": dict(
+        require=["BroadcastHashJoin", "WindowGroupLimit"],
+        forbid=["CartesianProduct"], partial=True),
+    "q_llm_langid_confusion": dict(
+        require=["BroadcastHashJoin", "WindowGroupLimit"],
+        forbid=["CartesianProduct"], partial=True),
+    "q_llm_bigram_lm": dict(
+        require=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct"], partial=True),
+    "q_llm_unigram_xent": dict(
+        require=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_entropy_rate": dict(
+        require=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_rare_token_docs": dict(
+        require=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_char_entropy": dict(
+        require=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_bigram_pmi": dict(
+        require=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_ctfidf": dict(
+        require=["BroadcastHashJoin", "WindowGroupLimit"],
+        forbid=["CartesianProduct", "SortMergeJoin"], partial=True),
+    "q_llm_js_divergence": dict(
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+        partial=True),
+    # one-pass / map-side-combine claims (closed-form sketchable shapes)
+    "q_llm_linear_probe": dict(hash_eq=0, partial=True, no_python=True),
+    "q_llm_corpus_summary": dict(hash_eq=1, partial=True),
+    "q_llm_feature_hash": dict(
+        forbid=["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct"],
+        partial=True),
+    "q_llm_tokenizer_fertility": dict(hash_eq=1, partial=True),
+    "q_llm_inverted_index": dict(
+        forbid=["CartesianProduct"], partial=True, no_python=True),
+    "q_llm_shard_balance": dict(hash_eq=1, partial=True, no_python=True),
+    "q_llm_mixture_weights": dict(
+        forbid=["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"],
+        partial=True),
+    "q_llm_weighted_sample": dict(hash_eq=1, partial=True, no_python=True),
+    # lazy unrolled-rounds training: per-round 1-row broadcast cross join
+    # (BroadcastNestedLoopJoin), never a driver collect, no Python
+    "q_llm_bpe_train": dict(
+        require=["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+        no_python=True, partial=True),
+}
+
+_PYTHON_EVAL_OPS = (
+    "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "MapInPandas", "FlatMapGroupsInPandasWithState",
+)
+
+
+@pytest.mark.parametrize("name", sorted(_R12_PLAN_CLAIMS))
+def test_r12_prefix_plan_claims(spark, registry, name):
+    spec = _R12_PLAN_CLAIMS[name]
+    df = registry[name].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    for op in spec.get("require", ()):
+        assert op in plan, f"{name}: claimed {op} missing from plan"
+    for op in spec.get("forbid", ()):
+        assert op not in plan, f"{name}: forbidden {op} in plan"
+    hash_eq = spec.get("hash_eq")
+    if hash_eq is not None:
+        got = plan.count("Exchange hashpartitioning")
+        assert got == hash_eq, (
+            f"{name}: {got} hash exchanges, docstring claims {hash_eq}"
+        )
+    if spec.get("partial"):
+        assert "partial" in plan_string(df).lower(), (
+            f"{name}: map-side combine claimed but no partial aggregation"
+        )
+    if spec.get("no_python"):
+        for op in _PYTHON_EVAL_OPS:
+            assert op not in plan, f"{name}: Python eval op {op} in plan"
+    if spec.get("map_only"):
+        # every operator must be a codegen-capable map-stage op (plus the
+        # presentation sort) — the strong form of the "pure map stage,
+        # whole-stage codegen" claim that survives AQE's lazy plan render
+        ops = {
+            m.group(1)
+            for m in re.finditer(
+                r"^[\s+:*-]*([A-Za-z]+)", plan, flags=re.M
+            )
+        }
+        allowed = {
+            "AdaptiveSparkPlan", "Sort", "Exchange", "Project", "Filter",
+            "ColumnarToRow", "FileScan", "Scan", "Physical", "Plan",
+        }
+        assert ops <= allowed, f"{name}: non-map operators {ops - allowed}"
+    if spec.get("no_global_window"):
+        from aws_lambda_stream_processing_spark.plans import global_windows
+
+        assert not global_windows(df), (
+            f"{name}: global (empty-partition) window in plan"
+        )
