@@ -275,17 +275,49 @@ STOPWORDS = ("the", "a")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def quality_expr():
-    """The exact-integer quality blend as a reusable Column over columns
-    `t` (token array) and `n_chars` — see q_llm_quality_score for why the
-    single-division form is load-bearing for parity."""
+def quality_num_den():
+    """The exact-integer quality blend's (numerator, denominator) Column
+    pair over columns `t` (token array) and `n_chars` — integers, so a
+    consumer can either divide once (quality_expr) or round the rational
+    exactly (round4_rational)."""
     n = F.size("t")
     du = F.size(F.array_distinct("t"))
     ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
     chars_net = F.col("n_chars") - n + 1
-    return (
-        16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n.cast("long"))
-    ) / (32.0 * n)
+    num = 16 * du + 8 * (n - ds) + F.least(chars_net, 8 * n.cast("long"))
+    return num, 32 * n
+
+
+def quality_expr():
+    """The exact-integer quality blend as a reusable Column over columns
+    `t` (token array) and `n_chars` — see q_llm_quality_score for why the
+    single-division form is load-bearing for parity."""
+    num, den = quality_num_den()
+    return num / (1.0 * den)
+
+
+def round4_rational(p, q):
+    """Half-up 4dp rounding of the EXACT rational p/q (p ≥ 0, q > 0, both
+    integer Columns), decided in integer arithmetic:
+    floor((20000·p + q) / (2·q)) / 10⁴.
+
+    Why not round(p/q, 4): Spark's round() expands the double to its
+    exact decimal (BigDecimal) and half-ups THAT, while DuckDB scales by
+    10⁴ and rounds the scaled double — when the true rational sits
+    exactly on a .xxxx5 boundary (denominator dividing 2·10⁴·k, common
+    for per-doc ratios with token-count denominators) the two disagree
+    by one ulp of the 4th decimal. Measured at sf0.1: 6/5000 docs of
+    q_llm_quality_score split exactly this way (0.78375 → 0.7838 vs
+    0.7837). Here both engines divide the same exact ints (≤ ~4e8, exact
+    in double, correctly-rounded IEEE division both sides), floor the
+    same double — the non-integer quotient is ≥ 1/(2q) ≫ 1 ulp away
+    from any integer — and the final /10⁴ is one identical division."""
+    return F.floor((20000 * p + q) / (2 * q)) / 10000.0
+
+
+# DuckDB twin of round4_rational (same provably-exact shape)
+def _sql_round4(p: str, q: str) -> str:
+    return f"FLOOR((20000 * ({p}) + ({q})) / (2.0 * ({q}))) / 10000.0"
 
 
 # DuckDB twin of quality_expr over a table exposing text + n_chars
@@ -313,11 +345,12 @@ SQL_QUALITY = (
     )
     SELECT doc_id,
            n AS n_tokens,
-           ROUND(du * 1.0 / n, 4) AS unique_ratio,
-           ROUND(ds * 1.0 / n, 4) AS stopword_ratio,
-           ROUND((n_chars - n + 1) * 1.0 / n, 4) AS avg_tok_len,
-           ROUND((16 * du + 8 * (n - ds)
-                  + LEAST(n_chars - n + 1, 8 * n)) / (32.0 * n), 4) AS quality
+           {_sql_round4("du", "n")} AS unique_ratio,
+           {_sql_round4("ds", "n")} AS stopword_ratio,
+           {_sql_round4("n_chars - n + 1", "n")} AS avg_tok_len,
+           {_sql_round4(
+               "16 * du + 8 * (n - ds) + LEAST(n_chars - n + 1, 8 * n)",
+               "32 * n")} AS quality
     FROM q
     """,
     category="2.J",
@@ -325,25 +358,30 @@ SQL_QUALITY = (
 def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score — the pre-training filter shape:
     0.5·lexical-diversity + 0.25·(1 − stopword-ratio) + 0.25·capped mean
-    token length. The blend is computed as one exact-integer numerator over
-    one division (16·du + 8·(n−ds) + min(chars', 8n)) / 32n so both engines
-    produce the bit-identical double before rounding — a multi-term float
-    sum can land exactly on a round-half boundary and diverge. Pure per-row
-    columnar math: zero shuffles, embarrassingly parallel at any scale."""
+    token length. The blend is one exact-integer numerator over one
+    denominator (16·du + 8·(n−ds) + min(chars', 8n)) / 32n, and every
+    displayed ratio is rounded by round4_rational — half-up decided on
+    the exact RATIONAL in integer arithmetic, not on the double by an
+    engine-native round(). The engine-native form diverged at sf0.1
+    (r12): 6/5000 docs whose blend sits exactly on a .xxxx5 boundary
+    (e.g. 627/800 = 0.78375) rounded up in Spark (BigDecimal half-up on
+    the double's exact expansion) and down in DuckDB (scale-by-10⁴ then
+    round the scaled double). Pure per-row columnar math: zero shuffles,
+    embarrassingly parallel at any scale."""
     d = _toks(load_table(spark, sf_dir, "documents"))
     n = F.size("t")
     du = F.size(F.array_distinct("t"))
     ds = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
     # single-space-joined corpus: chars = sum(len) + (n-1) separators
     chars_net = F.col("n_chars") - n + 1
-    quality = quality_expr()
+    qnum, qden = quality_num_den()
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(du / n, 4).alias("unique_ratio"),
-        F.round(ds / n, 4).alias("stopword_ratio"),
-        F.round(chars_net / n, 4).alias("avg_tok_len"),
-        F.round(quality, 4).alias("quality"),
+        round4_rational(du, n).alias("unique_ratio"),
+        round4_rational(ds, n).alias("stopword_ratio"),
+        round4_rational(chars_net, n).alias("avg_tok_len"),
+        round4_rational(qnum, qden).alias("quality"),
     )
 
 

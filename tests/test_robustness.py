@@ -430,3 +430,42 @@ def test_embed_outliers_overflow_gate_refuses_huge_grid(spark, tmp_path):
     spec = load_all()["q_llm_embed_outliers"]
     with pytest.raises(ValueError, match="coarsen the quantization grid"):
         spec.fn(spark, str(sf))
+
+
+def test_quality_score_half_boundary_rounds_identically(spark, tmp_path):
+    """r12 regression: a doc whose quality blend sits EXACTLY on a .xxxx5
+    boundary must round identically in Spark and DuckDB. 25 distinct
+    single-char tokens, no stopwords → blend = (16·25 + 8·25 + 25)/800 =
+    625/800 = 0.78125 — engine-native round() split this (Spark 0.7813,
+    DuckDB 0.7812, the sf0.1 failure mode); round4_rational decides
+    half-up on the exact rational: 0.7813 on both."""
+    import duckdb
+    import pandas as pd
+
+    text = " ".join(chr(ord("b") + i) for i in range(25))  # no 'a' stopword
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "text": [text], "n_chars": [len(text)],
+         "lang": ["en"], "source": ["t"]}
+    )
+    sf = tmp_path / "sf_boundary"
+    sf.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    from aws_lambda_stream_processing_spark.registry import load_all
+
+    spec = load_all()["q_llm_quality_score"]
+    srow = spec.fn(spark, str(sf)).toPandas().iloc[0]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet/*.parquet')"
+        )
+        orow = con.execute(spec.oracle).df().iloc[0]
+    finally:
+        con.close()
+    assert float(srow["quality"]) == 0.7813
+    assert float(orow["quality"]) == 0.7813
+    for c in ("unique_ratio", "stopword_ratio", "avg_tok_len", "quality"):
+        assert float(srow[c]) == float(orow[c]), c
