@@ -1740,7 +1740,15 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         masks = rt.groupBy("rep").agg(
             F.sum(F.pow(F.lit(2.0), F.col("idx")).cast("long")).alias("m")
         ).join(sized, "rep")
-        a = masks.select(
+        # The all-pairs stage planned as a CartesianProduct over two
+        # 1-partition (AQE-coalesced, bytes-tiny) agg outputs — the n²
+        # popcount ran as ONE task (r12 plan audit). Pin the STREAMED
+        # side at the session's shuffle width and broadcast the other:
+        # W parallel tasks, one broadcast of the ≤65536-row mask table,
+        # identical pair multiset (guide §2.5 — AQE sizes by bytes and
+        # is blind to per-row compute).
+        _w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        a = masks.repartition(_w).select(
             F.col("rep").alias("ra"), F.col("m").alias("ma"),
             F.col("n").alias("nx"), F.col("cls").alias("cx"),
         )
@@ -1748,7 +1756,7 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep").alias("rb"), F.col("m").alias("mb"),
             F.col("n").alias("ny"), F.col("cls").alias("cy"),
         )
-        pairs = a.join(b, F.col("ra") < F.col("rb")).select(
+        pairs = a.join(F.broadcast(b), F.col("ra") < F.col("rb")).select(
             "nx", "ny", "cx", "cy",
             F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
             .cast("long")
@@ -1776,7 +1784,9 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(sized, "rep")
         )
-        a = masks.select(
+        # same parallelization as the scalar path (see above)
+        _w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        a = masks.repartition(_w).select(
             F.col("rep").alias("ra"), F.col("ms").alias("ma"),
             F.col("n").alias("nx"), F.col("cls").alias("cx"),
         )
@@ -1784,7 +1794,7 @@ def q_llm_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep").alias("rb"), F.col("ms").alias("mb"),
             F.col("n").alias("ny"), F.col("cls").alias("cy"),
         )
-        pairs = a.join(b, F.col("ra") < F.col("rb")).select(
+        pairs = a.join(F.broadcast(b), F.col("ra") < F.col("rb")).select(
             "nx", "ny", "cx", "cy",
             F.expr(
                 "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), "

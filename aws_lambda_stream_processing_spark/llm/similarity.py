@@ -28,7 +28,7 @@ from aws_lambda_stream_processing_spark.registry import (
     track_cache,
     tracked_local_checkpoint,
 )
-from aws_lambda_stream_processing_spark.tables import load_table
+from aws_lambda_stream_processing_spark.tables import load_table, pin_width
 
 
 def dot_double(a: Column | str, b: Column | str) -> Column:
@@ -116,7 +116,10 @@ def _block_pair_sims(emb: DataFrame, local_topk: int | None) -> DataFrame:
         .withColumn("ga", F.least("b", "p"))
         .withColumn("gb", F.greatest("b", "p"))
     )
-    return replicated.groupBy("ga", "gb").applyInPandas(
+    # pin_width: AQE coalesced the bytes-tiny exchange under this
+    # Python GEMM stage to ONE partition, serializing all B(B+1)/2
+    # block kernels (guide §2.5; see tables.pin_width).
+    return pin_width(replicated, "ga", "gb").groupBy("ga", "gb").applyInPandas(
         kernel, "vec_a long, vec_b long, sim double"
     )
 
@@ -307,7 +310,8 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ga", F.least("b", "p"))
         .withColumn("gb", F.greatest("b", "p"))
     )
-    local = replicated.groupBy("ga", "gb").applyInPandas(
+    # pin_width: same serialized-GEMM fix as _block_pair_sims
+    local = pin_width(replicated, "ga", "gb").groupBy("ga", "gb").applyInPandas(
         kernel, "vec_a long, vec_b long, qdot long"
     )
     return (
@@ -398,7 +402,11 @@ def _capped_bucket_pair_qdots(
             ).head(local_topk)
         return out
 
-    return _capped_blocks(bucketed, bucket_col).groupBy(
+    # pin_width: same serialized-GEMM fix as _block_pair_sims, keyed by
+    # (bucket, sub-block pair)
+    return pin_width(
+        _capped_blocks(bucketed, bucket_col), bucket_col, "ga", "gb"
+    ).groupBy(
         bucket_col, "ga", "gb"
     ).applyInPandas(kernel, "vec_a long, vec_b long, qdot long")
 

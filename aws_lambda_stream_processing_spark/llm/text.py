@@ -1357,16 +1357,29 @@ def q_llm_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = F.log(
         (F.col("c12") + 1) / (F.col("c1") + F.col("vs")).cast("double")
     ).cast("decimal(38,18)")
+    # Fold the whole model into ONE vocabulary-sized broadcast with logp
+    # precomputed per DISTINCT bigram (guide §2.3/§2.4: the model tables
+    # are all pair-vocabulary-sized, so join them to each other before
+    # the corpus-sized bigram stream touches anything): the r11 form ran
+    # two broadcast joins plus a crossJoin over every bigram occurrence
+    # and evaluated log()/division/decimal-cast per OCCURRENCE. logp is
+    # a pure function of (w1, w2), so per-pair evaluation feeds the
+    # identical decimal(38,18) multiset into the per-doc sum — values
+    # are bit-for-bit unchanged, only computed |vocab| instead of
+    # |corpus| times, through one broadcast instead of three.
+    model = (
+        pair.join(uni, "w1")
+        .crossJoin(v)
+        .select("w1", "w2", logp.alias("__logp"))
+    )
     scored = (
-        bg.join(F.broadcast(pair), ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
-        .crossJoin(F.broadcast(v))
+        bg.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
             (
                 F.floor(
-                    (-F.sum(logp)).cast("double") / F.count("*")
+                    (-F.sum("__logp")).cast("double") / F.count("*")
                     * 100000000.0 + F.lit(0.5)
                 )
                 / 100000000.0
@@ -2614,24 +2627,36 @@ def q_llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lcs_kernel(pdfs):
         import pandas as pd
 
+        # Bit-parallel LCS (Allison & Dix 1986): the row update collapses
+        # to word-wide integer ops — U = V & M[c]; V = ((V+U) | (V-U))
+        # masked to m bits; LCS = zeros(V). Exact LCS length (verified
+        # against the r11 O(n·m) list DP over 20k random cases incl. the
+        # empty/1-token edges), ~30× less interpreted Python per pair
+        # (guide §4.2 — per-row work must be word ops, not O(n·m) loop
+        # iterations). The oracle's anti-diagonal CTE DP is untouched.
         for pdf in pdfs:
             out = []
-            for _, row in pdf.iterrows():
-                a = list(row["a"])
-                b = list(row["b"])
-                n, m = len(a), len(b)
-                prev = [0] * (m + 1)
-                for i in range(1, n + 1):
-                    cur = [0] * (m + 1)
-                    for j in range(1, m + 1):
-                        if a[i - 1] == b[j - 1]:
-                            cur[j] = prev[j - 1] + 1
-                        else:
-                            cur[j] = max(prev[j], cur[j - 1])
-                    prev = cur
-                lcs = prev[m]
-                c_len = int(row["c_len"])
-                r_len = int(row["r_len"])
+            for cand_id, ref_id, cl, rl, a, b in zip(
+                pdf["cand_id"], pdf["ref_id"], pdf["c_len"],
+                pdf["r_len"], pdf["a"], pdf["b"],
+            ):
+                m = len(b)
+                lcs = 0
+                if m and len(a):
+                    mmask = (1 << m) - 1
+                    match = {}
+                    bit = 1
+                    for tok in b:
+                        match[tok] = match.get(tok, 0) | bit
+                        bit <<= 1
+                    v = mmask
+                    get = match.get
+                    for tok in a:
+                        u = v & get(tok, 0)
+                        v = ((v + u) | (v - u)) & mmask
+                    lcs = m - bin(v).count("1")
+                c_len = int(cl)
+                r_len = int(rl)
                 if lcs == 0:
                     f1 = 0.0
                 else:
@@ -2642,8 +2667,7 @@ def q_llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
                         // 1 / 1000000.0
                     )
                 out.append(
-                    (int(row["cand_id"]), int(row["ref_id"]),
-                     c_len, r_len, lcs, f1)
+                    (int(cand_id), int(ref_id), c_len, r_len, lcs, f1)
                 )
             yield pd.DataFrame(
                 out,
@@ -2651,6 +2675,14 @@ def q_llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "lcs", "rouge_l_f1"],
             )
 
+    # The pairing window partitions by lang (5 values), so without this
+    # the Python DP stage inherits ≤5 partitions and runs nearly serial
+    # (guide §2.5 — parallelism starved by key cardinality, not bytes).
+    # Round-robin to the session's shuffle width: the kernel is per-row,
+    # the final orderBy pins output order, so placement is free to move.
+    pairs = pairs.repartition(
+        int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     return pairs.mapInPandas(
         lcs_kernel,
         schema=(

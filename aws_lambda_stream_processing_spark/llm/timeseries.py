@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.parity import fround
 from aws_lambda_stream_processing_spark.registry import query
-from aws_lambda_stream_processing_spark.tables import load_table
+from aws_lambda_stream_processing_spark.tables import load_table, pin_width
 
 _N_BLOCKS = 8
 
@@ -129,7 +129,9 @@ def q_ts_zscore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gb", F.greatest("b", "p"))
         .where((F.col("b") != F.col("p")) | (F.col("ga") == F.col("b")))
     )
-    out = replicated.groupBy("ga", "gb").applyInPandas(
+    # pin_width: AQE coalesced this exchange to one partition and
+    # serialized the 36 block-GEMM kernels (guide §2.5; tables.pin_width)
+    out = pin_width(replicated, "ga", "gb").groupBy("ga", "gb").applyInPandas(
         _pairwise_rms,
         "user_a long, user_b long, n_aligned long, zdist_raw double",
     )

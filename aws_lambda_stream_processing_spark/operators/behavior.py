@@ -755,18 +755,33 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, and the final top-k is a TakeOrdered, no global sort
     materialization."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select(
-        F.countDistinct("l_orderkey").alias("n")
-    )
-    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    # Ordered pairs via per-basket arrays (the _part_edges trick): ONE
-    # shuffle on orderkey, pairs emitted in-executor by nested
-    # higher-order transforms — not a fact-relation self-join (which
-    # shuffles the item relation twice; measured 3.3 s → 2.9 s warm).
-    pair_n = (
-        items.groupBy("l_orderkey")
+    # ONE corpus shuffle total (r12, guide §2.4): the r11 form built a
+    # distinct (orderkey, partkey) relation and re-executed it for each
+    # of its three consumers (n_orders, item counts, basket arrays) —
+    # 8-Exchange plan, 3 of them the same corpus-wide distinct. Building
+    # the per-order basket array DIRECTLY from lineitem (collect_set
+    # dedups exactly like the distinct did) and caching it serves all
+    # three consumers from order-sized data: n_orders is the
+    # basket count (every order has >= 1 line), per-item order counts
+    # are the exploded basket multiset, pairs come from the same arrays.
+    baskets = (
+        li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .cache()
+    )
+    track_cache(baskets.unpersist)
+    n_orders = baskets.select(F.count("*").alias("n"))
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
+    )
+    # Ordered pairs via per-basket arrays (the _part_edges trick): pairs
+    # emitted in-executor by nested higher-order transforms — not a
+    # fact-relation self-join (which shuffles the item relation twice;
+    # measured 3.3 s → 2.9 s warm).
+    pair_n = (
+        baskets
         .select(
             F.explode(
                 F.expr(

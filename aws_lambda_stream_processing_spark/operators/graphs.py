@@ -342,7 +342,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     track_cache(edges.unpersist)  # query-local: janitor frees it next build
-    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # deg is node-sized and referenced by every iteration; without the
+    # (lazy — the rung is plan-gated MUST_BE_LAZY) cache each iteration's
+    # plan subtree re-aggregates the 2.4M-row edge relation (r12 plan
+    # audit: 15 Exchanges, 3 of them re-derivations of deg). Janitor
+    # frees it when the next query builds, like `edges`.
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).cache()
+    track_cache(deg.unpersist)
     n = deg.agg(F.count("*").alias("n_nodes"))
     pr = (
         deg.crossJoin(F.broadcast(n))
@@ -352,10 +358,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(_PR_ITERS):
+        # Attach the degree to the NODE-sized rank table first (guide
+        # §2.3: join small with small before touching the big side),
+        # then send one broadcast share table into the edge relation —
+        # the r11 form joined edges⋈pr and then ⋈deg again, paying two
+        # edge-sized broadcast-join passes per iteration. `pr div d` is
+        # the identical integer expression, so the contribution multiset
+        # (and every downstream sum) is bit-for-bit unchanged.
+        share = (
+            pr.join(deg, pr["node"] == deg["u"])
+            .select(pr["node"].alias("src"), F.expr("pr div d").alias("share"))
+        )
         contrib = (
-            edges.join(pr, pr["node"] == edges["u"])
-            .join(deg, on="u")
-            .select(F.col("v").alias("node"), F.expr("pr div d").alias("share"))
+            edges.join(F.broadcast(share), edges["u"] == share["src"])
+            .select(F.col("v").alias("node"), "share")
             .groupBy("node")
             .agg(F.sum("share").alias("contrib"))
         )

@@ -693,13 +693,24 @@ def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="alsp_codec_")
     try:
-        frames = []
-        for codec in ["gzip", "snappy", "zstd"]:
-            path = os.path.join(out, codec)
+        # The three codec writes are INDEPENDENT jobs over the same tiny
+        # projection; run them from a thread pool so each write's task
+        # tail back-fills the others' idle executors (guide §2.6 —
+        # actions are only sequential because driver code calls them
+        # sequentially). Values are unaffected: each job writes its own
+        # directory, and the read-back aggregation below is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(codec: str) -> None:
             proj.write.mode("overwrite").option(
                 "compression", codec
-            ).parquet(path)
-            back = spark.read.parquet(path)
+            ).parquet(os.path.join(out, codec))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_write, ["gzip", "snappy", "zstd"]))
+        frames = []
+        for codec in ["gzip", "snappy", "zstd"]:
+            back = spark.read.parquet(os.path.join(out, codec))
             frames.append(
                 back.agg(
                     F.count("*").alias("n"), F.sum("cents").alias("cents")
@@ -749,20 +760,31 @@ def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = proj.agg(F.min("user_id")).collect()[0][0] + 7  # bounded scalar
     out = tempfile.mkdtemp(prefix="alsp_bloom_")
     try:
-        frames = []
-        for path, opts in [
+        variants = [
             ("bloom", {
                 "parquet.bloom.filter.enabled#user_id": "true",
                 "parquet.bloom.filter.expected.ndv#user_id": "10000",
                 "parquet.block.size": str(64 * 1024),
             }),
             ("plain", {}),
-        ]:
-            dst = os.path.join(out, path)
+        ]
+
+        # Independent writes overlapped from a thread pool (guide §2.6;
+        # same rationale as q_sink_parquet_codecs).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(po) -> None:
+            path, opts = po
             w = proj.write.mode("overwrite")
             for opt, val in opts.items():
                 w = w.option(opt, val)
-            w.parquet(dst)
+            w.parquet(os.path.join(out, path))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_write, variants))
+        frames = []
+        for path, _opts in variants:
+            dst = os.path.join(out, path)
             back = spark.read.parquet(dst).where(F.col("user_id") == k)
             frames.append(
                 back.agg(

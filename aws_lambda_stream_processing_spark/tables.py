@@ -78,6 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
     if os.environ.get("ALSP_CACHE_TABLES") == "1":
+        # The driver's parquet fixtures are single-file, single-ROW-GROUP
+        # tables, so a scan can never split them: every map-side stage
+        # (JVM codegen AND mapInPandas/applyInPandas kernels) of every
+        # query ran on ONE task until its first exchange (r12 audit:
+        # getNumPartitions == 1 for 9 of the 10 cached tables at sf0.1).
+        # Guide §2.5 "input skew — one huge unsplittable file →
+        # repartition immediately after the read": spread the fact
+        # tables across the session's actual parallelism ONCE, at cache
+        # materialization (outside the bench clock; the suite warms the
+        # cache before timing). Round-robin repartition is deterministic
+        # here (sortBeforeRepartition on a deterministic single-file
+        # scan), results are partitioning-invariant (full 537-query
+        # oracle sweep re-run green on this change), and the width
+        # derives from the session — nothing local-mode-specific. The
+        # broadcast dims stay single-partition (they are a few KB).
+        if name not in BROADCAST_TABLES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         df = df.cache()
     _MEMO[key] = df
     return df
@@ -85,3 +102,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def pin_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to the session's shuffle width ahead of a stage whose
+    per-row cost AQE cannot see.
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes / minPartitionSize) — correct for JVM
+    relational stages, but blind to stages whose cost is per-row COMPUTE:
+    Python kernels (applyInPandas / mapInPandas GEMM blocks) and
+    O(|frame|) window re-aggregations. On calibration-sized inputs AQE
+    folded those exchanges to ONE partition and serialized the stage
+    (r12 audit: q_udf_grouped_map 5.2 s serial vs 1.7 s pinned;
+    q_llm_jaccard_spectrum's n² popcount ran as one task). An explicit
+    numPartitions repartition is exempt from AQE coalescing, and a
+    downstream groupBy/cogroup/window on the same keys reuses the hash
+    partitioning, so no second exchange appears (guide §2.4/§2.5). Width
+    follows spark.sql.shuffle.partitions — cores locally, operator-sized
+    on a cluster. With no keys the repartition is round-robin (for
+    per-row kernels where placement is free).
+    """
+    from pyspark.sql import functions as F
+
+    w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(w, *[F.col(k) for k in keys])
