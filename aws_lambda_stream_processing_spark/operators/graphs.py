@@ -58,20 +58,20 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _EDGE_MEMO:
         return _EDGE_MEMO[key]
     # Cross-JVM persisted copy (r9 verdict item 4, same design as the
-    # quotient-BFS artifact): the in-process memo amortizes the build
-    # across a suite, but a fresh-JVM solo (bench flag adjudication,
-    # one-query driver run) re-paid the full lineitem scan + combination
-    # explode (~7 s cold at sf0.1; harmonic-centrality solo measured
-    # 13.8 s of which this build dominated). Keyed by source-file
-    # identity (path+size+mtime) under the user-owned verified cache
-    # root (see the artifact-cache block below _BFS_MEMO) with its OWN
-    # version constant — the edge build and the BFS build invalidate
-    # independently (r10 ADVICE). Written atomically via dir rename;
-    # read cost ≈ 0.5 s. This IS the q_graph_edges_build docstring's
-    # posture — a derived graph is a materialized artifact with its own
-    # build job — applied to the engine's own internals.
+    # quotient-BFS artifact) — OPT-IN ONLY since r12
+    # (ALSP_BFS_DISK_CACHE=1): the optimization-round contract requires
+    # every bench/oracle invocation to compute from the parquet inputs,
+    # with no persisted intermediates keyed on the test data surviving
+    # across runs, so the default is now to rebuild per JVM (the
+    # in-process memo below still amortizes the build across one
+    # suite's graph family — that is the q_graph_edges_build "build
+    # rung owns the cost" discipline, inside the run). When enabled:
+    # keyed by source-file identity (path+size+mtime) under the
+    # user-owned verified cache root (see the artifact-cache block
+    # below _BFS_MEMO) with its OWN version constant; written
+    # atomically via dir rename; read cost ≈ 0.5 s.
     cache_dir = None
-    if os.environ.get("ALSP_BFS_DISK_CACHE", "1") == "1":
+    if os.environ.get("ALSP_BFS_DISK_CACHE", "0") == "1":
         cache_dir = _edges_cache_path(sf_dir)
     edges = None
     if (
@@ -2087,8 +2087,11 @@ _BFS_MEMO: dict[tuple[str, str], DataFrame] = {}
 # way q_llm_ann_index_persist persists its index: parquet keyed by the
 # panel parameters AND the identity of the source file (path + size +
 # mtime — a regenerated lineitem.parquet misses and rebuilds), written
-# atomically (tmp + rename) so concurrent builders race benignly. Opt
-# out with ALSP_BFS_DISK_CACHE=0.
+# atomically (tmp + rename) so concurrent builders race benignly.
+# OPT-IN since r12 (ALSP_BFS_DISK_CACHE=1): the optimization-round
+# contract forbids persisted intermediates keyed on the test data from
+# surviving across bench/oracle runs, so the default recomputes per
+# JVM; the machinery remains for operational reuse outside graded runs.
 #
 # Placement + trust (r10 ADVICE medium): the r9/r10 location was a
 # FIXED world-shared /tmp path — on a multi-user host any local user
@@ -2215,8 +2218,10 @@ def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python BFS is exact-identical (per-level sigma sums, first-visit
     distance, unseen-only expansion) and costs milliseconds. R itself is
     <= B^2 rows, emitted as a LocalTableScan the stress/eccentricity
-    readers re-read for free, and persisted to a keyed parquet artifact
-    so a FRESH JVM pays read cost, not build cost (see _bfs_cache_path).
+    readers re-read for free. An OPT-IN keyed parquet artifact
+    (ALSP_BFS_DISK_CACHE=1, see _bfs_cache_path) can spare a fresh JVM
+    the build cost, but the default recomputes from parquet — the r12
+    optimization contract forbids cross-run persisted intermediates.
     Distributed BFS at data scale lives where
     the data is unbounded: q_graph_bfs_3hop / harmonic_centrality."""
     app = spark.sparkContext.applicationId
@@ -2226,7 +2231,7 @@ def _quotient_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _BFS_MEMO:
         return _BFS_MEMO[key]
 
-    disk = os.environ.get("ALSP_BFS_DISK_CACHE", "1") == "1"
+    disk = os.environ.get("ALSP_BFS_DISK_CACHE", "0") == "1"
     cache = _bfs_cache_path(sf_dir) if disk else None
     out: list[tuple[int, int, int, int]] | None = None
     if cache is not None and os.path.exists(cache) and _owned_by_us(cache):

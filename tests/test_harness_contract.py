@@ -331,3 +331,33 @@ def test_artifact_cache_prunes_stale_digests(tmp_path, monkeypatch):
     # newest 8 kept (highest mtimes = indices 4..11)
     assert left[0] == "bfs_000000000000000000000004.parquet"
     assert (root / "edges_keepme.pq").is_dir(), "foreign kind untouched"
+
+
+def test_artifact_disk_cache_is_opt_in(monkeypatch):
+    """r12 optimization contract: every bench/oracle invocation computes
+    from the parquet inputs — no intermediate persisted by a PREVIOUS
+    run may be served by default. The cross-JVM graph artifact cache
+    must therefore be gated on an explicit ALSP_BFS_DISK_CACHE=1; with
+    the env unset, both gate sites must evaluate to disabled."""
+    import ast
+    import inspect
+
+    from aws_lambda_stream_processing_spark.operators import graphs
+
+    monkeypatch.delenv("ALSP_BFS_DISK_CACHE", raising=False)
+    src = inspect.getsource(graphs)
+    gates = [
+        node
+        for node in ast.walk(ast.parse(src))
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "get"
+        and node.args
+        and isinstance(node.args[0], ast.Constant)
+        and node.args[0].value == "ALSP_BFS_DISK_CACHE"
+    ]
+    assert len(gates) >= 2, "expected the edges + bfs gate sites"
+    for g in gates:
+        assert len(g.args) == 2 and g.args[1].value == "0", (
+            "disk cache must default OFF (opt-in via ALSP_BFS_DISK_CACHE=1)"
+        )
