@@ -2189,9 +2189,11 @@ def q_llm_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # offline: persist the index (codes partitioned by band j) and
         # the quantized vector store
-        codes.write.mode("overwrite").partitionBy("j").parquet(
-            f"{base}/codes"
-        )
+        # cluster by band before the partitioned write (§6 small-files;
+        # the q_join_dpp measurement): one file per band j
+        codes.repartition("j").write.mode("overwrite").partitionBy(
+            "j"
+        ).parquet(f"{base}/codes")
         q.write.mode("overwrite").parquet(f"{base}/vectors")
         # online: fresh reads — nothing below touches the in-memory
         # frames, so the result proves the PERSISTED index is complete

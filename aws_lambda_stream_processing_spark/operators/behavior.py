@@ -1807,29 +1807,43 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = masks.groupBy("mask").agg(F.count("*").alias("n_users"))
     types = sorted(_TYPE_IDX)
-    arms = []
-    for i, a in enumerate(types):
-        for b in types[i + 1:]:
-            ba, bb = 1 << _TYPE_IDX[a], 1 << _TYPE_IDX[b]
-            both = (
-                (F.col("mask").bitwiseAND(F.lit(ba)) > 0)
-                & (F.col("mask").bitwiseAND(F.lit(bb)) > 0)
-            ).cast("bigint")
-            either = (
-                (F.col("mask").bitwiseAND(F.lit(ba)) > 0)
-                | (F.col("mask").bitwiseAND(F.lit(bb)) > 0)
-            ).cast("bigint")
-            arms.append(
-                hist.agg(
-                    F.lit(a).alias("type_a"),
-                    F.lit(b).alias("type_b"),
-                    F.sum(both * F.col("n_users")).alias("n_both"),
-                    F.sum(either * F.col("n_users")).alias("n_either"),
-                )
-            )
-    out = arms[0]
-    for x in arms[1:]:
-        out = out.unionAll(x)
+    # ONE pass: explode the constant 10-pair table against the <=32-row
+    # histogram and aggregate — the previous union of 10 independent
+    # hist.agg() arms re-executed the events scan + user-mask shuffle
+    # per arm (no common-subtree reuse across union branches; §2.4
+    # "don't compute things you throw away"). Same integer sums, same
+    # one-row-per-pair output, ordered identically.
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("type_a"),
+            F.lit(b).alias("type_b"),
+            F.lit(1 << _TYPE_IDX[a]).alias("ba"),
+            F.lit(1 << _TYPE_IDX[b]).alias("bb"),
+        )
+        for i, a in enumerate(types)
+        for b in types[i + 1:]
+    ]
+    both = (
+        (F.col("mask").bitwiseAND(F.col("p.ba")) > 0)
+        & (F.col("mask").bitwiseAND(F.col("p.bb")) > 0)
+    ).cast("bigint")
+    either = (
+        (F.col("mask").bitwiseAND(F.col("p.ba")) > 0)
+        | (F.col("mask").bitwiseAND(F.col("p.bb")) > 0)
+    ).cast("bigint")
+    out = (
+        hist.select(
+            "mask", "n_users", F.explode(F.array(*pair_structs)).alias("p")
+        )
+        .groupBy(
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
+        )
+        .agg(
+            F.sum(both * F.col("n_users")).alias("n_both"),
+            F.sum(either * F.col("n_users")).alias("n_either"),
+        )
+    )
     jac = F.col("n_both").cast("double") / F.col("n_either").cast("double")
     return out.select(
         "type_a",

@@ -130,6 +130,40 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+_DEG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, degree) over the bidirectional co-occurrence adjacency —
+    the probe-selection relation that six graph rungs each recomputed
+    with their own graph-sized shuffle (r12 audit: ~1-1.5 s apiece at
+    sf0.1). Same family-cache discipline as _EDGE_MEMO: built once per
+    (application, sf_dir), vocabulary-sized (one row per part), and
+    janitor-released with the graph family."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _DEG_MEMO if k[0] != app]:
+        del _DEG_MEMO[k]
+    key = (app, sf_dir)
+    if key in _DEG_MEMO:
+        return _DEG_MEMO[key]
+    half = _part_edges(spark, sf_dir)
+    deg = (
+        half.select(F.col("u").alias("node"))
+        .unionAll(half.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .cache()
+    )
+    _DEG_MEMO[key] = deg
+
+    def _release(key=key, deg=deg):
+        _DEG_MEMO.pop(key, None)
+        deg.unpersist()
+
+    track_cache(_release, scope="graphs")
+    return deg
+
+
 _EDGES_SQL = """
     SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
     FROM lineitem a JOIN lineitem b
@@ -452,11 +486,7 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     max degree, so the second agg collapses map-side; the only real
     shuffle is the degree count, keyed by node. Exact integers
     throughout."""
-    edges = _part_edges(spark, sf_dir)
-    nodes = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    deg = _degrees(spark, sf_dir)
     return (
         deg.groupBy("degree")
         .agg(F.count("*").alias("n_parts"))
@@ -626,7 +656,7 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    deg = _degrees(spark, sf_dir)
     probes = (
         deg.orderBy(F.desc("degree"), "node")
         .limit(20)
@@ -635,16 +665,25 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = adj.join(
         F.broadcast(probes), adj.node == F.col("probe")
     ).select("probe", F.col("nbr").alias("z"))
+    # broadcast the BOUNDED probe-neighbor side (|probes| x max-degree
+    # rows), never the data-scaled adjacency: auto-broadcast picked adj
+    # (under the byte threshold at this SF), which built a graph-sized
+    # hash relation serially per query and cannot survive 100x (§3.1)
     hop2 = (
-        pn.join(adj, pn.z == adj.node)
+        F.broadcast(pn).join(adj, pn.z == adj.node)
         .where(F.col("nbr") != F.col("probe"))
         .select("probe", F.col("nbr").alias("cand"))
     )
-    linked = adj.select(
-        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    # existing-link suppression only needs probe-incident edges: rows of
+    # adj with node outside the probe panel can never match the anti
+    # join's (probe, cand) key, so pre-filter to the bounded slice and
+    # broadcast it (§3.2 — pre-filter the big side before it moves)
+    linked = (
+        adj.join(F.broadcast(probes), adj.node == F.col("probe"))
+        .select("probe", F.col("nbr").alias("cand"))
     )
     cand = (
-        hop2.join(linked, ["probe", "cand"], "left_anti")
+        hop2.join(F.broadcast(linked), ["probe", "cand"], "left_anti")
         .groupBy("probe", "cand")
         .agg(F.count("*").alias("cn"))
     )
@@ -720,7 +759,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    deg = _degrees(spark, sf_dir)
     probes = (
         deg.orderBy(F.desc("degree"), "node")
         .limit(10)
@@ -744,16 +783,21 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long"),
     )
+    # broadcast the bounded probe-neighbor side and pre-filter the
+    # anti-join build side to probe-incident edges — the
+    # q_graph_common_neighbors discipline (§3.1/§3.2): auto-broadcast
+    # otherwise ships the whole adjacency twice per query
     hop2 = (
-        pn.join(adj, pn.z == adj.node)
+        F.broadcast(pn).join(adj, pn.z == adj.node)
         .where(F.col("nbr") != F.col("probe"))
         .select("probe", F.col("nbr").alias("cand"), aa_term.alias("t"))
     )
-    linked = adj.select(
-        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    linked = (
+        adj.join(F.broadcast(probes), adj.node == F.col("probe"))
+        .select("probe", F.col("nbr").alias("cand"))
     )
     cand = (
-        hop2.join(linked, ["probe", "cand"], "left_anti")
+        hop2.join(F.broadcast(linked), ["probe", "cand"], "left_anti")
         .groupBy("probe", "cand")
         .agg(
             F.count("*").alias("cn"),
@@ -1423,7 +1467,7 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    deg = _degrees(spark, sf_dir)
     probes = (
         deg.orderBy(F.desc("degree"), "node")
         .limit(10)
@@ -1432,16 +1476,23 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = adj.join(F.broadcast(probes), adj.node == F.col("probe")).select(
         "probe", "dp", F.col("nbr").alias("z")
     )
+    # broadcast the bounded probe-neighbor side and pre-filter the
+    # anti-join build side to probe-incident edges — the
+    # q_graph_common_neighbors discipline (§3.1/§3.2)
     hop2 = (
-        pn.join(adj, pn.z == adj.node)
+        F.broadcast(pn).join(adj, pn.z == adj.node)
         .where(F.col("nbr") != F.col("probe"))
         .select("probe", "dp", F.col("nbr").alias("cand"))
     )
-    linked = adj.select(
-        F.col("node").alias("probe"), F.col("nbr").alias("cand")
+    linked = (
+        adj.join(
+            F.broadcast(probes.select("probe")),
+            adj.node == F.col("probe"),
+        )
+        .select("probe", F.col("nbr").alias("cand"))
     )
     cand = (
-        hop2.join(linked, ["probe", "cand"], "left_anti")
+        hop2.join(F.broadcast(linked), ["probe", "cand"], "left_anti")
         .groupBy("probe", "cand")
         .agg(F.min("dp").alias("dp"), F.count("*").alias("cn"))
     )
@@ -1557,9 +1608,7 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).coalesce(8).cache()
-    deg = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("degree")
-    )
+    deg = _degrees(spark, sf_dir)
     w = Window.orderBy(F.desc("degree"), "node")
     probes = (
         deg.orderBy(F.desc("degree"), "node")
@@ -1751,19 +1800,25 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = adj.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("degree")
-    )
+    deg = _degrees(spark, sf_dir)
     probes = (
         deg.orderBy(F.desc("degree"), "node")
         .limit(20)
         .select(F.col("node").alias("walk_id"))
     )
-    head = probes.select("walk_id", F.col("walk_id").alias("node"))
+    # each step's head is a (n_walks)-row frame pinned with a tracked
+    # localCheckpoint: the union below otherwise re-executes every
+    # PRIOR step's adjacency join per branch (step k's lineage nests k
+    # joins, so the 4-branch union did 1+2+3 extra join passes plus a
+    # deg/probes recompute per branch — the q_graph_bfs_3hop lineage
+    # discipline, §2.4 "don't compute things you throw away")
+    head = tracked_local_checkpoint(
+        probes.select("walk_id", F.col("walk_id").alias("node"))
+    )
     out = head.select("walk_id", F.lit(0).alias("step"), "node")
     for k in (1, 2, 3):
         w = Window.partitionBy("walk_id").orderBy("score", "nbr")
-        head = (
+        head = tracked_local_checkpoint(
             adj.join(
                 F.broadcast(head.withColumnRenamed("node", "u")), "u"
             )
@@ -1841,13 +1896,19 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     some order lists u on an earlier line than v (a real precedence
     relation; 2-cycles appear exactly when two parts swap order
     across orders). The node set is PANEL-BOUNDED (p_partkey <=
-    {_SCC_PANEL}, the house bounded-panel discipline), so transitive
-    closure by {_SCC_DOUBLINGS} repeated-squaring rounds (R <- R ∪
-    R∘R, reflexive rows seeded so each round composes all prefix
-    lengths; 2^{_SCC_DOUBLINGS} = 128 >= panel diameter) is TOTAL —
-    an exact algorithm, not an iteration cap, with per-round
-    localCheckpoint so lineage stays flat (the k-core discipline).
-    scc_id = min node id over the mutual-reachability class. At 100
+    {_SCC_PANEL}, the house bounded-panel discipline), so after the
+    one data-scaled stage — the distinct precedence-edge derivation
+    from lineitem, a corpus-sized join that stays distributed — the
+    edge relation is <= panel² rows BY CONSTRUCTION and the closure
+    runs driver-side over a structurally bounded collect (the
+    _quotient_bfs / r8 bounded-collect class): iterative Tarjan SCC,
+    exactly the mutual-reachability equivalence the prior form
+    computed with {_SCC_DOUBLINGS} repeated-squaring join rounds
+    (R <- R ∪ R∘R). Those rounds were 7 eager
+    join+distinct+localCheckpoint Spark jobs over a <=14k-row
+    relation — pure scheduling overhead (r12: 5.6-6.9 s of build vs
+    ~0.3 s for the collect + local closure at sf0.1, identical
+    output). scc_id = min node id over the mutual class. At 100
     TB the same code runs per bounded entity neighborhood (the
     closure is quadratic in the PANEL, never the corpus); unbounded
     SCC needs the label-forwarding loop q_llm_dedup_cc uses for its
@@ -1871,38 +1932,65 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
-    nodes = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select("v"))
-        .distinct()
+    # bounded collect: <= panel*(panel-1) rows by construction
+    half = edges.collect()
+    adj: dict[int, list[int]] = {}
+    node_set: set[int] = set()
+    for row in half:
+        u, v = int(row.u), int(row.v)
+        adj.setdefault(u, []).append(v)
+        node_set.add(u)
+        node_set.add(v)
+    # iterative Tarjan over the bounded panel: exact SCC partition ==
+    # the mutual-reachability equivalence of the closure form
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comps: list[list[int]] = []
+    counter = [0]
+    for root in sorted(node_set):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for nxt in it:
+                if nxt not in index:
+                    index[nxt] = low[nxt] = counter[0]
+                    counter[0] += 1
+                    stack.append(nxt)
+                    on_stack.add(nxt)
+                    work.append((nxt, iter(adj.get(nxt, ()))))
+                    advanced = True
+                    break
+                if nxt in on_stack:
+                    low[node] = min(low[node], index[nxt])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                comps.append(comp)
+    rows = sorted(
+        (min(comp), len(comp), max(comp)) for comp in comps
     )
-    # seed with reflexive pairs: R∘R then composes every prefix length,
-    # so round k holds all paths of length <= 2^k
-    reach = edges.union(
-        nodes.select(F.col("n").alias("u"), F.col("n").alias("v"))
-    ).distinct()
-    for _ in range(_SCC_DOUBLINGS):
-        l_, r_ = reach.alias("l"), reach.alias("r")
-        reach = tracked_local_checkpoint(
-            l_.join(r_, F.col("l.v") == F.col("r.u"))
-            .select(F.col("l.u").alias("u"), F.col("r.v").alias("v"))
-            .distinct()
-        )
-    fwd, bwd = reach.alias("f"), reach.alias("g")
-    mutual = fwd.join(
-        bwd,
-        (F.col("f.u") == F.col("g.v")) & (F.col("f.v") == F.col("g.u")),
-    ).select(F.col("f.u").alias("n"), F.col("f.v").alias("m"))
-    scc = mutual.groupBy("n").agg(
-        F.min("m").cast("long").alias("scc_id")
-    )
-    return (
-        scc.groupBy("scc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.max("n").cast("long").alias("max_node"),
-        )
-        .orderBy("scc_id")
+    return spark.createDataFrame(
+        rows, "scc_id long, n_nodes long, max_node long"
     )
 
 

@@ -83,6 +83,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        # cluster by the partition column before the partitioned write
+        # (§6 small-files; the q_join_dpp measurement): one file per
+        # event_type instead of one per (input partition, type)
+        .repartition("event_type")
         .write.mode("overwrite")
         .partitionBy("event_type")
         .parquet(out)
@@ -766,6 +770,12 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
             F.col("ts").cast("date").alias("day"),
         )
+        # cluster by the partition column before the partitioned write
+        # (§6 small-files): each writer task otherwise opens one file
+        # per day it holds — 32 input partitions x 30 days ≈ 1.9k tiny
+        # files (measured 13.7 s vs 1.3 s clustered, sf0.1). Same rows,
+        # same layout, ~one file per day.
+        .repartition("day")
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(out)

@@ -1241,13 +1241,16 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
     ):
         # static-mode first write is fine (it creates the layout);
-        # dynamic governs the second, partial overwrite
-        early.drop("ts").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(out)
-        backfill.drop("ts").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(out)
+        # dynamic governs the second, partial overwrite. Cluster by the
+        # partition column first (§6 small-files; the q_join_dpp
+        # measurement): one file per type, not one per (input
+        # partition, type).
+        early.drop("ts").repartition("event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(out)
+        backfill.drop("ts").repartition("event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(out)
     return spark.read.parquet(out).select(
         "event_id", "event_type", "cents"
     )
