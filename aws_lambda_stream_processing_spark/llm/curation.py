@@ -1541,18 +1541,27 @@ def q_llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_len & (7 * n <= 2 * cn) & (2 * cn <= 9 * n)
         & (20 * ds >= n) & (5 * du >= n)
     )
-    m = d.select(
-        "doc_id", "source",
-        n.cast("long").alias("n"),
-        r_len.alias("r_len"),
-        keep.alias("keep"),
-        F.sha2("text", 256).alias("h"),
+    # pin the one corpus pass: the 5 stage counters below are unioned
+    # independent aggregations, and without the pin each arm re-ran the
+    # split+sha2 scan (the q_events_audience_overlap union-of-aggs
+    # re-execution class). m is (doc-count x 6 narrow cols).
+    m = tracked_local_checkpoint(
+        d.select(
+            "doc_id", "source",
+            n.cast("long").alias("n"),
+            r_len.alias("r_len"),
+            keep.alias("keep"),
+            F.sha2("text", 256).alias("h"),
+        ),
+        eager=False,
     )
     w_h = Window.partitionBy("h")
     dd = m.withColumn(
         "survivor", F.col("doc_id") == F.min("doc_id").over(w_h)
     )
-    kept = dd.where("keep AND survivor")
+    # pinned too: both the dedup stage counter and the quota chain fork
+    # from it (same class as above, one dedup window instead of two)
+    kept = tracked_local_checkpoint(dd.where("keep AND survivor"), eager=False)
     # per-source quota via the distributed two-phase cumsum (the
     # q_llm_token_budget_quota pattern) — a partitionBy(source) window
     # is 20 fat tasks at 100 TB, the exact shape this repo fences.

@@ -34,6 +34,7 @@ from aws_lambda_stream_processing_spark.streaming.replay import (
     _scratch,
     _stream_shuffle_conf,
     events_stream,
+    py_state_width,
     run_foreach_batch,
     run_to_memory,
     split_events_dir,
@@ -531,7 +532,13 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        return run_to_memory(out, output_mode="append")
+        # Python-stateful stage: per-key pandas kernels dominate, so run
+        # at the wider py_state_width instead of the JVM-state default
+        return run_to_memory(
+            out,
+            output_mode="append",
+            shuffle_partitions=py_state_width(spark),
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1316,7 +1323,6 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # write state v{batch_id} (idempotent overwrite per version);
         # seen/out are DELTAS — only what this batch contributed.
         cur = f"{state_base}/v{batch_id}"
-        fresh.select("h").write.mode("overwrite").parquet(f"{cur}/seen")
         # carry grows by ALL gated tokens (admitted or not): the greedy
         # prefix rule charges every eligible doc against the budget.
         batch_tok = gated.groupBy("source").agg(
@@ -1337,8 +1343,26 @@ def q_stream_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_carry = batch_tok.select(
                 "source", F.col("bt").alias("carry_tokens")
             )
-        new_carry.write.mode("overwrite").parquet(f"{cur}/carry")
-        admitted.write.mode("overwrite").parquet(f"{cur}/out")
+        # The three per-version state writes are independent actions
+        # over the pinned `fresh` subtree — overlap them from a small
+        # thread pool (guide §2.6; the q_sink_parquet_codecs pattern)
+        # so the batch pays max(write) instead of the sum. Each write
+        # lands in its own directory; failure of any one propagates.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: fresh.select("h")
+            .write.mode("overwrite")
+            .parquet(f"{cur}/seen"),
+            lambda: new_carry.write.mode("overwrite")
+            .parquet(f"{cur}/carry"),
+            lambda: admitted.write.mode("overwrite")
+            .parquet(f"{cur}/out"),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(w) for w in writes]
+            for fut in futures:
+                fut.result()
 
     try:
         run_foreach_batch(stream, handler)
@@ -1425,12 +1449,22 @@ def q_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
             reason.alias("reason"),
         )
-        classified.where("reason = 'ok'").write.mode("overwrite").parquet(
-            f"{sink_base}/main/b{batch_id}"
-        )
-        classified.where("reason <> 'ok'").write.mode("overwrite").parquet(
-            f"{sink_base}/dlq/b{batch_id}"
-        )
+        # the two route sinks are independent actions over the same
+        # cheap projection — overlap them (guide §2.6, the
+        # q_stream_llm_curation state-write pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: classified.where("reason = 'ok'")
+            .write.mode("overwrite")
+            .parquet(f"{sink_base}/main/b{batch_id}"),
+            lambda: classified.where("reason <> 'ok'")
+            .write.mode("overwrite")
+            .parquet(f"{sink_base}/dlq/b{batch_id}"),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
 
     try:
         run_foreach_batch(stream, handler)
@@ -1995,7 +2029,13 @@ def q_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
-        return run_to_memory(out, output_mode="append")
+        # Python-stateful stage (see q_stream_custom_state): per-key
+        # pandas kernels want the wider width
+        return run_to_memory(
+            out,
+            output_mode="append",
+            shuffle_partitions=py_state_width(spark),
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
