@@ -142,3 +142,57 @@ def test_cached_tables_are_width_spread(spark):
             frame = T._MEMO.pop((app, sf_dir, name), None)
             if frame is not None:
                 frame.unpersist()
+
+
+def test_degree_memo_shared_across_graph_family(spark, registry):
+    """_degrees: the (node, degree) relation six graph rungs select
+    probes from must be served from the family memo — one build per
+    (application, sf_dir), not a per-query adjacency-sized shuffle."""
+    from aws_lambda_stream_processing_spark.operators import graphs
+
+    d1 = graphs._degrees(spark, SF_DIR)
+    d2 = graphs._degrees(spark, SF_DIR)
+    assert d1 is d2, "second call must hit the memo"
+    assert d1.is_cached, "memoized degree table must be cached"
+    assert set(d1.columns) == {"node", "degree"}
+
+
+def test_linkpred_never_broadcasts_the_adjacency(spark, registry):
+    """The 2-hop trio must broadcast the bounded probe-neighbor side and
+    the probe-filtered link set — never the data-scaled adjacency. The
+    r11 plans carried two graph-sized BroadcastExchanges per query
+    (auto-broadcast under the 64 MB threshold); the r12 form keeps
+    every broadcast input probe-bounded, visible in the plan as
+    LeftAnti build sides fed by a probes join, and as the absence of a
+    broadcast whose subtree is the raw bidirectional union (a Union
+    directly under BroadcastExchange)."""
+    for name in (
+        "q_graph_common_neighbors",
+        "q_graph_adamic_adar",
+        "q_graph_jaccard_linkpred",
+    ):
+        df = registry[name].fn(spark, SF_DIR)
+        plan = plan_string(df)
+        # every BroadcastExchange subtree must contain a probe limit
+        # upstream; the cheap structural proxy: no broadcast is built
+        # directly over the bidirectional adjacency union
+        for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
+            seg = plan[m.start(): m.start() + 400]
+            assert "Union" not in seg.split("BroadcastExchange")[1][:80], (
+                name,
+                seg,
+            )
+
+
+def test_py_state_width_derives_from_session(spark):
+    """py_state_width: the Python-stateful stream width must derive from
+    the session's parallelism (driver benches rerun at lower core
+    counts), floored at the JVM-state default and capped where
+    state-store instance overhead catches up."""
+    from aws_lambda_stream_processing_spark.streaming.replay import (
+        py_state_width,
+    )
+
+    w = int(py_state_width(spark))
+    cores = spark.sparkContext.defaultParallelism
+    assert w == max(4, min(cores, 16))
