@@ -2853,18 +2853,28 @@ def q_llm_bigram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — no partition-less window), and only rank-multiple-of-50
     checkpoint rows survive to the output."""
     from aws_lambda_stream_processing_spark.operators.dprefix import (
-        two_phase_cumsum, two_phase_row_number,
+        two_phase_rank_cumsums,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    tr = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    big = tr.select(
-        "doc_id", F.lag("tok").over(wdoc).alias("p"), "tok"
-    ).where(F.col("p").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", "p", "tok").alias("g")
+    # r13 (§2.4): adjacent-pair zip IN the token array — the lag-over-
+    # (doc, pos) form shuffled and sorted the whole TOKEN-grain relation
+    # just to pair each token with its neighbour, which the array
+    # already encodes positionally. transform over slice(arr, 1, n-1)
+    # pairs arr[i] with arr[i+1] in-executor, no exchange; identical
+    # bigram multiset (empty/1-token docs emit nothing in both forms,
+    # and concat_ws(' ', p, tok) == concat on non-NULL tokens).
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform("
+                "slice(split(text, ' '), 1,"
+                "      greatest(size(split(text, ' ')) - 1, 0)),"
+                "(x, i) -> concat(x, ' ',"
+                "                 element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("g"),
     )
     first_seen = big.groupBy("g").agg(F.min("doc_id").alias("fd"))
     newc = first_seen.groupBy("fd").agg(
@@ -2878,9 +2888,15 @@ def q_llm_bigram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(newc, d.doc_id == newc.fd, "left").select(
         "doc_id", "n_bi", F.coalesce("nv", F.lit(0)).alias("nv")
     )
-    s = two_phase_row_number(per, [("doc_id", True)], rn="rnk")
-    s = two_phase_cumsum(s, [("doc_id", True)], "n_bi", out="cum_tokens")
-    s = two_phase_cumsum(s, [("doc_id", True)], "nv", out="cum_vocab")
+    # r13: rank + both running sums share ONE range exchange (the
+    # chained row_number/cumsum/cumsum form paid three, each with its
+    # own load-bearing cache of the same doc-grain relation).
+    s = two_phase_rank_cumsums(
+        per,
+        [("doc_id", True)],
+        values=[("n_bi", "cum_tokens"), ("nv", "cum_vocab")],
+        rn="rnk",
+    )
     return (
         s.where(F.col("rnk") % 50 == 0)
         .select(

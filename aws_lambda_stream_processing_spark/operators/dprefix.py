@@ -31,10 +31,40 @@ from pyspark.sql import functions as F
 
 from aws_lambda_stream_processing_spark.registry import tracked_local_checkpoint
 
-# Partition count for the range shuffle. On a real cluster this is sized
-# like any shuffle (2-3x cores); 8 keeps local-mode task overhead low
-# while still exercising the multi-partition merge in every test run.
+# Floor for the range-shuffle partition count: 8 keeps local-mode task
+# overhead low while still exercising the multi-partition merge in every
+# test run. The ACTUAL width is size-derived (see derived_parts) so a
+# corpus-scaled input widens the shuffle instead of funnelling 100 TB
+# through 8 range partitions (r12 verdict item 8; results are
+# partitioning-invariant by this module's contract, so width only
+# affects performance).
 DEFAULT_PARTS = 8
+
+# One range partition per this many estimated input bytes once the
+# input outgrows the floor (the guide §2.2 100 MB-1 GB band, low end,
+# because the local window holds whole rows).
+_PART_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def derived_parts(df: DataFrame, n_parts: int | None) -> int:
+    """Range-shuffle width: the caller's explicit value, else
+    max(DEFAULT_PARTS, est_bytes / target) capped at 4x the session's
+    parallelism. Uses the optimizer's sizeInBytes ESTIMATE (no job);
+    grids/rollups stay at the floor, corpus-scaled inputs widen."""
+    if n_parts is not None:
+        return n_parts
+    try:
+        est = int(
+            df._jdf.queryExecution()  # noqa: SLF001
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - estimate is best-effort
+        est = 0
+    cap = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return max(DEFAULT_PARTS, min(cap, -(-est // _PART_TARGET_BYTES)))
+
 
 OrderSpec = list[tuple[str, bool]]  # (column name, ascending)
 
@@ -63,7 +93,9 @@ def _offsets(parts: DataFrame, value: Column) -> DataFrame:
     )
 
 
-def ranged(df: DataFrame, order: OrderSpec, n_parts: int = DEFAULT_PARTS) -> DataFrame:
+def ranged(
+    df: DataFrame, order: OrderSpec, n_parts: int | None = None
+) -> DataFrame:
     """Range-partition by the sort key and stamp the partition id.
 
     After `repartitionByRange` every row in partition p sorts before every
@@ -94,7 +126,9 @@ def ranged(df: DataFrame, order: OrderSpec, n_parts: int = DEFAULT_PARTS) -> Dat
     """
     from aws_lambda_stream_processing_spark.registry import track_cache
 
-    out = df.repartitionByRange(n_parts, *_sort_exprs(order)).withColumn(
+    out = df.repartitionByRange(
+        derived_parts(df, n_parts), *_sort_exprs(order)
+    ).withColumn(
         "__pid", F.spark_partition_id()
     ).cache()
     track_cache(out.unpersist)
@@ -106,7 +140,7 @@ def two_phase_row_number(
     order: OrderSpec,
     rn: str = "rn",
     total: str | None = None,
-    n_parts: int = DEFAULT_PARTS,
+    n_parts: int | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Global 1-based row_number over `order` without a global sort task.
@@ -146,7 +180,7 @@ def two_phase_cumsum(
     out: str = "cum",
     inclusive: bool = True,
     total: str | None = None,
-    n_parts: int = DEFAULT_PARTS,
+    n_parts: int | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Global running sum of `value_col` in `order` (inclusive or
@@ -175,12 +209,81 @@ def two_phase_cumsum(
     return out_df.drop("__pid", "__lc", "__off")
 
 
+def two_phase_rank_cumsums(
+    df: DataFrame,
+    order: OrderSpec,
+    values: list[tuple[str, str]],
+    rn: str | None = None,
+    n_parts: int | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """Global row_number plus any number of INCLUSIVE running sums over
+    the SAME order, from ONE range shuffle.
+
+    `values` is [(value_col, out_col), ...]. Chaining
+    two_phase_row_number + N two_phase_cumsum calls pays N+1 range
+    exchanges and N+1 load-bearing caches over the same relation in the
+    same order (r13, q_llm_bigram_growth: 3 chained passes); every
+    measure shares the one frozen partitioning here, and the triangular
+    offsets join carries all the per-partition totals at once. Results
+    are identical to the chained form (same local window frames, same
+    exclusive offsets)."""
+    if materialize:
+        df = tracked_local_checkpoint(df, eager=False)
+    parts = ranged(df, order, n_parts)
+    w_rn = Window.partitionBy("__pid").orderBy(*_sort_exprs(order))
+    w_sum = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+    local = parts
+    if rn is not None:
+        local = local.withColumn("__lrn", F.row_number().over(w_rn))
+    for i, (col, _) in enumerate(values):
+        local = local.withColumn(
+            f"__lc{i}", F.coalesce(F.sum(col).over(w_sum), F.lit(0))
+        )
+    aggs = [F.count("*").alias("__tr")] + [
+        F.sum(col).alias(f"__t{i}") for i, (col, _) in enumerate(values)
+    ]
+    totals = parts.groupBy("__pid").agg(*aggs)
+    tot_cols = ["__tr"] + [f"__t{i}" for i in range(len(values))]
+    lower = totals.select(
+        F.col("__pid").alias("__lpid"),
+        *[F.col(c).alias(f"__l{c}") for c in tot_cols],
+    )
+    offs = (
+        totals.join(
+            F.broadcast(lower), F.col("__lpid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__l{c}"), F.lit(0)).alias(f"__o{c}")
+                for c in tot_cols
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offs), "__pid")
+    if rn is not None:
+        out = out.withColumn(
+            rn, (F.col("__lrn") + F.col("__o__tr")).cast("long")
+        )
+    for i, (_, out_col) in enumerate(values):
+        out = out.withColumn(
+            out_col, F.col(f"__lc{i}") + F.col(f"__o__t{i}")
+        )
+    drop = (
+        ["__pid", "__lrn"]
+        + [f"__lc{i}" for i in range(len(values))]
+        + [f"__o{c}" for c in tot_cols]
+    )
+    return out.drop(*drop)
+
+
 def two_phase_cummax(
     df: DataFrame,
     order: OrderSpec,
     value_col: str,
     out: str = "cummax",
-    n_parts: int = DEFAULT_PARTS,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Global EXCLUSIVE running max of `value_col` in `order` (max over
     all strictly-earlier rows; NULL on the global first row), distributed

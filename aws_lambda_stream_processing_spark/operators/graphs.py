@@ -1378,19 +1378,38 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     track_cache(edges.unpersist)  # query-local: janitor frees it next build
     cur = edges
+    # r13 (§2.4 remove shuffles outright): the per-iteration stats used
+    # count_distinct("u") over the EDGE relation — a second node-keyed
+    # shuffle per peel on top of the degree agg the peel itself needs.
+    # The degree relation already holds both numbers: its row count IS
+    # the distinct-node count and sum(d)/2 IS the undirected edge count
+    # (both orientations stored). Checkpointing the node-sized degree
+    # relation lets the next peel's keep-filter and this peel's stats
+    # share ONE aggregation: 8 node-keyed shuffles -> 5 for the
+    # 4-iteration trajectory. Identical rows (n_nodes = |groups|,
+    # n_edges = sum over groups / 2 = |cur| / 2, always even).
+    deg = tracked_local_checkpoint(
+        cur.groupBy("u").agg(F.count("*").alias("d")), eager=False
+    )
     stats = []
     for i in range(1, _KCORE_ITERS + 1):
-        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= _KCORE_K).select("u")
         cur = cur.join(keep, "u", "semi").join(
             keep.select(F.col("u").alias("v")), "v", "semi"
         )
         cur = tracked_local_checkpoint(cur, eager=False)
+        deg = tracked_local_checkpoint(
+            cur.groupBy("u").agg(F.count("*").alias("d")), eager=False
+        )
         stats.append(
-            cur.agg(
+            deg.agg(
                 F.lit(i).alias("iteration"),
-                F.count_distinct("u").alias("n_nodes"),
-                (F.count("*") / 2).cast("bigint").alias("n_edges"),
+                F.count("*").alias("n_nodes"),
+                # coalesce: an emptied graph must report 0 edges (the
+                # count(*)/2 form's value), not sum-over-nothing NULL
+                (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+                .cast("bigint")
+                .alias("n_edges"),
             )
         )
     out = stats[0]

@@ -1052,19 +1052,28 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-range case WITH a user equi key, this is the harder
     interval×interval case without one).
 
-    Scale shape — BANDING, the interval-tree equivalent for shuffles:
-    a naive formulation joins on the day alone and filters, which is a
-    per-day cross join (every user pair, O(U²) per day). Instead each
-    interval is exploded to the HOUR buckets it covers (bounded ≤ 24×
-    fanout — intervals live inside one calendar day), candidates meet
-    on the hour-bucket equi key, the exact overlap predicate
-    (a.s ≤ b.e AND b.s ≤ a.e) verifies each candidate, and duplicate
-    candidates from multi-hour overlaps collapse with one DISTINCT on
-    the pair key. Partner counts then attach back to the full interval
-    relation with a LEFT join so zero-partner intervals survive. The
-    oracle keeps the day-keyed quadratic formulation (fine at oracle
-    scale); results are identical because two intervals overlap iff
-    they share at least one covered hour bucket."""
+    Scale shape — a per-day BOUNDARY SWEEP, not a candidate join (r13;
+    the r12 form banded intervals to hour buckets and pair-joined the
+    candidates, paying a ≤24× explode, a self-join and a DISTINCT over
+    the pair relation). The pairwise predicate is never evaluated: for
+    one day holding N intervals, the non-partners of a are exactly the
+    DISJOINT union {b: s_b > e_a} ∪ {b: e_b < s_a} (if s_b > e_a then
+    e_b ≥ s_b > e_a ≥ s_a, so no interval is in both), hence
+
+        n_partners(a) = #{s_b ≤ e_a} − #{e_b < s_a} − 1 (self).
+
+    Both counts are running ranks over the day's sorted boundary
+    multiset: each interval contributes a START row (weight ws=1), an
+    END row (we=1) and two QUERY rows (at v=e for the start-count, at
+    v=s for the end-count), tags order equal values so that starts sort
+    BEFORE the ≤-query and ends sort AFTER the <-query, and one
+    day-partitioned cumulative-sum window prices every query row. Query
+    rows carry weight 0, so tie order among them cannot change any sum.
+    O(N log N) per day instead of the candidate join's quadratic-ish
+    pair relation; the day-keyed window is the same partitioning the
+    oracle's per-day join uses. The oracle keeps the quadratic
+    formulation (fine at oracle scale); results are identical by the
+    disjoint-complement identity above."""
     e = load_table(spark, sf_dir, "events")
     iv = (
         e.where(F.col("event_type") == "error")
@@ -1073,39 +1082,42 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iv = iv.cache()
     track_cache(iv.unpersist)
-    hb = iv.select(
-        "user_id", "day", "s", "e",
-        F.explode(
-            F.sequence(
-                F.expr("unix_micros(s) div 3600000000"),
-                F.expr("unix_micros(e) div 3600000000"),
-            )
-        ).alias("h"),
+    # tag ordering at equal v: start(0) < start-count query(1) <
+    # end-count query(2) < end(3) — starts at v == e_a count (≤ is
+    # inclusive), ends at v == s_a do not (< is strict).
+    kinds = [
+        (F.col("s"), 0, 1, 0),   # start boundary, ws = 1
+        (F.col("e"), 1, 0, 0),   # query: n_le = # starts ≤ e
+        (F.col("s"), 2, 0, 0),   # query: n_lt = # ends < s
+        (F.col("e"), 3, 0, 1),   # end boundary, we = 1
+    ]
+    parts = [
+        iv.select(
+            "user_id", "day", v.alias("v"),
+            F.lit(tag).alias("tag"),
+            F.lit(ws).alias("ws"), F.lit(we).alias("we"),
+        )
+        for v, tag, ws, we in kinds
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    a = hb.select(
-        F.col("user_id").alias("ua"), F.col("day").alias("da"),
-        F.col("s").alias("sa"), F.col("e").alias("ea"), "h",
-    )
-    b = hb.select(
-        F.col("user_id").alias("ub"),
-        F.col("s").alias("sb"), F.col("e").alias("eb"), "h",
-    )
-    pairs = (
-        a.join(b, "h")
-        .where(F.col("ua") != F.col("ub"))
-        .where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
-        .select("ua", "da", "ub")
-        .distinct()
-    )
-    cnt = pairs.groupBy("ua", "da").agg(
-        F.count("*").cast("long").alias("n_partners")
+    c = u.select(
+        "user_id", "day", "tag",
+        F.sum("ws").over(w_day).alias("ca"),
+        F.sum("we").over(w_day).alias("cb"),
+    ).where(F.col("tag").isin(1, 2))
+    counts = c.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("tag") == 1, F.col("ca"))).alias("n_le"),
+        F.max(F.when(F.col("tag") == 2, F.col("cb"))).alias("n_lt"),
     )
     return (
-        iv.join(
-            cnt,
-            (iv.user_id == cnt.ua) & (iv.day == cnt.da),
-            "left",
-        )
+        iv.join(counts, ["user_id", "day"])
         .select(
             "user_id",
             F.col("day").cast("timestamp").alias("day"),
@@ -1113,7 +1125,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((unix_micros(e) - unix_micros(s)) DIV 1000000 "
                 "AS BIGINT)"
             ).alias("dur_s"),
-            F.coalesce("n_partners", F.lit(0)).cast("long").alias(
+            (F.col("n_le") - F.col("n_lt") - 1).cast("long").alias(
                 "n_partners"
             ),
         )

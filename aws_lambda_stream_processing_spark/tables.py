@@ -85,16 +85,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # getNumPartitions == 1 for 9 of the 10 cached tables at sf0.1).
         # Guide §2.5 "input skew — one huge unsplittable file →
         # repartition immediately after the read": spread the fact
-        # tables across the session's actual parallelism ONCE, at cache
-        # materialization (outside the bench clock; the suite warms the
-        # cache before timing). Round-robin repartition is deterministic
-        # here (sortBeforeRepartition on a deterministic single-file
-        # scan), results are partitioning-invariant (full 537-query
-        # oracle sweep re-run green on this change), and the width
-        # derives from the session — nothing local-mode-specific. The
+        # tables ONCE, at cache materialization (outside the bench
+        # clock; the suite warms the cache before timing). Round-robin
+        # repartition is deterministic here (sortBeforeRepartition on a
+        # deterministic single-file scan) and results are
+        # partitioning-invariant (full oracle sweep green on this
+        # change). The r12 blanket `defaultParallelism` width was the
+        # round's one regression: 32 partitions on kilobyte tables gave
+        # every sub-second query a 32-task map stage (~0.2-0.4 s of
+        # scheduling each, ~130 s across the suite; the driver's 8-core
+        # rerun at width 8 beat the 32-core run by 18%). The width must
+        # derive from the DATA, capped at the session's parallelism: a
+        # 100 TB table still spreads to every core, while a 2 MB fixture
+        # gets 1-2 partitions. Compute-bound downstream stages whose
+        # per-row cost is invisible to a bytes heuristic (Python
+        # kernels, O(frame) windows) pin their own width at the operator
+        # (`pin_width`), which is the correct layer for that. The
         # broadcast dims stay single-partition (they are a few KB).
         if name not in BROADCAST_TABLES:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            w = _spread_width(spark, f"{sf_dir}/{name}.parquet")
+            if w > 1:
+                df = df.repartition(w)
         df = df.cache()
     _MEMO[key] = df
     return df
@@ -102,6 +113,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+# Cache-spread sizing: one cached partition per ~2 MiB of on-disk parquet
+# (zstd-compressed parquet expands ~5-10x in memory, so this is ~10-20 MB
+# of in-memory columnar batch per task — enough work to amortize task
+# scheduling, small enough to keep map stages parallel). Parameterised so
+# a deployment can align it with its executor sizing; the CAP at
+# defaultParallelism is what matters at 100 TB (any real fact table blows
+# past the target and spreads to every core), the TARGET is what matters
+# at calibration scale (kilobyte fixtures stay at 1-2 partitions instead
+# of paying a full-width task wave per query).
+_SPREAD_TARGET_BYTES = 2 * 1024 * 1024
+
+
+def _spread_width(spark: SparkSession, path: str) -> int:
+    """Partition count for a cached table: ceil(bytes / target), capped
+    at the session's parallelism, floored at 1."""
+    import math
+    import os
+
+    env = os.environ.get("ALSP_CACHE_SPREAD_TARGET_BYTES")
+    target = int(env) if env else _SPREAD_TARGET_BYTES
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, math.ceil(nbytes / max(1, target))))
 
 
 def pin_width(df: DataFrame, *keys: str) -> DataFrame:

@@ -45,6 +45,27 @@ import time
 # reference artifact already carries post-change times for all three.
 CONTROLS = ("q_date_extract", "q_agg_count_distinct", "q_agg_groupby")
 
+# r12 verdict item 4: all three CONTROLS scan the cached (and since r12
+# width-spread) base tables, so a table-layout change moves every
+# control at once and the factor masks the very regression it exists to
+# detect (the r12 run's controls spread 0.73–2.41). This control reads
+# the parquet DIRECTLY — fresh DataFrame, no tables.load_table memo, no
+# cache — so no operator-infra change can touch it; only the machine
+# can. Timed with the suite's methodology, recorded in the artifact
+# under `uncached_controls` and folded into the factor median.
+UNCACHED_CONTROL = "ctl_scan_agg_uncached"
+
+
+def _uncached_control_fn(spark, sf_dir: str):
+    """Pristine scan+filter+groupBy-agg over the raw parquet: the shape
+    of a control rung, with zero shared infra (no memo, no cache)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_totalprice > 1000.0")
+        .groupBy("o_orderpriority")
+        .agg({"o_totalprice": "sum", "o_orderkey": "count"})
+    )
+
 
 def _newest_ref_path(here: str) -> str | None:
     """Newest non-empty committed BENCH_local_r*.json next to bench.py."""
@@ -63,16 +84,16 @@ def _newest_ref_path(here: str) -> str | None:
     return cands[-1][1] if cands else None
 
 
-def _load_ref_queries(ref_path: str | None) -> dict[str, float]:
-    """Per-query timings from a committed reference artifact.
+def _load_ref_artifact(ref_path: str | None) -> dict:
+    """Full reference artifact object from a committed file.
 
-    Line-tolerant (r11 ADVICE): bench output is TWO JSON lines (full
-    artifact + compact trailer), and a committed artifact file captured
-    by plain redirection keeps both — a whole-file json.load rejects
-    that with 'Extra data' and silently disables the machine-factor /
-    flag reference. Reuse _artifact_line to pick the line that carries
-    the per-query dict; fall back to whole-file parse for legacy
-    single-object artifacts with embedded newlines."""
+    Line-tolerant (r11 ADVICE): bench output is multiple JSON lines
+    (chunks + full artifact + compact trailer), and a committed artifact
+    file captured by plain redirection keeps them all — a whole-file
+    json.load rejects that with 'Extra data' and silently disables the
+    machine-factor / flag reference. Reuse _artifact_line to pick the
+    line that carries the per-query dict; fall back to whole-file parse
+    for legacy single-object artifacts with embedded newlines."""
     try:
         if ref_path and os.path.exists(ref_path):
             with open(ref_path) as fh:
@@ -80,19 +101,30 @@ def _load_ref_queries(ref_path: str | None) -> dict[str, float]:
             obj = _artifact_line(text)
             if obj is None:
                 obj = json.loads(text)
-            return obj.get("queries", {})
+            return obj
     except (OSError, json.JSONDecodeError) as exc:
         print(f"bench ref: unusable {ref_path}: {exc}", file=sys.stderr)
     return {}
 
 
+def _load_ref_queries(ref_path: str | None) -> dict[str, float]:
+    return _load_ref_artifact(ref_path).get("queries", {})
+
+
 def _machine_factor(
-    timings: dict[str, float], ref_q: dict[str, float]
+    timings: dict[str, float],
+    ref_q: dict[str, float],
+    uncached: dict[str, float] | None = None,
+    ref_uncached: dict[str, float] | None = None,
 ) -> tuple[float | None, dict[str, float]]:
     control_ratio: dict[str, float] = {}
     for cname in CONTROLS:
         if timings.get(cname, 0) > 0 and ref_q.get(cname, 0) > 0:
             control_ratio[cname] = round(timings[cname] / ref_q[cname], 3)
+    for cname, t in (uncached or {}).items():
+        rt = (ref_uncached or {}).get(cname, 0)
+        if t > 0 and rt > 0:
+            control_ratio[cname] = round(t / rt, 3)
     if not control_ratio:
         return None, control_ratio
     rs = sorted(control_ratio.values())
@@ -125,8 +157,45 @@ def _merge_runs(runs: list[dict]) -> tuple[dict[str, float], dict, list]:
 
 
 def _print_artifact(obj: dict) -> None:
-    """Full artifact line, then the compact driver-parseable trailer."""
+    """Bounded per-query chunk lines, the full artifact line, then the
+    compact driver-parseable trailer (always the LAST stdout line).
+
+    The chunk lines are r12 verdict item 3: the driver harness keeps a
+    stdout TAIL, and the single 537-entry artifact line truncates
+    mid-object there, which erased every per-query timing from ten
+    rounds of recorded artifacts. Each chunk is a complete ~1.5 kB JSON
+    line of 50 queries, so any sane tail window retains whole chunks
+    (and a generous one retains all of them). Additions only — the full
+    artifact line and the trailer are unchanged, so cross-round
+    comparability holds."""
+    out_path = os.environ.get("ALSP_BENCH_OUT")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(json.dumps(obj) + "\n")
+        except OSError as exc:
+            print(f"bench: cannot write {out_path}: {exc}", file=sys.stderr)
     print(json.dumps(obj))
+    # Chunks AFTER the (huge) full artifact line: the driver keeps the
+    # END of stdout, so anything printed before that ~16 kB line falls
+    # outside a small tail window. Printed here, a 4 kB tail keeps the
+    # trailer plus the last few whole chunks and an ~20 kB tail keeps
+    # every per-query timing.
+    qs = obj.get("queries") or {}
+    names = sorted(qs)
+    n_chunks = (len(names) + 49) // 50
+    for i in range(0, len(names), 50):
+        print(
+            json.dumps(
+                {
+                    "metric": "query_seconds_chunk",
+                    "chunk": i // 50,
+                    "n_chunks": n_chunks,
+                    "sf": obj.get("sf"),
+                    "chunk_queries": {n: qs[n] for n in names[i : i + 50]},
+                }
+            )
+        )
     compact = {
         "metric": obj["metric"],
         "value": obj["value"],
@@ -204,10 +273,18 @@ def multi_run(n_runs: int, only: list[str]) -> int:
         return 1
 
     merged_q, queries_runs, failures = _merge_runs(runs)
+    unc_runs: dict[str, list[float]] = {}
+    for r in runs:
+        for name, t in (r.get("uncached_controls") or {}).items():
+            unc_runs.setdefault(name, []).append(t)
+    merged_unc = {n: min(ts) for n, ts in unc_runs.items()}
 
     here = os.path.dirname(os.path.abspath(__file__))
-    ref_q = _load_ref_queries(_newest_ref_path(here))
-    mf, control_ratio = _machine_factor(merged_q, ref_q)
+    ref = _load_ref_artifact(_newest_ref_path(here))
+    ref_q = ref.get("queries", {})
+    mf, control_ratio = _machine_factor(
+        merged_q, ref_q, merged_unc, ref.get("uncached_controls")
+    )
     flagged = _flagged(merged_q, ref_q, max(1.0, mf or 1.0))
 
     out = {
@@ -219,6 +296,7 @@ def multi_run(n_runs: int, only: list[str]) -> int:
         "n_queries": len(merged_q),
         "failures": failures,
         "n_runs": len(runs),
+        **({"uncached_controls": merged_unc} if merged_unc else {}),
         "queries_runs": queries_runs,
         "run_values": [r.get("value") for r in runs],
         "gc_total_ms_runs": [
@@ -389,9 +467,28 @@ def main() -> int:
     # parser keeps only the compact trailer — which must carry the
     # control-ratio machine factor the cross-round adjudication leans
     # on, not just suite/failures/gc. Cost is one small-file read.
+    # Uncached machine-factor control (r12 verdict item 4): timed with
+    # the suite's exact methodology (cold plan per sample, best-of-2
+    # under the same flag), after the suite so the JVM posture matches
+    # the in-suite controls'. Kept OUT of `queries`/`value` — it is a
+    # measurement instrument, not a declared query.
+    uncached_controls: dict[str, float] = {}
+    if not only:
+        t0 = time.perf_counter()
+        _uncached_control_fn(spark, sf_dir).toPandas()
+        took = time.perf_counter() - t0
+        if best2:
+            t1 = time.perf_counter()
+            _uncached_control_fn(spark, sf_dir).toPandas()
+            took = min(took, time.perf_counter() - t1)
+        uncached_controls[UNCACHED_CONTROL] = round(took, 3)
+
     here = os.path.dirname(os.path.abspath(__file__))
-    ref_q = _load_ref_queries(_newest_ref_path(here))
-    machine_factor, control_ratio = _machine_factor(timings, ref_q)
+    ref = _load_ref_artifact(_newest_ref_path(here))
+    ref_q = ref.get("queries", {})
+    machine_factor, control_ratio = _machine_factor(
+        timings, ref_q, uncached_controls, ref.get("uncached_controls")
+    )
 
     solo: dict[str, float] = {}
     solo_ref: dict[str, float] = {}
@@ -504,6 +601,11 @@ def main() -> int:
             "sf": sf,
             "n_queries": len(timings),
             "failures": failures,
+            **(
+                {"uncached_controls": uncached_controls}
+                if uncached_controls
+                else {}
+            ),
             **({"best2": True} if best2 else {}),
             **(
                 {"machine_factor": machine_factor,

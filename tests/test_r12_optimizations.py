@@ -111,32 +111,54 @@ def test_partsupp_memo_is_shared_across_tpch_consumers(spark, registry):
 
 def test_cached_tables_are_width_spread(spark):
     """tables.load_table under the ALSP_CACHE_TABLES=1 (bench/driver)
-    posture must spread the single-row-group fact parquet across the
-    session's parallelism — the r12 audit found every map stage of
-    every query running on ONE task (single-file, single-row-group
-    fixtures cannot split at the scan). Uses sf0.01 so the memo entry
-    cannot collide with this suite's uncached SF_DIR frames."""
+    posture must spread the single-row-group fact parquet to a
+    SIZE-DERIVED width — the r12 audit found every map stage of every
+    query running on ONE task (single-file, single-row-group fixtures
+    cannot split at the scan), but the r12 blanket defaultParallelism
+    spread regressed the suite ~130 s (32-task waves on kilobyte
+    tables; the driver's 8-core rerun beat 32-core). The width must be
+    ceil(disk_bytes / target) capped at defaultParallelism, so fixtures
+    get 1-2 partitions and a 100 TB table gets every core. Uses sf0.01
+    so the memo entry cannot collide with this suite's uncached SF_DIR
+    frames."""
     import os
 
     from aws_lambda_stream_processing_spark import tables as T
 
     sf_dir = "/root/testdata/sf0.01"
     had = os.environ.get("ALSP_CACHE_TABLES")
+    had_target = os.environ.get("ALSP_CACHE_SPREAD_TARGET_BYTES")
     os.environ["ALSP_CACHE_TABLES"] = "1"
+    # shrink the target so the 216 KB sf0.01 events fixture derives a
+    # multi-partition width the assertion can see
+    os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = str(64 * 1024)
     try:
+        expect = T._spread_width(spark, f"{sf_dir}/events.parquet")
+        assert 2 <= expect < spark.sparkContext.defaultParallelism
         df = T.load_table(spark, sf_dir, "events")
-        assert (
-            df.rdd.getNumPartitions()
-            == spark.sparkContext.defaultParallelism
-        )
+        assert df.rdd.getNumPartitions() == expect
         # broadcast dims stay single-partition
         dim = T.load_table(spark, sf_dir, "nation")
         assert dim.rdd.getNumPartitions() == 1
+        # the derivation caps at the session's parallelism for data that
+        # outgrows it (the 100 TB posture)
+        os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = "1"
+        assert (
+            T._spread_width(spark, f"{sf_dir}/events.parquet")
+            == spark.sparkContext.defaultParallelism
+        )
+        # ... and floors at 1 when the table is below one target
+        os.environ.pop("ALSP_CACHE_SPREAD_TARGET_BYTES")
+        assert T._spread_width(spark, f"{sf_dir}/customer.parquet") == 1
     finally:
         if had is None:
             os.environ.pop("ALSP_CACHE_TABLES", None)
         else:
             os.environ["ALSP_CACHE_TABLES"] = had
+        if had_target is None:
+            os.environ.pop("ALSP_CACHE_SPREAD_TARGET_BYTES", None)
+        else:
+            os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = had_target
         app = spark.sparkContext.applicationId
         for name in ("events", "nation"):
             frame = T._MEMO.pop((app, sf_dir, name), None)
