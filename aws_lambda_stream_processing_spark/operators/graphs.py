@@ -2008,9 +2008,13 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(
         (min(comp), len(comp), max(comp)) for comp in comps
     )
+    # explicit ORDER BY (r12 ADVICE): the sorted local list happens to
+    # survive createDataFrame in order, but the ordered-output contract
+    # should not rest on that implementation detail — free on a
+    # <= panel-sized relation.
     return spark.createDataFrame(
         rows, "scc_id long, n_nodes long, max_node long"
-    )
+    ).orderBy("scc_id")
 
 
 @query(

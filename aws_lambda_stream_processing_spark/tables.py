@@ -147,8 +147,17 @@ def _spread_width(spark: SparkSession, path: str) -> int:
             nbytes = os.path.getsize(path)
     except OSError:
         nbytes = 0
+    # Floor 4 (env-overridable): a width-1 cache serializes every
+    # per-row compute stage over that table (measured r13: the 14
+    # JSON/XML/edit-distance/shingle rungs over the 0.6-2 MB
+    # events/documents fixtures summed 17.7 s at floor 1 vs 9.2 s at
+    # floor 4, while a 16-query sub-second control sample was unchanged
+    # — and the r12 driver's own 8-core rerun showed width <= 8 costs
+    # the small queries nothing). Capped at the session's parallelism
+    # so a 2-core driver rerun still gets width 2.
     cap = spark.sparkContext.defaultParallelism
-    return max(1, min(cap, math.ceil(nbytes / max(1, target))))
+    floor = int(os.environ.get("ALSP_CACHE_SPREAD_FLOOR", "4"))
+    return max(1, min(cap, max(floor, math.ceil(nbytes / max(1, target)))))
 
 
 def pin_width(df: DataFrame, *keys: str) -> DataFrame:

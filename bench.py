@@ -421,6 +421,15 @@ def main() -> int:
             dg = gc_ms() - g0
             if dg >= 100:
                 gc_deltas[name] = dg
+            # Reactive hygiene (r13): a >= 1 s GC delta means heap
+            # pressure from accumulated orphan blocks is live NOW —
+            # reclaim before the next query instead of letting the
+            # storm cascade across a family (the r13 run-1 graph
+            # cluster: five consecutive rungs ate 1.0-3.7 s of major
+            # GC each). Runs BETWEEN queries, so no timed region is
+            # touched.
+            if dg >= 1000:
+                reclaim_blocks()
         except Exception as exc:  # noqa: BLE001 - report, don't die
             failures.append(name)
             print(f"bench FAIL {name}: {exc}", file=sys.stderr)

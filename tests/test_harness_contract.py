@@ -155,9 +155,19 @@ def test_bench_compact_trailer_is_last_line_and_complete(capsys):
         }
     )
     lines = capsys.readouterr().out.strip().splitlines()
-    assert len(lines) == 2
-    full, compact = json.loads(lines[0]), json.loads(lines[1])
+    # r13: full artifact line, then >= 1 bounded query_seconds_chunk
+    # lines (tail-survivable per-query timings, verdict item 3), then
+    # the compact trailer LAST. Every line is complete JSON.
+    assert len(lines) == 3
+    full, compact = json.loads(lines[0]), json.loads(lines[-1])
+    chunks = [json.loads(ln) for ln in lines[1:-1]]
     assert "queries" in full
+    assert all(c["metric"] == "query_seconds_chunk" for c in chunks)
+    merged = {}
+    for c in chunks:
+        assert c["n_chunks"] == len(chunks)
+        merged.update(c["chunk_queries"])
+    assert merged == full["queries"]
     # the compact trailer is what the driver's stdout-tail parser gets:
     # complete, per-query-free, and carrying the adjudication fields
     assert "queries" not in compact
@@ -167,6 +177,45 @@ def test_bench_compact_trailer_is_last_line_and_complete(capsys):
     assert compact["failures"] == []
     assert compact["machine_factor"] == 1.01
     assert compact["gc_total_ms"] == 777
+
+
+def test_bench_chunk_lines_survive_a_stdout_tail(capsys):
+    """r12 verdict item 3: with 537 queries the single artifact line is
+    ~16 kB and truncates mid-object in the driver's stdout tail, erasing
+    every per-query timing. The chunk lines are printed AFTER it, so a
+    bounded tail keeps whole chunks: a 20 kB tail must retain ALL
+    per-query times, and even a 4 kB tail must yield the trailer plus
+    complete (parseable) trailing chunks."""
+    bench = _bench()
+    queries = {f"q_{i:04d}": round(0.1 + i * 0.001, 3) for i in range(537)}
+    bench._print_artifact(
+        {
+            "metric": "suite_seconds", "value": 1.0, "unit": "sec",
+            "queries": queries, "sf": 0.1, "n_queries": len(queries),
+            "failures": [],
+        }
+    )
+    out = capsys.readouterr().out
+
+    def parse_tail(tail: str):
+        objs = []
+        for ln in tail.splitlines():
+            try:
+                objs.append(json.loads(ln))
+            except json.JSONDecodeError:
+                continue  # the truncated first line of the tail
+        return objs
+
+    big = parse_tail(out[-20480:])
+    merged = {}
+    for o in big:
+        if o.get("metric") == "query_seconds_chunk":
+            merged.update(o["chunk_queries"])
+    assert merged == queries
+    assert big[-1]["metric"] == "suite_seconds"  # trailer still last
+    small = parse_tail(out[-4096:])
+    assert small[-1]["metric"] == "suite_seconds"
+    assert any(o.get("metric") == "query_seconds_chunk" for o in small)
 
 
 def test_bench_artifact_line_picks_full_artifact_not_trailer():

@@ -117,8 +117,12 @@ def test_cached_tables_are_width_spread(spark):
     cannot split at the scan), but the r12 blanket defaultParallelism
     spread regressed the suite ~130 s (32-task waves on kilobyte
     tables; the driver's 8-core rerun beat 32-core). The width must be
-    ceil(disk_bytes / target) capped at defaultParallelism, so fixtures
-    get 1-2 partitions and a 100 TB table gets every core. Uses sf0.01
+    max(floor 4, ceil(disk_bytes / target)) capped at
+    defaultParallelism: the floor keeps per-row compute stages over
+    small fact fixtures parallel (r13: 14 JSON/XML/edit-distance rungs
+    summed 17.7 s at floor 1 vs 9.2 s at floor 4, sub-second control
+    unchanged), the byte term grows with the data, and a 100 TB table
+    gets every core. Uses sf0.01
     so the memo entry cannot collide with this suite's uncached SF_DIR
     frames."""
     import os
@@ -128,13 +132,14 @@ def test_cached_tables_are_width_spread(spark):
     sf_dir = "/root/testdata/sf0.01"
     had = os.environ.get("ALSP_CACHE_TABLES")
     had_target = os.environ.get("ALSP_CACHE_SPREAD_TARGET_BYTES")
+    had_floor = os.environ.get("ALSP_CACHE_SPREAD_FLOOR")
     os.environ["ALSP_CACHE_TABLES"] = "1"
     # shrink the target so the 216 KB sf0.01 events fixture derives a
-    # multi-partition width the assertion can see
-    os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = str(64 * 1024)
+    # byte-term width ABOVE the floor that the assertion can see
+    os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = str(32 * 1024)
     try:
         expect = T._spread_width(spark, f"{sf_dir}/events.parquet")
-        assert 2 <= expect < spark.sparkContext.defaultParallelism
+        assert 4 < expect < spark.sparkContext.defaultParallelism
         df = T.load_table(spark, sf_dir, "events")
         assert df.rdd.getNumPartitions() == expect
         # broadcast dims stay single-partition
@@ -147,8 +152,10 @@ def test_cached_tables_are_width_spread(spark):
             T._spread_width(spark, f"{sf_dir}/events.parquet")
             == spark.sparkContext.defaultParallelism
         )
-        # ... and floors at 1 when the table is below one target
+        # ... and small fact tables sit at the compute-parallelism floor
         os.environ.pop("ALSP_CACHE_SPREAD_TARGET_BYTES")
+        assert T._spread_width(spark, f"{sf_dir}/customer.parquet") == 4
+        os.environ["ALSP_CACHE_SPREAD_FLOOR"] = "1"
         assert T._spread_width(spark, f"{sf_dir}/customer.parquet") == 1
     finally:
         if had is None:
@@ -159,6 +166,10 @@ def test_cached_tables_are_width_spread(spark):
             os.environ.pop("ALSP_CACHE_SPREAD_TARGET_BYTES", None)
         else:
             os.environ["ALSP_CACHE_SPREAD_TARGET_BYTES"] = had_target
+        if had_floor is None:
+            os.environ.pop("ALSP_CACHE_SPREAD_FLOOR", None)
+        else:
+            os.environ["ALSP_CACHE_SPREAD_FLOOR"] = had_floor
         app = spark.sparkContext.applicationId
         for name in ("events", "nation"):
             frame = T._MEMO.pop((app, sf_dir, name), None)
