@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, in
-    certification-rotation order (registry.CERT_PREFIX_R12 first): the
+    certification-rotation order (registry.CERT_PREFIX_R13 first): the
     driver's per-round correctness sample covers ~50 queries from the
     head of this dict, so the head carries the 50 never-yet-certified
     IDs this round targets."""

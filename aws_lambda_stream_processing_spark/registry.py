@@ -254,7 +254,7 @@ CERT_PREFIX_R11: tuple[str, ...] = (  # historical — see CERT_PREFIX_R12
 # their locality during the sweep. 111 rungs remain after this round
 # (operator tails + functions + the 27-rung streaming family); r13/r14
 # finish the job at the same cadence.
-CERT_PREFIX_R12: tuple[str, ...] = (
+CERT_PREFIX_R12: tuple[str, ...] = (  # historical — see CERT_PREFIX_R13
     "q_llm_mmr_diversify", "q_llm_rag_context_pack", "q_llm_linear_probe",
     "q_llm_embed_outliers", "q_llm_contamination", "q_llm_stratified_sample",
     "q_llm_seq_pack", "q_llm_length_band_filter", "q_llm_contamination_matrix",
@@ -275,10 +275,43 @@ CERT_PREFIX_R12: tuple[str, ...] = (
 )
 
 
+# Round-13 driver-certification prefix: the next 50 of the 111 rungs
+# never driver-certified through r12 (recomputed union of
+# CORRECTNESS_r01..r12 green rows+schema+hash entries — 426/537), in
+# REGISTRATION order so family-scoped cache memos keep their locality
+# during the sweep: the llm tail (9: pack/temperature/chunking/forget/
+# funnel/diff/kappa/rrf/curriculum), the behavior/joins/events block
+# (33), and the head of the scale family (8). 61 rungs remain after
+# this round (scale/graph/functions tails + the 27-rung streaming
+# family); r14 finishes the job at the same cadence. All 50 carry exact
+# oracles (the r13 full sweep reports 0 weak).
+CERT_PREFIX_R13: tuple[str, ...] = (
+    "q_llm_pack_efficiency", "q_llm_temperature_mix", "q_llm_chunking",
+    "q_llm_forget_cascade", "q_llm_curation_funnel", "q_llm_corpus_diff",
+    "q_llm_rater_kappa", "q_llm_rrf_fusion", "q_llm_curriculum_order",
+    "q_agg_approx_distinct", "q_agg_approx_percentile",
+    "q_agg_grouping_id", "q_agg_kendall_tau", "q_limit_keyset",
+    "q_sort_skyline", "q_join_asof_nearest", "q_join_temporal_dim",
+    "q_join_asof_tolerance", "q_join_geo_radius", "q_join_geo_knn",
+    "q_join_lateral_df", "q_join_interval_overlap", "q_events_stickiness",
+    "q_events_markov_stationary", "q_events_growth_accounting",
+    "q_events_cohort_ltv", "q_agg_survival_km", "q_events_lorenz_curve",
+    "q_events_srm_check", "q_agg_capture_recapture", "q_funnel_windowed",
+    "q_events_sequence_match", "q_events_audience_overlap",
+    "q_agg_session_window", "q_events_cuped", "q_events_diff_in_diff",
+    "q_events_delta_method", "q_events_power_mde",
+    "q_agg_session_dynamic_gap", "q_events_stratified_ate",
+    "q_basket_association_rules", "q_agg_salted_skew",
+    "q_scale_skew_report", "q_scale_zorder_layout", "q_agg_log2_histogram",
+    "q_ts_heatmap_hod_dow", "q_join_skew_aqe", "q_scale_compaction_plan",
+    "q_join_dpp", "q_scale_rendezvous_shard",
+)
+
+
 def rotation_order(registry: dict[str, QuerySpec]) -> list[str]:
     """Registry names with the current certification prefix first (see
-    CERT_PREFIX_R12); unknown prefix entries are ignored so a renamed
+    CERT_PREFIX_R13); unknown prefix entries are ignored so a renamed
     rung degrades to its registration position instead of KeyError."""
-    prefix = [n for n in CERT_PREFIX_R12 if n in registry]
+    prefix = [n for n in CERT_PREFIX_R13 if n in registry]
     rest = [n for n in registry if n not in set(prefix)]
     return prefix + rest

@@ -23,21 +23,21 @@ import pytest
 
 def test_rotation_prefix_is_50_registered_oracle_backed_ids(registry):
     from aws_lambda_stream_processing_spark.registry import (
-        CERT_PREFIX_R12,
+        CERT_PREFIX_R13,
         rotation_order,
     )
 
-    assert len(CERT_PREFIX_R12) == 50
-    assert len(set(CERT_PREFIX_R12)) == 50
-    missing = [n for n in CERT_PREFIX_R12 if n not in registry]
+    assert len(CERT_PREFIX_R13) == 50
+    assert len(set(CERT_PREFIX_R13)) == 50
+    missing = [n for n in CERT_PREFIX_R13 if n not in registry]
     assert not missing, f"prefix names not in registry: {missing}"
     # the driver's sample is only useful as exact certification if every
     # prefix rung carries an oracle
-    weak = [n for n in CERT_PREFIX_R12 if registry[n].oracle is None]
+    weak = [n for n in CERT_PREFIX_R13 if registry[n].oracle is None]
     assert not weak, f"prefix rungs without oracles: {weak}"
 
     order = rotation_order(registry)
-    assert order[:50] == list(CERT_PREFIX_R12)
+    assert order[:50] == list(CERT_PREFIX_R13)
     assert len(order) == len(registry)
     assert len(set(order)) == len(registry), "rotation dropped/duped a name"
 
@@ -74,6 +74,7 @@ def _certified_union_before(rotation_round: int) -> set[str] | None:
 @pytest.mark.parametrize("rotation_round, prefix_name", [
     (11, "CERT_PREFIX_R11"),
     (12, "CERT_PREFIX_R12"),
+    (13, "CERT_PREFIX_R13"),
 ])
 def test_rotation_prefix_was_never_driver_certified_before(
     rotation_round, prefix_name
@@ -124,7 +125,7 @@ def test_rotation_order_ignores_unknown_prefix_entries():
     from aws_lambda_stream_processing_spark.registry import rotation_order
 
     fake = {"q_a": None, "q_b": None}
-    out = rotation_order(fake)  # CERT_PREFIX_R12 ∩ fake = ∅
+    out = rotation_order(fake)  # CERT_PREFIX_R13 ∩ fake = ∅
     assert out == ["q_a", "q_b"]
 
 

@@ -206,15 +206,32 @@ def test_linkpred_never_broadcasts_the_adjacency(spark, registry):
     ):
         df = registry[name].fn(spark, SF_DIR)
         plan = plan_string(df)
-        # every BroadcastExchange subtree must contain a probe limit
-        # upstream; the cheap structural proxy: no broadcast is built
-        # directly over the bidirectional adjacency union
-        for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
-            seg = plan[m.start(): m.start() + 400]
-            assert "Union" not in seg.split("BroadcastExchange")[1][:80], (
-                name,
-                seg,
-            )
+        # Walk the formatted plan's TREE section (r12 ADVICE: the old
+        # fixed-width substring window was brittle to explain-format
+        # drift and could miss an adjacency broadcast one line deeper).
+        # Structural rule: a BroadcastExchange subtree that contains
+        # the bidirectional adjacency Union must also contain the probe
+        # Limit — i.e. only PROBE-BOUNDED slices of the adjacency may
+        # broadcast, never the raw data-scaled union.
+        tree = plan.split("\n\n", 1)[0]
+        nodes = []  # (indent, opname)
+        for ln in tree.splitlines():
+            m = re.search(r"\(\d+\) ([A-Za-z]+)", ln)
+            if m:
+                nodes.append((m.start(), m.group(1)))
+        for i, (depth, op) in enumerate(nodes):
+            if op != "BroadcastExchange":
+                continue
+            subtree = []
+            for d2, op2 in nodes[i + 1:]:
+                if d2 <= depth:
+                    break
+                subtree.append(op2)
+            if any(o == "Union" for o in subtree):
+                assert any("Limit" in o for o in subtree), (
+                    name,
+                    subtree,
+                )
 
 
 def test_py_state_width_derives_from_session(spark):
